@@ -12,7 +12,10 @@ object SparkEntry {
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
+    MarketQueries.queries
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_revenue_topn" -> ((s, d) => Relational.q3RevenueTopN(s, d)),
     "q5_regional_revenue" -> ((s, d) => Relational.q5RegionalRevenue(s, d)),
@@ -23,7 +26,9 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query key (same column aliases, same
     * rounding, same ORDER BY — the driver hash-compares values).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = relationalOracles ++ MarketQueries.oracles
+
+  private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

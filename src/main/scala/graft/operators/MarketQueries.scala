@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-contract wrappers for the market-data surface: each query is
+  * the full pipeline (raw events → clean → bars → indicator), selected,
+  * rounded and ordered identically to its DuckDB oracle.
+  */
+object MarketQueries {
+
+  private def bars(s: SparkSession, d: String): DataFrame =
+    Bars.daily(Cleaning.cleanEvents(Tables.events(s, d)))
+
+  private def roundCols(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame =
+    cols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), scale)))
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.orderBy(col("user_id"), col("date"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clean_events" -> ((s, d) =>
+      Cleaning.cleanEvents(Tables.events(s, d)).orderBy(col("user_id"), col("ts"))),
+
+    "bars_daily" -> ((s, d) =>
+      ordered(roundCols(bars(s, d), Seq("vwap")))),
+
+    "ind_sma" -> ((s, d) => {
+      val df = Indicators.withSma(bars(s, d), Seq(5, 10, 20))
+        .select("user_id", "date", "close",
+          "ma_5", "ma_10", "ma_20", "dist_ma_5", "dist_ma_10", "dist_ma_20")
+      ordered(roundCols(df, Seq("ma_5", "ma_10", "ma_20",
+        "dist_ma_5", "dist_ma_10", "dist_ma_20")))
+    }),
+
+    "ind_ema" -> ((s, d) => {
+      val df = Indicators.withEma(bars(s, d), Seq(5, 12, 26))
+        .select("user_id", "date", "close", "ema_5", "ema_12", "ema_26")
+      ordered(roundCols(df, Seq("ema_5", "ema_12", "ema_26")))
+    }),
+
+    "ind_rsi" -> ((s, d) => {
+      val df = Indicators.withRsi(bars(s, d), 14)
+        .select("user_id", "date", "close", "rsi", "rsi_signal")
+      ordered(roundCols(df, Seq("rsi")))
+    }),
+
+    "ind_macd" -> ((s, d) => {
+      val df = Indicators.withMacd(bars(s, d), fast = 5, slow = 10, sig = 4)
+        .select("user_id", "date", "macd", "macd_signal", "macd_hist")
+      ordered(roundCols(df, Seq("macd", "macd_signal", "macd_hist")))
+    }),
+
+    "ind_bollinger" -> ((s, d) => {
+      val df = Indicators.withBollinger(bars(s, d), p = 10, k = 2.0)
+        .select("user_id", "date", "close", "bb_middle", "bb_upper",
+          "bb_lower", "bb_width", "bb_position")
+      ordered(roundCols(df, Seq("bb_middle", "bb_upper", "bb_lower",
+        "bb_width", "bb_position")))
+    }),
+
+    "ind_atr" -> ((s, d) => {
+      val df = Indicators.withAtr(bars(s, d), 10)
+        .select("user_id", "date", "close", "atr", "close_std", "volatility_ratio")
+      ordered(roundCols(df, Seq("atr", "close_std", "volatility_ratio")))
+    }),
+
+    "ind_volume" -> ((s, d) => {
+      val df = Indicators.withVolumeMetrics(bars(s, d))
+        .select("user_id", "date", "volume", "vol_sma_10", "vol_sma_20",
+          "volume_ratio", "obv", "volume_price_trend")
+      ordered(roundCols(df, Seq("vol_sma_10", "vol_sma_20", "volume_ratio",
+        "obv", "volume_price_trend")))
+    }),
+
+    "ind_returns" -> ((s, d) => {
+      val df = Indicators.withReturns(bars(s, d), Seq(5, 10))
+        .select("user_id", "date", "close", "daily_return_pct",
+          "daily_return_abs", "cumulative_return", "momentum_5",
+          "momentum_10", "momentum_mtd")
+      ordered(roundCols(df, Seq("daily_return_pct", "daily_return_abs",
+        "cumulative_return", "momentum_5", "momentum_10", "momentum_mtd")))
+    }),
+  )
+
+  /** Shared oracle CTE: clean (dedupe keep-last) + daily bars. */
+  val BarsCte: String =
+    """WITH clean AS (
+      |  SELECT event_id, ts, user_id, event_type, value, props,
+      |         CAST(ts AS DATE) AS date
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                     ORDER BY event_id DESC) AS rn
+      |        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+      |        WHERE ts IS NOT NULL)
+      |  WHERE rn = 1),
+      |bars AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS date,
+      |    arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+      |    arg_max(value, ts) AS close, count(*) AS volume, avg(value) AS vwap
+      |  FROM clean GROUP BY user_id, CAST(ts AS DATE))""".stripMargin
+
+  private def emaFold(alphaExpr: String): String =
+    s"(acc, v) -> $alphaExpr * v + (1.0 - $alphaExpr) * acc"
+
+  def oracles: Map[String, String] = Map(
+    "clean_events" ->
+      s"""$BarsCte
+         |SELECT event_id, ts, user_id, event_type, value, props, date
+         |FROM clean ORDER BY user_id, ts""".stripMargin,
+
+    "bars_daily" ->
+      s"""$BarsCte
+         |SELECT user_id, date, open, high, low, close, volume,
+         |  round(vwap, 6) AS vwap
+         |FROM bars ORDER BY user_id, date""".stripMargin,
+
+    "ind_sma" ->
+      s"""$BarsCte,
+         |t AS (
+         |  SELECT user_id, date, close,
+         |    CASE WHEN count(close) OVER w5 = 5 THEN avg(close) OVER w5 END AS ma_5,
+         |    CASE WHEN count(close) OVER w10 = 10 THEN avg(close) OVER w10 END AS ma_10,
+         |    CASE WHEN count(close) OVER w20 = 20 THEN avg(close) OVER w20 END AS ma_20
+         |  FROM bars
+         |  WINDOW
+         |    w5 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |    w10 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         |    w20 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, date, close,
+         |  round(ma_5, 6) AS ma_5, round(ma_10, 6) AS ma_10, round(ma_20, 6) AS ma_20,
+         |  round((close - ma_5) / ma_5, 6) AS dist_ma_5,
+         |  round((close - ma_10) / ma_10, 6) AS dist_ma_10,
+         |  round((close - ma_20) / ma_20, 6) AS dist_ma_20
+         |FROM t ORDER BY user_id, date""".stripMargin,
+
+    "ind_ema" ->
+      s"""$BarsCte,
+         |p AS (
+         |  SELECT user_id, date, close,
+         |    row_number() OVER wk AS rn,
+         |    list(close) OVER wc AS vals
+         |  FROM bars
+         |  WINDOW wk AS (PARTITION BY user_id ORDER BY date),
+         |         wc AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, date, close,
+         |  CASE WHEN rn >= 5 THEN round(list_reduce(vals, ${emaFold("(2.0/6)")}), 6) END AS ema_5,
+         |  CASE WHEN rn >= 12 THEN round(list_reduce(vals, ${emaFold("(2.0/13)")}), 6) END AS ema_12,
+         |  CASE WHEN rn >= 26 THEN round(list_reduce(vals, ${emaFold("(2.0/27)")}), 6) END AS ema_26
+         |FROM p ORDER BY user_id, date""".stripMargin,
+
+    "ind_rsi" ->
+      s"""$BarsCte,
+         |d AS (
+         |  SELECT user_id, date, close,
+         |    close - lag(close) OVER (PARTITION BY user_id ORDER BY date) AS delta
+         |  FROM bars),
+         |g AS (
+         |  SELECT user_id, date, close,
+         |    CASE WHEN delta IS NOT NULL THEN greatest(delta, 0.0) END AS gain,
+         |    CASE WHEN delta IS NOT NULL THEN greatest(-delta, 0.0) END AS loss
+         |  FROM d),
+         |a AS (
+         |  SELECT user_id, date, close,
+         |    CASE WHEN count(gain) OVER w = 14 THEN avg(gain) OVER w END AS ag,
+         |    CASE WHEN count(loss) OVER w = 14 THEN avg(loss) OVER w END AS al
+         |  FROM g
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |r AS (
+         |  SELECT user_id, date, close,
+         |    100.0 - 100.0 / (1.0 + ag / nullif(al, 0.0)) AS rsi_raw
+         |  FROM a)
+         |SELECT user_id, date, close, round(rsi_raw, 6) AS rsi,
+         |  CASE WHEN rsi_raw > 70 THEN 'overbought'
+         |       WHEN rsi_raw < 30 THEN 'oversold'
+         |       ELSE 'neutral' END AS rsi_signal
+         |FROM r ORDER BY user_id, date""".stripMargin,
+
+    "ind_macd" ->
+      s"""$BarsCte,
+         |p AS (
+         |  SELECT user_id, date,
+         |    row_number() OVER wk AS rn,
+         |    list(close) OVER wc AS vals
+         |  FROM bars
+         |  WINDOW wk AS (PARTITION BY user_id ORDER BY date),
+         |         wc AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |m AS (
+         |  SELECT user_id, date,
+         |    CASE WHEN rn >= 10 THEN
+         |      list_reduce(vals, ${emaFold("(2.0/6)")})
+         |      - list_reduce(vals, ${emaFold("(2.0/11)")}) END AS macd_raw
+         |  FROM p),
+         |s AS (
+         |  SELECT user_id, date, macd_raw,
+         |    list_filter(list(macd_raw) OVER (PARTITION BY user_id ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |      x -> x IS NOT NULL) AS mvals
+         |  FROM m),
+         |f AS (
+         |  SELECT user_id, date, macd_raw,
+         |    CASE WHEN len(mvals) >= 4
+         |      THEN list_reduce(mvals, ${emaFold("(2.0/5)")}) END AS sig_raw
+         |  FROM s)
+         |SELECT user_id, date, round(macd_raw, 6) AS macd,
+         |  round(sig_raw, 6) AS macd_signal,
+         |  round(macd_raw - sig_raw, 6) AS macd_hist
+         |FROM f ORDER BY user_id, date""".stripMargin,
+
+    "ind_bollinger" ->
+      s"""$BarsCte,
+         |b AS (
+         |  SELECT user_id, date, close,
+         |    CASE WHEN count(close) OVER w = 10 THEN avg(close) OVER w END AS bb_middle,
+         |    CASE WHEN count(close) OVER w = 10 THEN stddev_samp(close) OVER w END AS dev
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         |c AS (
+         |  SELECT user_id, date, close, bb_middle,
+         |    bb_middle + 2.0 * dev AS bb_upper,
+         |    bb_middle - 2.0 * dev AS bb_lower
+         |  FROM b)
+         |SELECT user_id, date, close,
+         |  round(bb_middle, 6) AS bb_middle,
+         |  round(bb_upper, 6) AS bb_upper,
+         |  round(bb_lower, 6) AS bb_lower,
+         |  round((bb_upper - bb_lower) / nullif(bb_middle, 0.0), 6) AS bb_width,
+         |  round(least(greatest((close - bb_lower) / nullif(bb_upper - bb_lower, 0.0), 0.0), 1.0), 6) AS bb_position
+         |FROM c ORDER BY user_id, date""".stripMargin,
+
+    "ind_atr" ->
+      s"""$BarsCte,
+         |d AS (
+         |  SELECT user_id, date, close, high, low,
+         |    lag(close) OVER (PARTITION BY user_id ORDER BY date) AS pc
+         |  FROM bars),
+         |t AS (
+         |  SELECT user_id, date, close,
+         |    CASE WHEN pc IS NULL THEN high - low
+         |         ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+         |  FROM d),
+         |a AS (
+         |  SELECT user_id, date, close,
+         |    CASE WHEN count(tr) OVER w = 10 THEN avg(tr) OVER w END AS atr,
+         |    CASE WHEN count(close) OVER w = 10 THEN stddev_samp(close) OVER w END AS close_std
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, date, close,
+         |  round(atr, 6) AS atr, round(close_std, 6) AS close_std,
+         |  round(atr / nullif(close, 0.0), 6) AS volatility_ratio
+         |FROM a ORDER BY user_id, date""".stripMargin,
+
+    "ind_volume" ->
+      s"""$BarsCte,
+         |d AS (
+         |  SELECT user_id, date, volume,
+         |    close - lag(close) OVER (PARTITION BY user_id ORDER BY date) AS delta
+         |  FROM bars),
+         |v AS (
+         |  SELECT user_id, date, volume, delta,
+         |    CASE WHEN count(volume) OVER w10 = 10 THEN avg(volume) OVER w10 END AS vol_sma_10,
+         |    CASE WHEN count(volume) OVER w20 = 20 THEN avg(volume) OVER w20 END AS vol_sma_20,
+         |    sum(coalesce(CAST(sign(delta) AS DOUBLE), 0.0) * volume)
+         |      OVER (PARTITION BY user_id ORDER BY date
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+         |  FROM d
+         |  WINDOW
+         |    w10 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         |    w20 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, date, volume,
+         |  round(vol_sma_10, 6) AS vol_sma_10,
+         |  round(vol_sma_20, 6) AS vol_sma_20,
+         |  round(volume / vol_sma_20, 6) AS volume_ratio,
+         |  round(obv, 6) AS obv,
+         |  round(volume * delta, 6) AS volume_price_trend
+         |FROM v ORDER BY user_id, date""".stripMargin,
+
+    "ind_returns" ->
+      s"""$BarsCte,
+         |r AS (
+         |  SELECT user_id, date, close,
+         |    lag(close) OVER wk AS prev,
+         |    lag(close, 5) OVER wk AS prev5,
+         |    lag(close, 10) OVER wk AS prev10,
+         |    row_number() OVER wk AS rn,
+         |    first_value(close) OVER (PARTITION BY user_id ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc,
+         |    first_value(close) OVER (PARTITION BY user_id, date_trunc('month', date)
+         |      ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fm
+         |  FROM bars WINDOW wk AS (PARTITION BY user_id ORDER BY date))
+         |SELECT user_id, date, close,
+         |  round(close / prev - 1.0, 6) AS daily_return_pct,
+         |  round(close - prev, 6) AS daily_return_abs,
+         |  CASE WHEN rn >= 2 THEN round(close / fc - 1.0, 6) END AS cumulative_return,
+         |  round(close / prev5 - 1.0, 6) AS momentum_5,
+         |  round(close / prev10 - 1.0, 6) AS momentum_10,
+         |  round(close / fm - 1.0, 6) AS momentum_mtd
+         |FROM r ORDER BY user_id, date""".stripMargin,
+  )
+}
