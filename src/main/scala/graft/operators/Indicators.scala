@@ -47,7 +47,8 @@ object Indicators {
   def withSma(bars: DataFrame, periods: Seq[Int]): DataFrame =
     periods.foldLeft(bars) { (df, p) =>
       df.withColumn(s"ma_$p", gatedAvg(col("close"), p))
-        .withColumn(s"dist_ma_$p", (col("close") - col(s"ma_$p")) / col(s"ma_$p"))
+        .withColumn(s"dist_ma_$p",
+          (col("close") - col(s"ma_$p")) / nullif(col(s"ma_$p"), lit(0.0)))
     }
 
   /** SQL fold expression: pandas ewm(span, adjust=False) over an array.
@@ -55,7 +56,10 @@ object Indicators {
     * DuckDB oracle evaluate the identical double.
     */
   private def emaFoldSql(src: String, span: Int): String = {
-    val a = s"(2.0/${span + 1})"
+    // 2.0D: a plain `2.0` literal parses as DECIMAL(2,1) and decimal
+    // division truncates alpha to 6 decimals (0.153846 != 2.0/13) —
+    // the double literal keeps the full-precision recursion.
+    val a = s"(2.0D/${span + 1})"
     s"""aggregate(
        |  slice($src, 2, size($src) - 1),
        |  array(element_at($src, 1)),
@@ -105,7 +109,7 @@ object Indicators {
     */
   def withMacd(bars: DataFrame, fast: Int = 12, slow: Int = 26, sig: Int = 9): DataFrame = {
     val (g0, others) = collectSeries(bars)
-    val aSig = s"(2.0/${sig + 1})"
+    val aSig = s"(2.0D/${sig + 1})"
     val g = g0
       .withColumn("__ef", expr(emaFoldSql("closes", fast)))
       .withColumn("__es", expr(emaFoldSql("closes", slow)))
@@ -213,16 +217,19 @@ object Indicators {
       .partitionBy(col(KeyCol), date_trunc("month", col(OrdCol)))
       .orderBy(col(OrdCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // nullif on every denominator: a 0.0 close (present in the raw feed)
+    // must yield NULL as in the DuckDB oracle, not an ANSI divide error.
     val withBase = bars
-      .withColumn("daily_return_pct", col("close") / prev - lit(1.0))
+      .withColumn("daily_return_pct", col("close") / nullif(prev, lit(0.0)) - lit(1.0))
       .withColumn("daily_return_abs", col("close") - prev)
       .withColumn("cumulative_return",
-        when(row_number().over(byKey) >= 2, col("close") / firstClose - lit(1.0)))
+        when(row_number().over(byKey) >= 2,
+          col("close") / nullif(firstClose, lit(0.0)) - lit(1.0)))
       .withColumn("momentum_mtd",
-        col("close") / first(col("close")).over(monthWin) - lit(1.0))
+        col("close") / nullif(first(col("close")).over(monthWin), lit(0.0)) - lit(1.0))
     horizons.foldLeft(withBase) { (df, h) =>
       df.withColumn(s"momentum_$h",
-        col("close") / lag(col("close"), h).over(byKey) - lit(1.0))
+        col("close") / nullif(lag(col("close"), h).over(byKey), lit(0.0)) - lit(1.0))
     }
   }
 }
