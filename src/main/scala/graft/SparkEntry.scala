@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
-    MarketQueries.queries
+    MarketQueries.queries ++ BreadthQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
@@ -26,7 +26,8 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query key (same column aliases, same
     * rounding, same ORDER BY — the driver hash-compares values).
     */
-  def oracleSql: Map[String, String] = relationalOracles ++ MarketQueries.oracles
+  def oracleSql: Map[String, String] = relationalOracles ++ MarketQueries.oracles ++
+    BreadthQueries.oracles
 
   private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

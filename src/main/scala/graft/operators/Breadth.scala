@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-breadth analytics — Spark re-expression of the reference's
+  * `BreadthAnalyzer` (/root/reference/src/analyzers/breadth_analyzer.py)
+  * plus the breadth-cleaning derivations of `DataCleaner.clean_breadth`
+  * (/root/reference/src/transformers/data_cleaner.py:89): calendar gap
+  * reindex with zero-fill, total_issues, breadth_percent =
+  * (advancers−decliners)/total·100 clipped to ±100, adv_dec_ratio with
+  * zero-decliner days coalesced to 0.
+  *
+  * Scale shape: everything here consumes DAILY BARS (already one
+  * aggregation down from the tick feed), so per-day breadth is a tiny
+  * aggregate — the only shuffle is bars→(date) regroup; the generated
+  * calendar is a handful of rows and broadcast into the gap-fill join.
+  */
+object Breadth {
+
+  /** Per-user-day movement flags: delta vs previous bar, plus strict
+    * new-high/new-low flags over the prior (p−1)-bar window
+    * (breadth_extractor.py:146 normalizes the same adv/dec/unchanged and
+    * high/low counts from the exchange feed; here they are derived from
+    * bars directly).
+    */
+  private def withMoveFlags(bars: DataFrame, p: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val prior = byUser.rowsBetween(-(p - 1), -1)
+    bars
+      .withColumn("__delta", col("close") - lag(col("close"), 1).over(byUser))
+      .withColumn("__prior_max",
+        when(count(col("close")).over(prior) === (p - 1), max(col("close")).over(prior)))
+      .withColumn("__prior_min",
+        when(count(col("close")).over(prior) === (p - 1), min(col("close")).over(prior)))
+      .withColumn("__new_high",
+        (col("close") > col("__prior_max")).cast("int"))
+      .withColumn("__new_low",
+        (col("close") < col("__prior_min")).cast("int"))
+  }
+
+  /** #16 breadth_daily: market breadth per calendar day. Days with no
+    * bars at all (calendar gaps) appear zero-filled with null
+    * breadth_percent, exactly as the reference's date-range reindex.
+    */
+  def breadthDaily(bars: DataFrame, newHighPeriod: Int = 10): DataFrame = {
+    val flagged = withMoveFlags(bars, newHighPeriod)
+    val daily = flagged.groupBy(col("date")).agg(
+      count(when(col("__delta") > 0, 1)).as("advancers"),
+      count(when(col("__delta") < 0, 1)).as("decliners"),
+      count(when(col("__delta") === 0, 1)).as("unchanged"),
+      coalesce(sum(col("__new_high")), lit(0L)).as("new_highs"),
+      coalesce(sum(col("__new_low")), lit(0L)).as("new_lows"))
+    // Calendar spine: one generated row per day between min and max date.
+    // Single-row agg exploded → tiny; Catalyst broadcasts it into the join.
+    val calendar = bars
+      .agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("date"))
+    calendar.join(daily, Seq("date"), "left")
+      .select(
+        col("date"),
+        coalesce(col("advancers"), lit(0L)).as("advancers"),
+        coalesce(col("decliners"), lit(0L)).as("decliners"),
+        coalesce(col("unchanged"), lit(0L)).as("unchanged"),
+        coalesce(col("new_highs"), lit(0L)).as("new_highs"),
+        coalesce(col("new_lows"), lit(0L)).as("new_lows"))
+      .withColumn("total_issues",
+        col("advancers") + col("decliners") + col("unchanged"))
+      .withColumn("breadth_percent",
+        least(greatest(
+          (col("advancers") - col("decliners")) / nullif(col("total_issues"), lit(0L)) * 100,
+          lit(-100.0)), lit(100.0)))
+      .withColumn("adv_dec_ratio",
+        coalesce(col("advancers") / nullif(col("decliners"), lit(0L)), lit(0.0)))
+  }
+
+  /** #17 market_health (breadth_analyzer.py:18): lookback-window mean
+    * breadth, Σadv/Σdec, Σnew_highs/Σnew_lows, bullish/bearish trend and
+    * |health−50|/50 confidence. One output row.
+    */
+  def marketHealth(breadth: DataFrame, lookback: Int = 20): DataFrame = {
+    val recent = breadth.orderBy(col("date").desc).limit(lookback)
+    recent.agg(
+      avg(col("breadth_percent")).as("health_score"),
+      (sum(col("advancers")) / nullif(sum(col("decliners")), lit(0L))).as("adv_dec_ratio"),
+      when(sum(col("new_lows")) > 0,
+        sum(col("new_highs")) / sum(col("new_lows"))).as("new_high_low_ratio"))
+      .withColumn("trend",
+        when(col("health_score") >= 50, "bullish").otherwise("bearish"))
+      .withColumn("confidence",
+        least(lit(1.0), abs(col("health_score") - 50) / 50))
+  }
+
+  /** #18 market_regime (breadth_analyzer.py:48): banded classification of
+    * breadth_percent, emitted for every day with breadth data (the
+    * whole-history generalization of the reference's latest-row lookup).
+    */
+  def marketRegime(breadth: DataFrame): DataFrame =
+    breadth
+      .filter(col("breadth_percent").isNotNull)
+      .select(col("date"), col("breadth_percent"))
+      .withColumn("regime",
+        when(col("breadth_percent") >= 70, "strong bullish")
+          .when(col("breadth_percent") >= 50, "bullish")
+          .when(col("breadth_percent") >= 40, "neutral")
+          .when(col("breadth_percent") >= 20, "bearish")
+          .otherwise("strong bearish"))
+
+  /** #19 market_summary (breadth_analyzer.py:116): latest-day breadth
+    * numbers, market volume vs its trailing-20 mean (min 5 days), and the
+    * 0–100 clipped sentiment 50 + (breadth−50)/2. One output row.
+    */
+  def marketSummary(breadth: DataFrame, bars: DataFrame): DataFrame = {
+    val byDay = Window.orderBy(col("date"))
+    val volWin = byDay.rowsBetween(-19, 0)
+    // Market-level per-day volume: tiny (one row per day) — the global
+    // (unpartitioned) window runs over day grain, never tick grain.
+    val mktVol = bars.groupBy(col("date")).agg(sum(col("volume")).as("mkt_volume"))
+      .withColumn("vol_avg_20",
+        when(count(col("mkt_volume")).over(volWin) >= 5, avg(col("mkt_volume")).over(volWin)))
+    val latestVol = mktVol.orderBy(col("date").desc).limit(1)
+      .select(col("date"),
+        when(col("vol_avg_20") > 0, col("mkt_volume") / col("vol_avg_20"))
+          .as("volume_vs_avg"))
+    val latestBreadth = breadth.orderBy(col("date").desc).limit(1)
+      .select(col("date"), col("advancers"), col("decliners"), col("breadth_percent"))
+    latestBreadth.join(latestVol, Seq("date"))
+      .withColumn("market_sentiment",
+        least(greatest(lit(50.0) + (col("breadth_percent") - 50) / 2, lit(0.0)), lit(100.0)))
+  }
+
+  /** #20 top_movers: top-k gainers and losers by last-day return per user
+    * (the reference's market summary top gainers/losers, computed from
+    * returns rather than raw price level).
+    */
+  def topMovers(bars: DataFrame, k: Int = 5): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val lastBar = bars
+      .withColumn("__prev", lag(col("close"), 1).over(byUser))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("date").desc)))
+      .filter(col("__rn") === 1 && col("__prev").isNotNull)
+      .withColumn("return_pct", (col("close") / nullif(col("__prev"), lit(0.0)) - 1) * 100)
+      .filter(col("return_pct").isNotNull)
+    val gainers = lastBar
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("return_pct").desc, col("user_id"))))
+      .filter(col("rk") <= k)
+      .withColumn("side", lit("gainer"))
+    val losers = lastBar
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("return_pct").asc, col("user_id"))))
+      .filter(col("rk") <= k)
+      .withColumn("side", lit("loser"))
+    gainers.unionByName(losers)
+      .select(col("side"), col("rk"), col("user_id"), col("date"),
+        col("close"), col("return_pct"))
+  }
+
+  /** #21 sector_performance (breadth_analyzer.py:73 find_leading_sectors):
+    * event_type plays the sector role; per-sector index = mean value per
+    * day; change_pct over the sector's last two trading days; ranked
+    * descending, top 10.
+    */
+  def sectorPerformance(cleanEvents: DataFrame, topN: Int = 10): DataFrame = {
+    val sectorDay = cleanEvents.groupBy(col("event_type"), col("date"))
+      .agg(avg(col("value")).as("sector_value"), count(lit(1)).as("volume"))
+    val bySector = Window.partitionBy(col("event_type")).orderBy(col("date").desc)
+    val lastTwo = sectorDay
+      .withColumn("__rn", row_number().over(bySector))
+      .filter(col("__rn") <= 2)
+    val pivoted = lastTwo.groupBy(col("event_type")).agg(
+      max(when(col("__rn") === 1, col("sector_value"))).as("last_value"),
+      max(when(col("__rn") === 2, col("sector_value"))).as("prev_value"),
+      max(when(col("__rn") === 1, col("volume"))).as("volume"))
+    pivoted
+      .withColumn("change_pct",
+        (col("last_value") / nullif(col("prev_value"), lit(0.0)) - 1) * 100)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("change_pct").desc, col("event_type"))))
+      .filter(col("rk") <= topN)
+      .select(col("rk"), col("event_type").as("sector"), col("change_pct"),
+        col("volume"))
+  }
+}

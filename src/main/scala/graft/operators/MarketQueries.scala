@@ -85,8 +85,8 @@ object MarketQueries {
     }),
   )
 
-  /** Shared oracle CTE: clean (dedupe keep-last) + daily bars. */
-  val BarsCte: String =
+  /** Shared oracle CTE: clean (dedupe keep-last) alone. */
+  val CleanCte: String =
     """WITH clean AS (
       |  SELECT event_id, ts, user_id, event_type, value, props,
       |         CAST(ts AS DATE) AS date
@@ -94,7 +94,11 @@ object MarketQueries {
       |                                     ORDER BY event_id DESC) AS rn
       |        FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
       |        WHERE ts IS NOT NULL)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle CTE: clean (dedupe keep-last) + daily bars. */
+  val BarsCte: String =
+    s"""$CleanCte,
       |bars AS (
       |  SELECT user_id, CAST(ts AS DATE) AS date,
       |    arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
