@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
-    MarketQueries.queries ++ BreadthQueries.queries
+    MarketQueries.queries ++ BreadthQueries.queries ++ ScreenerQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
@@ -27,7 +27,7 @@ object SparkEntry {
     * rounding, same ORDER BY — the driver hash-compares values).
     */
   def oracleSql: Map[String, String] = relationalOracles ++ MarketQueries.oracles ++
-    BreadthQueries.oracles
+    BreadthQueries.oracles ++ ScreenerQueries.oracles
 
   private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
