@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
-    MarketQueries.queries ++ BreadthQueries.queries ++ ScreenerQueries.queries
+    MarketQueries.queries ++ BreadthQueries.queries ++ ScreenerQueries.queries ++
+    AnalyticsQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
@@ -27,7 +28,7 @@ object SparkEntry {
     * rounding, same ORDER BY — the driver hash-compares values).
     */
   def oracleSql: Map[String, String] = relationalOracles ++ MarketQueries.oracles ++
-    BreadthQueries.oracles ++ ScreenerQueries.oracles
+    BreadthQueries.oracles ++ ScreenerQueries.oracles ++ AnalyticsQueries.oracles
 
   private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

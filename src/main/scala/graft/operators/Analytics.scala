@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-series analytics: pairwise correlation, z-score anomalies,
+  * sessionization and funnels.
+  *
+  * Correlation matches `BreadthAnalyzer.calculate_correlation`
+  * (/root/reference/src/analyzers/breadth_analyzer.py:92 — inner-join two
+  * series on time, Pearson corr), generalized from one pair to all pairs
+  * of the top-active universe. Anomaly and correlation also complete the
+  * reference's EMPTY stubs (`analyzers/anomaly_detector.py`,
+  * `analyzers/correlation_analyzer.py` — 0 lines) as z-score outliers
+  * and a correlation matrix, per SURVEY §2 #28–29.
+  *
+  * Scale shape: the pair join is restricted to a top-K universe first
+  * (K² pairs of day-grain series, never the full symbol cross product);
+  * sessionize is one window over (user, ts) — single shuffle; the funnel
+  * is three filtered aggregations co-partitioned on user_id.
+  */
+object Analytics {
+
+  private val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  /** #28 correlation_pairs: Pearson correlation of daily returns for
+    * every unordered pair of the top-K most active users (by total bar
+    * volume). Inner join on date mirrors the reference's merge-on-time.
+    */
+  def correlationPairs(bars: DataFrame, topK: Int = 10, minDays: Int = 5): DataFrame = {
+    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val returns = bars
+      .withColumn("ret",
+        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
+      .filter(col("ret").isNotNull)
+      .select(col("user_id"), col("date"), col("ret"))
+    val topUsers = bars.groupBy(col("user_id"))
+      .agg(sum(col("volume")).as("total_volume"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("total_volume").desc, col("user_id"))))
+      .filter(col("rk") <= topK)
+      .select(col("user_id"))
+    // Top-K universe is tiny — broadcast it into the returns filter, then
+    // self-join day-grain series (K² pairs max, never full cross product).
+    val active = returns.join(broadcast(topUsers), Seq("user_id"))
+    val a = active.select(col("user_id").as("u1"), col("date"), col("ret").as("ret1"))
+    val b = active.select(col("user_id").as("u2"), col("date"), col("ret").as("ret2"))
+    a.join(b, Seq("date"))
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(corr(col("ret1"), col("ret2")).as("correlation"),
+        count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= minDays)
+  }
+
+  /** #29 anomaly_zscore (completes the reference's empty
+    * anomaly_detector.py): per-user z-score of the tick value against the
+    * user's full-history mean/stddev; |z| above the threshold is an
+    * anomaly.
+    */
+  def anomalyZscore(cleanEvents: DataFrame, threshold: Double = 2.5): DataFrame = {
+    val stats = cleanEvents.groupBy(col("user_id")).agg(
+      avg(col("value")).as("__mean"),
+      stddev_samp(col("value")).as("__std"))
+    cleanEvents.join(stats, Seq("user_id"))
+      .withColumn("zscore", (col("value") - col("__mean")) / nullif(col("__std"), lit(0.0)))
+      .filter(abs(col("zscore")) > threshold)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("zscore"))
+  }
+
+  /** #30 sessionize: 30-minute-gap sessions per user (batch twin of
+    * streaming.Sessionize). One window pass: flag gap starts, running-sum
+    * the flags into session ids, aggregate per session.
+    */
+  def sessionize(cleanEvents: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val withFlag = cleanEvents
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__prev_us", lag(col("__us"), 1).over(byUser))
+      .withColumn("__new_session",
+        (col("__prev_us").isNull || (col("__us") - col("__prev_us")) > gapUs).cast("long"))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withFlag.groupBy(col("user_id"), col("session_id")).agg(
+      min(col("ts")).as("session_start"),
+      max(col("ts")).as("session_end"),
+      count(lit(1)).as("n_events"),
+      ((max(col("__us")) - min(col("__us"))) / lit(1000000.0)).as("duration_sec"))
+  }
+
+  /** #31 event_funnel: ordered view→click→purchase conversion per user —
+    * first view, first click strictly after it, first purchase strictly
+    * after that. stage = furthest step reached. Three filtered
+    * aggregations joined on user_id (co-partitioned single-key shuffles).
+    */
+  def eventFunnel(cleanEvents: DataFrame): DataFrame = {
+    val v = cleanEvents.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = cleanEvents.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = cleanEvents.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .otherwise(1))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-contract wrappers + DuckDB oracles for the analytics suite
+  * (SURVEY §2 #28–31).
+  */
+object AnalyticsQueries {
+
+  private def clean(s: SparkSession, d: String): DataFrame =
+    Cleaning.cleanEvents(Tables.events(s, d))
+
+  private def bars(s: SparkSession, d: String): DataFrame =
+    Bars.daily(clean(s, d))
+
+  private def roundCols(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame =
+    cols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), scale)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "correlation_pairs" -> ((s, d) =>
+      roundCols(Analytics.correlationPairs(bars(s, d)), Seq("correlation"))
+        .orderBy(col("u1"), col("u2"))),
+
+    "anomaly_zscore" -> ((s, d) =>
+      roundCols(Analytics.anomalyZscore(clean(s, d)), Seq("zscore"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    "sessionize" -> ((s, d) =>
+      roundCols(Analytics.sessionize(clean(s, d)), Seq("duration_sec"))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    "event_funnel" -> ((s, d) =>
+      Analytics.eventFunnel(clean(s, d))
+        .orderBy(col("user_id"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "correlation_pairs" ->
+      s"""${MarketQueries.BarsCte},
+         |ret AS (
+         |  SELECT user_id, date,
+         |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY date), 0.0) - 1 AS ret
+         |  FROM bars),
+         |retn AS (SELECT * FROM ret WHERE ret IS NOT NULL),
+         |topu AS (
+         |  SELECT user_id FROM (
+         |    SELECT user_id,
+         |      row_number() OVER (ORDER BY sum(volume) DESC, user_id) AS rk
+         |    FROM bars GROUP BY user_id) t
+         |  WHERE rk <= 10),
+         |active AS (SELECT r.* FROM retn r JOIN topu USING (user_id))
+         |SELECT a.user_id AS u1, b.user_id AS u2,
+         |  round(corr(a.ret, b.ret), 6) AS correlation,
+         |  count(*) AS n_days
+         |FROM active a JOIN active b ON a.date = b.date AND a.user_id < b.user_id
+         |GROUP BY a.user_id, b.user_id
+         |HAVING count(*) >= 5
+         |ORDER BY u1, u2""".stripMargin,
+
+    "anomaly_zscore" ->
+      s"""${MarketQueries.CleanCte},
+         |st AS (
+         |  SELECT user_id, avg(value) AS m, stddev_samp(value) AS sd
+         |  FROM clean GROUP BY user_id)
+         |SELECT c.user_id, c.event_id, c.ts, c.value,
+         |  round((c.value - st.m) / nullif(st.sd, 0.0), 6) AS zscore
+         |FROM clean c JOIN st ON c.user_id = st.user_id
+         |WHERE abs((c.value - st.m) / nullif(st.sd, 0.0)) > 2.5
+         |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "sessionize" ->
+      s"""${MarketQueries.CleanCte},
+         |f AS (
+         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER w AS prev_us
+         |  FROM clean
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (
+         |  SELECT *,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM f),
+         |h AS (
+         |  SELECT *,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events,
+         |  round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
+         |FROM h GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "event_funnel" ->
+      s"""${MarketQueries.CleanCte},
+         |v AS (SELECT user_id, min(ts) AS t_view FROM clean
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS t_click
+         |      FROM clean e JOIN v USING (user_id)
+         |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+         |      FROM clean e JOIN c USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         |      GROUP BY e.user_id)
+         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+         |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+         |       WHEN c.t_click IS NOT NULL THEN 2
+         |       ELSE 1 END AS stage
+         |FROM v
+         |LEFT JOIN c ON v.user_id = c.user_id
+         |LEFT JOIN p ON v.user_id = p.user_id
+         |ORDER BY v.user_id""".stripMargin,
+  )
+}
