@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
     MarketQueries.queries ++ BreadthQueries.queries ++ ScreenerQueries.queries ++
-    AnalyticsQueries.queries
+    AnalyticsQueries.queries ++ FundamentalsQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
@@ -28,7 +28,8 @@ object SparkEntry {
     * rounding, same ORDER BY — the driver hash-compares values).
     */
   def oracleSql: Map[String, String] = relationalOracles ++ MarketQueries.oracles ++
-    BreadthQueries.oracles ++ ScreenerQueries.oracles ++ AnalyticsQueries.oracles
+    BreadthQueries.oracles ++ ScreenerQueries.oracles ++ AnalyticsQueries.oracles ++
+    FundamentalsQueries.oracles
 
   private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

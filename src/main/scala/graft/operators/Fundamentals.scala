@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fundamental analysis — Spark re-expression of the reference's
+  * `FundamentalAnalyzer` (/root/reference/src/analyzers/fundamental_analyzer.py)
+  * on the TPC-H mapping: customers play companies, per-quarter order
+  * revenue plays the financial-statement series, c_mktsegment plays the
+  * sector, c_acctbal plays the balance-sheet position.
+  *
+  * Scale shape: the quarterly series is one groupBy on (custkey,
+  * quarter); per-customer metrics are windows over that small series;
+  * sector statistics are a per-segment aggregate broadcast back onto
+  * customers. The only fact-scale shuffle is the initial revenue rollup.
+  */
+object Fundamentals {
+
+  private val byCustQ = Window.partitionBy(col("custkey")).orderBy(col("quarter"))
+  private val byCustQDesc = Window.partitionBy(col("custkey")).orderBy(col("quarter").desc)
+
+  /** #32 fund_quarterly_revenue: per-customer quarterly revenue from the
+    * order book (lineitem net revenue), with quarter-over-quarter growth
+    * (fundamental_extractor's period series + clean_financial's
+    * period sort, re-expressed as one aggregation + one window).
+    */
+  def quarterlyRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val qrev = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"),
+        date_trunc("quarter", col("o_orderdate")).as("quarter"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+    qrev.withColumn("growth",
+      col("revenue") / nullif(lag(col("revenue"), 1).over(byCustQ), lit(0.0)) - 1)
+  }
+
+  /** Orders-grain quarterly revenue (o_totalprice) — the statement series
+    * for scoring/red-flag/DCF operators.
+    */
+  def quarterlySeries(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey").as("custkey"),
+      date_trunc("quarter", col("o_orderdate")).as("quarter"))
+      .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** Per-customer rollup + segment membership (the "company profile"). */
+  def customerProfile(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey").as("custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"))
+      .agg(sum(col("o_totalprice")).as("total_rev"),
+        avg(col("o_totalprice")).as("avg_order"),
+        count(lit(1)).as("n_orders"))
+
+  /** #33 fund_score (fundamental_analyzer.py:46 score_fundamentals):
+    * five binary checks — latest-quarter growth > 10%, positive balance,
+    * above-segment average order value, above-segment total revenue,
+    * order-count stability — summed into a score with a buy/hold
+    * recommendation at ≥4.
+    */
+  def score(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val series = quarterlySeries(orders)
+      .withColumn("growth",
+        col("revenue") / nullif(lag(col("revenue"), 1).over(byCustQ), lit(0.0)) - 1)
+      .withColumn("__rn", row_number().over(byCustQDesc))
+    val lastGrowth = series.filter(col("__rn") === 1)
+      .select(col("custkey"), col("growth").as("last_growth"))
+    val profile = customerProfile(customer, orders)
+    val segAvg = profile.groupBy(col("c_mktsegment")).agg(
+      avg(col("total_rev")).as("seg_rev"),
+      avg(col("avg_order")).as("seg_avg_order"))
+    profile
+      .join(broadcast(segAvg), Seq("c_mktsegment"))
+      .join(lastGrowth, Seq("custkey"), "left")
+      .withColumn("f_growth", (col("last_growth") > 0.1).cast("int"))
+      .withColumn("f_balance", (col("c_acctbal") > 0).cast("int"))
+      .withColumn("f_avg_order", (col("avg_order") > col("seg_avg_order")).cast("int"))
+      .withColumn("f_scale", (col("total_rev") > col("seg_rev")).cast("int"))
+      .withColumn("f_activity", (col("n_orders") >= 5).cast("int"))
+      .select(col("custkey"), col("c_name"), col("c_mktsegment"),
+        coalesce(col("f_growth"), lit(0)).as("f_growth"),
+        col("f_balance"), col("f_avg_order"), col("f_scale"), col("f_activity"))
+      .withColumn("score",
+        col("f_growth") + col("f_balance") + col("f_avg_order") +
+          col("f_scale") + col("f_activity"))
+      .withColumn("recommendation",
+        when(col("score") >= 4, "buy").otherwise("hold"))
+  }
+
+  /** #34 fund_red_flags (fundamental_analyzer.py:77 check_red_flags):
+    * strict revenue decline over the last 3 quarters, negative balance,
+    * and ≥3 negative-growth quarters among the last 5. Customers with at
+    * least one flag.
+    */
+  def redFlags(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val series = quarterlySeries(orders)
+      .withColumn("growth",
+        col("revenue") / nullif(lag(col("revenue"), 1).over(byCustQ), lit(0.0)) - 1)
+      .withColumn("__rn", row_number().over(byCustQDesc))
+    val recent = series.filter(col("__rn") <= 5)
+      .groupBy(col("custkey"))
+      .agg(
+        max(when(col("__rn") === 1, col("revenue"))).as("r1"),
+        max(when(col("__rn") === 2, col("revenue"))).as("r2"),
+        max(when(col("__rn") === 3, col("revenue"))).as("r3"),
+        count(when(col("growth") < 0, 1)).as("neg_quarters"))
+    customer
+      .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      .join(recent, Seq("custkey"))
+      // coalesce: under-3-quarter customers yield a null comparison in
+      // Spark where SQL CASE yields 0 — normalize to 0 on both sides.
+      .withColumn("flag_revenue_decline",
+        coalesce((col("r1") < col("r2") && col("r2") < col("r3")).cast("int"), lit(0)))
+      .withColumn("flag_negative_balance", (col("c_acctbal") < 0).cast("int"))
+      .withColumn("flag_negative_growth", (col("neg_quarters") >= 3).cast("int"))
+      .withColumn("n_flags",
+        col("flag_revenue_decline") +
+          col("flag_negative_balance") + col("flag_negative_growth"))
+      .filter(col("n_flags") > 0)
+      .select(col("custkey"), col("flag_revenue_decline"),
+        col("flag_negative_balance"), col("flag_negative_growth"), col("n_flags"))
+  }
+
+  /** #35 fund_sector_compare (fundamental_analyzer.py:90
+    * compare_with_sector): customer metrics vs segment median, relative
+    * position in percent.
+    */
+  def sectorCompare(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val profile = customerProfile(customer, orders)
+    val segMed = profile.groupBy(col("c_mktsegment")).agg(
+      expr("percentile(total_rev, 0.5)").as("med_rev"),
+      expr("percentile(avg_order, 0.5)").as("med_avg_order"))
+    profile.join(broadcast(segMed), Seq("c_mktsegment"))
+      .withColumn("rel_rev",
+        (col("total_rev") - col("med_rev")) / nullif(col("med_rev"), lit(0.0)) * 100)
+      .withColumn("rel_avg_order",
+        (col("avg_order") - col("med_avg_order")) / nullif(col("med_avg_order"), lit(0.0)) * 100)
+      .select(col("custkey"), col("c_mktsegment"), col("total_rev"),
+        col("n_orders"), col("rel_rev"), col("avg_order"), col("rel_avg_order"))
+  }
+
+  /** #36 fund_fair_value_dcf (fundamental_analyzer.py:17
+    * calculate_fair_value): PV of the quarterly revenue series at a 10%
+    * discount rate (term i discounted by 1.1^i, i = 1-based chronological
+    * position, exactly the reference's (i+1) exponent over enumerate),
+    * price proxied by the latest quarter, delta = (fv − price)/price.
+    */
+  def fairValueDcf(orders: DataFrame, discountRate: Double = 0.1): DataFrame = {
+    val series = quarterlySeries(orders)
+      .withColumn("__i", row_number().over(byCustQ))
+      .withColumn("__rd", row_number().over(byCustQDesc))
+    val fv = series.groupBy(col("custkey"))
+      .agg(sum(col("revenue") / pow(lit(1.0 + discountRate), col("__i"))).as("fair_value"))
+    val price = series.filter(col("__rd") === 1)
+      .select(col("custkey"), col("revenue").as("price"))
+    fv.join(price, Seq("custkey"))
+      .withColumn("delta",
+        (col("fair_value") - col("price")) / nullif(col("price"), lit(0.0)))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-contract wrappers + DuckDB oracles for the fundamentals suite
+  * (SURVEY §2 #32–36).
+  */
+object FundamentalsQueries {
+
+  private def roundCols(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame =
+    cols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), scale)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fund_quarterly_revenue" -> ((s, d) => {
+      val df = Fundamentals.quarterlyRevenue(Tables.orders(s, d), Tables.lineitem(s, d))
+      df.withColumn("revenue", round(col("revenue"), 4))
+        .withColumn("growth", round(col("growth"), 6))
+        .orderBy(col("custkey"), col("quarter"))
+    }),
+
+    "fund_score" -> ((s, d) =>
+      Fundamentals.score(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("custkey"))),
+
+    "fund_red_flags" -> ((s, d) =>
+      Fundamentals.redFlags(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("custkey"))),
+
+    "fund_sector_compare" -> ((s, d) =>
+      roundCols(
+        Fundamentals.sectorCompare(Tables.customer(s, d), Tables.orders(s, d)),
+        Seq("rel_rev", "rel_avg_order"))
+        .withColumn("total_rev", round(col("total_rev"), 4))
+        // Output avg as round4(total)/n: bit-identical across engines,
+        // unlike round(avg(x), 4) whose last-bit sum-order noise can land
+        // either side of a rounding half.
+        .withColumn("avg_order", round(col("total_rev") / col("n_orders"), 6))
+        .drop("n_orders")
+        .orderBy(col("custkey"))),
+
+    "fund_fair_value_dcf" -> ((s, d) => {
+      val df = Fundamentals.fairValueDcf(Tables.orders(s, d))
+      df.withColumn("fair_value", round(col("fair_value"), 4))
+        .withColumn("price", round(col("price"), 4))
+        .withColumn("delta", round(col("delta"), 6))
+        .orderBy(col("custkey"))
+    }),
+  )
+
+  /** Orders-grain quarterly revenue series, shared by #33/#34/#36. */
+  private val QrevCte: String =
+    """WITH qrev AS (
+      |  SELECT o_custkey AS custkey,
+      |    date_trunc('quarter', o_orderdate) AS quarter,
+      |    sum(o_totalprice) AS revenue,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |qg AS (
+      |  SELECT custkey, quarter, revenue, n_orders,
+      |    revenue / nullif(lag(revenue) OVER wq, 0.0) - 1 AS growth,
+      |    row_number() OVER (PARTITION BY custkey ORDER BY quarter DESC) AS rnd,
+      |    row_number() OVER wq AS rna
+      |  FROM qrev
+      |  WINDOW wq AS (PARTITION BY custkey ORDER BY quarter))""".stripMargin
+
+  /** Per-customer profile rollup, shared by #33/#35. */
+  private val ProfileCte: String =
+    """prof AS (
+      |  SELECT c_custkey AS custkey, c_name, c_mktsegment, c_acctbal,
+      |    sum(o_totalprice) AS total_rev,
+      |    avg(o_totalprice) AS avg_order,
+      |    count(*) AS n_orders
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "fund_quarterly_revenue" ->
+      """WITH q AS (
+        |  SELECT o_custkey AS custkey,
+        |    date_trunc('quarter', o_orderdate) AS quarter,
+        |    sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT custkey, quarter, round(revenue, 4) AS revenue, n_items,
+        |  round(revenue / nullif(lag(revenue) OVER (PARTITION BY custkey ORDER BY quarter), 0.0) - 1, 6) AS growth
+        |FROM q ORDER BY custkey, quarter""".stripMargin,
+
+    "fund_score" ->
+      s"""$QrevCte,
+         |lastg AS (SELECT custkey, growth AS last_growth FROM qg WHERE rnd = 1),
+         |$ProfileCte,
+         |seg AS (
+         |  SELECT c_mktsegment, avg(total_rev) AS seg_rev,
+         |    avg(avg_order) AS seg_avg_order
+         |  FROM prof GROUP BY 1),
+         |f AS (
+         |  SELECT p.custkey, p.c_name, p.c_mktsegment,
+         |    coalesce(CASE WHEN lg.last_growth > 0.1 THEN 1 ELSE 0 END, 0) AS f_growth,
+         |    CASE WHEN p.c_acctbal > 0 THEN 1 ELSE 0 END AS f_balance,
+         |    CASE WHEN p.avg_order > s.seg_avg_order THEN 1 ELSE 0 END AS f_avg_order,
+         |    CASE WHEN p.total_rev > s.seg_rev THEN 1 ELSE 0 END AS f_scale,
+         |    CASE WHEN p.n_orders >= 5 THEN 1 ELSE 0 END AS f_activity
+         |  FROM prof p
+         |  JOIN seg s ON p.c_mktsegment = s.c_mktsegment
+         |  LEFT JOIN lastg lg ON p.custkey = lg.custkey)
+         |SELECT custkey, c_name, c_mktsegment,
+         |  f_growth, f_balance, f_avg_order, f_scale, f_activity,
+         |  f_growth + f_balance + f_avg_order + f_scale + f_activity AS score,
+         |  CASE WHEN f_growth + f_balance + f_avg_order + f_scale + f_activity >= 4
+         |    THEN 'buy' ELSE 'hold' END AS recommendation
+         |FROM f ORDER BY custkey""".stripMargin,
+
+    "fund_red_flags" ->
+      s"""$QrevCte,
+         |recent AS (
+         |  SELECT custkey,
+         |    max(CASE WHEN rnd = 1 THEN revenue END) AS r1,
+         |    max(CASE WHEN rnd = 2 THEN revenue END) AS r2,
+         |    max(CASE WHEN rnd = 3 THEN revenue END) AS r3,
+         |    count(CASE WHEN growth < 0 THEN 1 END) AS neg_quarters
+         |  FROM qg WHERE rnd <= 5 GROUP BY custkey),
+         |fl AS (
+         |  SELECT c.c_custkey AS custkey,
+         |    coalesce(CASE WHEN r1 < r2 AND r2 < r3 THEN 1 ELSE 0 END, 0) AS flag_revenue_decline,
+         |    CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END AS flag_negative_balance,
+         |    CASE WHEN neg_quarters >= 3 THEN 1 ELSE 0 END AS flag_negative_growth
+         |  FROM customer c JOIN recent r ON c.c_custkey = r.custkey)
+         |SELECT custkey, flag_revenue_decline, flag_negative_balance,
+         |  flag_negative_growth,
+         |  flag_revenue_decline + flag_negative_balance + flag_negative_growth AS n_flags
+         |FROM fl
+         |WHERE flag_revenue_decline + flag_negative_balance + flag_negative_growth > 0
+         |ORDER BY custkey""".stripMargin,
+
+    "fund_sector_compare" ->
+      s"""$QrevCte,
+         |$ProfileCte,
+         |seg AS (
+         |  SELECT c_mktsegment,
+         |    quantile_cont(total_rev, 0.5) AS med_rev,
+         |    quantile_cont(avg_order, 0.5) AS med_avg_order
+         |  FROM prof GROUP BY 1)
+         |SELECT p.custkey, p.c_mktsegment,
+         |  round(p.total_rev, 4) AS total_rev,
+         |  round((p.total_rev - s.med_rev) / nullif(s.med_rev, 0.0) * 100, 6) AS rel_rev,
+         |  round(round(p.total_rev, 4) / p.n_orders, 6) AS avg_order,
+         |  round((p.avg_order - s.med_avg_order) / nullif(s.med_avg_order, 0.0) * 100, 6) AS rel_avg_order
+         |FROM prof p JOIN seg s ON p.c_mktsegment = s.c_mktsegment
+         |ORDER BY p.custkey""".stripMargin,
+
+    "fund_fair_value_dcf" ->
+      s"""$QrevCte,
+         |fv AS (
+         |  SELECT custkey, sum(revenue / power(1.1, rna)) AS fair_value
+         |  FROM qg GROUP BY custkey),
+         |pr AS (SELECT custkey, revenue AS price FROM qg WHERE rnd = 1)
+         |SELECT fv.custkey,
+         |  round(fair_value, 4) AS fair_value,
+         |  round(price, 4) AS price,
+         |  round((fair_value - price) / nullif(price, 0.0), 6) AS delta
+         |FROM fv JOIN pr ON fv.custkey = pr.custkey
+         |ORDER BY fv.custkey""".stripMargin,
+  )
+}
