@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-contract wrappers + DuckDB oracles for the LLM-training-data
+  * ops (SURVEY §2 #37–47). The seeded-hash operators (minhash, simhash,
+  * hyperplane LSH) are rows-only: xxhash64 seeding is engine-specific,
+  * so their correctness gate is the ScalaTest fixture suite instead of
+  * a cross-engine hash compare (SURVEY §6).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy(col("canonical_id"))),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d))
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id1"), col("id2"))),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d)).orderBy(col("id1"), col("id2"))),
+
+    "ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(docs(s, d))
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id1"), col("id2"))),
+
+    "embed_near_dup" -> ((s, d) =>
+      Similarity.nearDupPairs(emb(s, d))
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+        .orderBy(col("id1"), col("id2"))),
+
+    "ann_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
+
+    "ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
+
+    "lang_id" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, d) => {
+      val df = TextAnalysis.textQuality(docs(s, d))
+      Seq("avg_word_len", "punct_ratio", "upper_ratio", "stop_ratio")
+        .foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), 6)))
+        .orderBy(col("doc_id"))
+    }),
+
+    "token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(docs(s, d)).orderBy(col("doc_id"))),
+
+    "doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.docFingerprint(docs(s, d)).orderBy(col("doc_id"))),
+  )
+
+  /** Shared vector CTE: double-widened embeddings with L2 norms, and the
+    * left-fold dot product both engines evaluate in identical order.
+    */
+  private val VecCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+      |      (s, x) -> s + x)) AS nrm
+      |  FROM e)""".stripMargin
+
+  private val EnStops = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash,
+        |  min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies,
+        |  min(length(text)) AS n_chars
+        |FROM documents GROUP BY sha256(text)
+        |ORDER BY canonical_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_distinct(list_transform(range(len(toks) - 1),
+        |        i -> toks[i+1] || ' ' || toks[i+2]))
+        |      ELSE [] END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_common,
+        |    len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM d a JOIN d b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, n_common,
+        |  la + lb - n_common AS n_union,
+        |  round(CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0), 6) AS jaccard
+        |FROM p
+        |WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.05
+        |ORDER BY id1, id2""".stripMargin,
+
+    "embed_near_dup" ->
+      s"""$VecCte,
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |p AS (
+         |  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+         |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]),
+         |      (s, x) -> s + x) / (a.nrm * b.nrm) AS cos_sim
+         |  FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, id1, id2, round(cos_sim, 6) AS cos_sim
+         |FROM p WHERE cos_sim >= 0.4
+         |ORDER BY id1, id2""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""$VecCte,
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |      FROM nz WHERE vec_id < 10),
+         |j AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, c.label,
+         |    round(list_reduce(list_transform(range(len(qv)), i -> qv[i+1] * c.v[i+1]),
+         |      (s, x) -> s + x) / (qn * c.nrm), 6) AS cos_sim
+         |  FROM q JOIN nz c ON c.vec_id <> query_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM j)
+         |SELECT query_id, rk, neighbor_id, label, cos_sim
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    string_split_regex(lower(text), '[^a-z]+') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, labeled_lang,
+         |    len(list_filter(toks, w -> list_contains(['der', 'die', 'das', 'und', 'ist', 'ein', 'mit', 'von'], w))) AS de_hits,
+         |    len(list_filter(toks, w -> list_contains([$EnStops], w))) AS en_hits,
+         |    len(list_filter(toks, w -> list_contains(['el', 'la', 'de', 'y', 'en', 'es', 'un', 'que'], w))) AS es_hits,
+         |    len(list_filter(toks, w -> list_contains(['le', 'la', 'de', 'et', 'un', 'est', 'que', 'dans'], w))) AS fr_hits
+         |  FROM t)
+         |SELECT doc_id, labeled_lang, de_hits, en_hits, es_hits, fr_hits,
+         |  CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |       WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN es_hits >= fr_hits THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    len(string_split_regex(text, '\\s+')) AS n_words,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |      w -> list_contains([$EnStops], w))) AS n_stops
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_chars, n_words,
+         |    CAST(n_nonspace AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0) AS avg_word_len,
+         |    CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0) AS punct_ratio,
+         |    CAST(n_upper AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0) AS upper_ratio,
+         |    CAST(n_stops AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0) AS stop_ratio
+         |  FROM b)
+         |SELECT doc_id, n_chars, n_words,
+         |  round(avg_word_len, 6) AS avg_word_len,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(upper_ratio, 6) AS upper_ratio,
+         |  round(stop_ratio, 6) AS stop_ratio,
+         |  round(least(1.0, CAST(n_words AS DOUBLE) / 50) * 0.4
+         |    + (1.0 - punct_ratio) * 0.3
+         |    + least(1.0, stop_ratio * 5) * 0.3, 6) AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  list_reduce(list_transform(toks, w -> CAST(length(w) * 131 + ascii(w) AS BIGINT)),
+        |    (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin,
+  )
+}

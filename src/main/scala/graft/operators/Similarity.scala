@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY §2 #41–43): near-duplicate pair
+  * mining, brute-force cosine top-k, and random-hyperplane-LSH ANN.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * over the corpus scan — one pass, no shuffle of the corpus. The
+  * near-dup pair path never runs all-pairs: it joins within coarse
+  * buckets (the label column plays the IVF coarse-quantizer role; at
+  * real scale that's a k-means assignment computed the same way). The
+  * LSH path buckets both sides on a signature key. All dot products are
+  * Catalyst `aggregate`/`zip_with` folds over the vector arrays — left
+  * folds with a 0.0 seed, so results are bitwise-reproducible.
+  */
+object Similarity {
+
+  /** Vector as double array (float→double widening is exact). */
+  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential left-fold dot product — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Corpus with precomputed double vector + norm (computed once, reused
+    * by every pair the row participates in).
+    */
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("v", vd(col("embedding")))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0)
+
+  /** #41 embed_near_dup: cosine ≥ τ pairs within the same coarse bucket
+    * (label). Never all-pairs: the join key is the bucket id.
+    */
+  def nearDupPairs(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
+    val e = withNorm(embeddings)
+    val a = e.select(col("label"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos_sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("label"), col("id1"), col("id2"), col("cos_sim"))
+  }
+
+  /** #42 ann_cosine_topk: brute-force exact top-k per query vector. The
+    * query side (vec_id < nQueries) is broadcast; ranking is per-query
+    * over rounded cosine with id tie-break (deterministic across
+    * engines).
+    */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("label"))
+    broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("label"),
+        col("cos_sim"))
+  }
+
+  /** Random-hyperplane signature: bit p = sign of ⟨v, r_p⟩ where r_p is a
+    * deterministic pseudo-random hyperplane derived from xxhash64(p, i)
+    * mapped to [−1, 1] — reproducible with no RNG state.
+    */
+  def lshSignature(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x * (xxhash64(concat(lit(s"$p#"), i.cast("string"))).cast("double") /
+            lit(9.223372036854776e18))),
+        lit(0.0), (s, x) => s + x)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** #43 ann_lsh_topk: queries probe only their signature bucket; exact
+    * cosine ranks the bucket survivors. Planes=6 ⇒ 64 buckets (sized for
+    * the test corpus; at scale, more planes + multi-probe are parameter
+    * changes, same plan shape).
+    */
+  def lshTopK(embeddings: DataFrame, planes: Int = 6, nQueries: Int = 10,
+              k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings)
+      .withColumn("sig", lshSignature(col("v"), planes))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("sig"))
+    broadcast(queries)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("sig")), Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
+  }
+}
