@@ -18,13 +18,48 @@ import org.apache.spark.sql.functions._
   * - ngram_jaccard: candidates pre-bucketed by (source, lang) metadata.
   * All signature work is Catalyst HOFs (transform/filter/aggregate) over
   * token arrays — codegen'd, no Scala UDFs, parallel across documents.
+  *
+  * Expression hygiene: fan-out derivations (32 minhash perms, 64 simhash
+  * bit counts) read a MATERIALIZED hash-array column, never an inline
+  * tokenize+hash expression — inlining would splice the tokenization into
+  * every derived expression and re-run it Perms/64 times per row. Set
+  * intersections similarly collapse to scalar (n_common, n_total) in one
+  * projection before any filter references them.
   */
 object Dedup {
 
   /** Word tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "[^a-z0-9]+")
 
-  /** Distinct word-bigram shingles ("w1 w2"). Empty for 1-token docs. */
+  /** Distinct word-bigram shingles from a MATERIALIZED token-array
+    * column. `t` must be a column reference, not an inline split(...)
+    * expression: element_at(t, i) inside the lambda evaluates `t` on
+    * every element access, so an inline split would re-tokenize the
+    * document O(n) times (observed 10×+ slowdowns). Empty for 1-token
+    * docs.
+    */
+  def bigramShinglesFromTokens(t: Column): Column =
+    when(size(t) >= 2,
+      array_distinct(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** doc_id + `hs` (hashed shingle set): tokens and shingles materialize
+    * as separate projections so each stage reads the previous stage's
+    * array buffer. Each shingle string is hashed once; all downstream set
+    * algebra (intersections, minhash perms) runs on fixed 8-byte values.
+    */
+  def withHashedShingles(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"), col("lang"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        bigramShinglesFromTokens(col("__toks")).as("__sh"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        transform(col("__sh"), s => xxhash64(s)).as("hs"))
+
+  /** Spec convenience: shingles straight from text (single-expression
+    * path, fine for fixtures).
+    */
   def bigramShingles(text: Column): Column = {
     val t = tokens(text)
     when(size(t) >= 2,
@@ -56,15 +91,30 @@ object Dedup {
   val Bands = 8
   private val RowsPerBand = Perms / Bands
 
-  /** MinHash signature: per permutation i, the minimum salted xxhash64
-    * over the shingle set. Salting (shingle ⧺ "#i") replaces the classic
-    * (a·h+b mod p) permutation family — same independence, no 128-bit
-    * multiply.
+  /** MinHash signature from a (materialized) hashed-shingle column: per
+    * permutation i, min of xxhash64(h+i). Hash-of-long replaces the
+    * classic (a·h+b mod p) permutation family — same independence, no
+    * 128-bit multiply, no per-(shingle, perm) string work. Array-column
+    * form for fixtures/specs; the operator path uses the explode+groupBy
+    * twin below, because higher-order functions evaluate interpreted
+    * (outside whole-stage codegen) and 32 interpreted transforms per row
+    * dominate the runtime.
     */
-  def minhashSignature(shingles: Column): Column =
+  def minhashSignature(hashedShingleCol: Column): Column =
     array((0 until Perms).map { i =>
-      array_min(transform(shingles, s => xxhash64(concat(s, lit(s"#$i")))))
+      array_min(transform(hashedShingleCol, h => xxhash64(h + lit(i.toLong))))
     }: _*)
+
+  /** Signature table (doc_id, mh_0..mh_{Perms−1}) via explode + codegen'd
+    * min aggregates — one shuffle on doc_id carrying fixed-width partial
+    * minima (map-side combined), all hashing inside whole-stage codegen.
+    */
+  def minhashSignatures(shingleSets: DataFrame): DataFrame = {
+    val exploded = shingleSets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val mhCols = (0 until Perms).map(i =>
+      min(xxhash64(col("h") + lit(i.toLong))).as(s"mh_$i"))
+    exploded.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
 
   /** #38 dedup_minhash: LSH candidate pairs verified by exact Jaccard.
     * Signatures band into Bands keys; docs sharing any (band, key) bucket
@@ -72,39 +122,49 @@ object Dedup {
     * Jaccard. The join carries only (band, key, doc_id) — never text.
     */
   def minhashPairs(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
-    val sig = documents
-      .select(col("doc_id"), bigramShingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("mh", minhashSignature(col("sh")))
-    val banded = sig.select(
-      col("doc_id"),
-      explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("mh"), b * RowsPerBand + 1, RowsPerBand).cast("array<string>")))
-            .as("band_key"))
-      }: _*)).as("bk"))
+    val shingleSets = withHashedShingles(documents)
+      .select(col("doc_id"), col("hs"))
+      .filter(size(col("hs")) > 0)
+    val banded = minhashSignatures(shingleSets)
+      .select(
+        col("doc_id"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand)
+              .map(i => col(s"mh_$i")): _*).as("band_key"))
+        }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    // Bucket-collect instead of a self-join: one groupBy on the band key
+    // computes the signature pipeline ONCE and emits each bucket's pair
+    // combinations locally (a self-join would re-derive the full
+    // signature plan on both sides). At production scale add a bucket
+    // size cap before the pair expansion (quadratic in bucket size).
+    val candidates = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
     candidates
-      .join(sig.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sig.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .join(shingleSets.select(col("doc_id").as("id1"), col("hs").as("sh1")), Seq("id1"))
+      .join(shingleSets.select(col("doc_id").as("id2"), col("hs").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("n_common"),
+        (size(col("sh1")) + size(col("sh2"))).as("n_total"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          nullif((col("n_total") - col("n_common")).cast("double"), lit(0.0)))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word tokens: bit j is set when more than half
-    * the token hashes have bit j set. Token hashes computed once per doc;
-    * the 64 bit-counts are codegen'd array scans.
+  /** 64-bit SimHash from a (materialized) token-hash column: bit j is set
+    * when more than half the token hashes have bit j set.
     */
-  def simhash(text: Column): Column = {
-    val thash = transform(tokens(text), w => xxhash64(w))
+  def simhashFromHashes(thash: Column): Column = {
     val n = size(thash)
     val bits = (0 until 64).map { j =>
       val cnt = size(filter(thash, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1))
@@ -113,12 +173,31 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** Convenience: SimHash straight from text (fixture/spec use — operator
+    * paths materialize the token hashes first).
+    */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), w => xxhash64(w)))
+
   /** #39 dedup_simhash: candidate pairs share at least one of four
     * 16-bit signature chunks (exact for hamming ≤ 3 by pigeonhole);
     * verified by full hamming distance ≤ maxHamming.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sig = documents.select(col("doc_id"), simhash(col("text")).as("sim"))
+    // Explode + codegen'd bit-count aggregates (the HOF twin
+    // simhashFromHashes evaluates interpreted — fine for fixtures, 64
+    // interpreted array scans per row in the hot path are not).
+    val exploded = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b_$j")) :+
+      count(lit(1)).as("n")
+    val counts = exploded.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = counts.select(col("doc_id"),
+      (0 until 64).map(j =>
+        when(col(s"b_$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sim"))
     val chunked = sig.select(
       col("doc_id"), col("sim"),
       explode(array((0 until 4).map { c =>
@@ -141,18 +220,55 @@ object Dedup {
 
   /** #40 ngram_jaccard: exact bigram-shingle Jaccard for candidate pairs
     * sharing (source, lang) metadata buckets, at or above minJaccard.
+    *
+    * All-pairs-within-bucket with one fixed-width set intersection per
+    * pair. Right when buckets are modest (the metadata buckets here);
+    * for huge buckets / long documents switch to
+    * [[ngramJaccardInvertedIndex]] — identical results, posting-join
+    * plan, no quadratic intersect work.
     */
   def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
-    val d = documents.select(col("doc_id"), col("source"), col("lang"),
-      bigramShingles(col("text")).as("sh"))
+    val d = withHashedShingles(documents)
+      .select(col("doc_id"), col("source"), col("lang"), col("hs").as("sh"))
     d.as("a").join(d.as("b"),
         col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         size(array_intersect(col("a.sh"), col("b.sh"))).as("n_common"),
-        (size(col("a.sh")) + size(col("b.sh")) -
-          size(array_intersect(col("a.sh"), col("b.sh")))).as("n_union"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        (size(col("a.sh")) + size(col("b.sh"))).as("n_total"))
+      .select(col("id1"), col("id2"), col("n_common"),
+        (col("n_total") - col("n_common")).as("n_union"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / nullif(col("n_union").cast("double"), lit(0.0)))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Inverted-index twin of [[ngramJaccard]]: explode shingles, equi-join
+    * postings on (bucket, shingle-hash), count matches per pair — the
+    * per-pair work is a codegen'd count and zero-overlap pairs never
+    * materialize. Scales to buckets where all-pairs intersection cannot;
+    * requires minJaccard > 0.
+    */
+  def ngramJaccardInvertedIndex(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
+    require(minJaccard > 0, "inverted-index plan only emits overlapping pairs")
+    val d = withHashedShingles(documents)
+    val sizes = d.select(col("doc_id"), size(col("hs")).as("n_sh"))
+    val postings = d.select(col("source"), col("lang"), col("doc_id"),
+      explode(col("hs")).as("h"))
+    val common = postings.as("a")
+      .join(postings.as("b"),
+        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("n_common"),
+        (col("n1") + col("n2") - col("n_common")).as("n_union"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / nullif(col("n_union").cast("double"), lit(0.0)))
       .filter(col("jaccard") >= minJaccard)
   }
 }
