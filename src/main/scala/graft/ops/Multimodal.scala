@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** #50 ops.Multimodal: opaque binary media columns with typed metadata,
+  * decoded and featurized in per-partition batches.
+  *
+  * The Spark-side plumbing — schema (binary payload + metadata struct),
+  * partition-batched processing via mapPartitions, fixed-width feature
+  * output — is real and tested. The codec itself is STUBBED: this
+  * container has no image/audio libraries, so `decodeStub` produces a
+  * deterministic fake "decode" (byte statistics + a hash-seeded pseudo
+  * embedding) with the exact call shape a real decoder (JPEG → pixels,
+  * PCM → frames) would have. Swap `decodeStub` for a real codec and
+  * nothing else changes.
+  *
+  * Scale shape: payload bytes never shuffle — media rows are processed
+  * where they are read (mapPartitions, no keyed exchange); the output is
+  * fixed-width features (KBs per row → tens of bytes), so anything
+  * downstream shuffles features, not media. That ordering (featurize
+  * first, shuffle second) is the only one that works at 100 TB of media.
+  */
+object Multimodal {
+
+  case class MediaMeta(kind: String, format: String, width: Int, height: Int)
+  case class MediaRecord(doc_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
+                           mean_byte: Double, histogram: Array[Long],
+                           embedding: Array[Float])
+
+  val HistogramBins = 16
+
+  /** Wrap documents as media records: payload = utf-8 bytes of the text
+    * (the deterministic stand-in for real image/audio bytes), metadata
+    * derived from doc fields.
+    */
+  def asMedia(documents: DataFrame): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    documents
+      .select(
+        col("doc_id"),
+        struct(
+          lit("image").as("kind"),
+          lit("fake/raw").as("format"),
+          (length(col("text")) % 64 + 1).cast("int").as("width"),
+          (length(col("text")) / 64 + 1).cast("int").as("height")).as("meta"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder: byte histogram + mean + an 8-dim pseudo-embedding
+    * folded from the bytes. Deterministic; replaces the real
+    * codec.decode(payload) call.
+    */
+  def decodeStub(payload: Array[Byte]): (Array[Long], Double, Array[Float]) = {
+    val hist = new Array[Long](HistogramBins)
+    var sum = 0L
+    var h = 1125899906842597L
+    payload.foreach { b =>
+      val u = b & 0xff
+      hist(u * HistogramBins / 256) += 1
+      sum += u
+      h = h * 31 + u
+    }
+    val mean = if (payload.nonEmpty) sum.toDouble / payload.length else 0.0
+    val emb = Array.tabulate(8) { i =>
+      val x = (h ^ (h >>> (8 * (i % 8) + 1))) * (i * 2 + 1)
+      (x % 1000003L).toFloat / 1000003f
+    }
+    (hist, mean, emb)
+  }
+
+  /** Partition-batched featurization: one mapPartitions pass, iterator in
+    * → iterator out (constant memory), the shape a vectorized decoder
+    * batch (mapInPandas / Arrow batch) takes on the Python side.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (hist, mean, emb) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.meta.kind, r.payload.length, mean, hist, emb)
+      }
+    }
+  }
+
+  /** End-to-end: documents → media records → features. */
+  def featurize(documents: DataFrame): Dataset[MediaFeatures] =
+    extractFeatures(asMedia(documents))
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** #49 streaming.Sessionize: stateful gap-based sessionization with
+  * `flatMapGroupsWithState` — the streaming twin of the batch operator
+  * `Analytics.sessionize` (same 30-minute-gap semantics, same output
+  * fields).
+  *
+  * Per-key state is one open session (constant size); closed sessions
+  * emit as soon as a later event proves the gap, so emission order is
+  * deterministic given the event order. State lives in the streaming
+  * state store, keyed and partitioned by user — scale = #active keys,
+  * not stream length.
+  */
+object Sessionize {
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Long, duration_sec: Double)
+
+  def gapMs(gapMinutes: Int): Long = gapMinutes.toLong * 60L * 1000L
+
+  /** Fold a batch of events for one key into (closed sessions, new open
+    * state). Pure — shared by the streaming operator and its spec.
+    */
+  def advance(state: Option[OpenSession], sorted: Seq[Event], gap: Long,
+              userId: Long): (Seq[Session], Option[OpenSession]) = {
+    var open = state
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.lastMs > gap =>
+          closed += finish(userId, s)
+          open = Some(OpenSession(t, t, 1))
+        case Some(s) =>
+          open = Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.nEvents + 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+    }
+    (closed.result(), open)
+  }
+
+  def finish(userId: Long, s: OpenSession): Session =
+    Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs),
+      s.nEvents, (s.lastMs - s.startMs) / 1000.0)
+
+  /** Streaming sessionize: append-mode, one open-session state per user.
+    * Works identically on a MemoryStream (specs) and a real source.
+    */
+  def sessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    val gap = gapMs(gapMinutes)
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val (closed, open) =
+            advance(state.getOption, sorted, gap, userId)
+          open match {
+            case Some(s) => state.update(s)
+            case None => if (state.exists) state.remove()
+          }
+          closed.iterator
+      }
+  }
+}

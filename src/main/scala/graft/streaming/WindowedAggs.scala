@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** #48 streaming.WindowedAggs: watermarked event-time window aggregation
+  * over a tick stream (Structured Streaming).
+  *
+  * The reference runs an incremental daily batch
+  * (/root/reference/scripts/daily_update.py, src/pipeline.py — re-pull,
+  * recompute, overwrite); the Spark-native twin is a continuous
+  * `readStream → window agg → writeStream` with a watermark bounding
+  * state: late ticks beyond the watermark are dropped, windows finalize
+  * and evict incrementally. The same call works on any streaming source
+  * (`spark.readStream.schema(...).parquet(dir)`, Kafka, or a test
+  * MemoryStream) and on a batch DataFrame (windows compute, watermark is
+  * a no-op) — the logical plan is identical, which is the point of
+  * Structured Streaming.
+  *
+  * State size = (#keys × #open windows) — bounded by the watermark, not
+  * the stream length; aggregation is partial/map-side before the keyed
+  * shuffle exactly as in batch.
+  */
+object WindowedAggs {
+
+  /** Per-(window, user) OHLC-ish aggregate with event-time watermark.
+    * Output schema: window(start, end), user_id, n_events, avg_value,
+    * min_value, max_value.
+    */
+  def userWindows(events: DataFrame,
+                  windowDur: String = "1 hour",
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Sliding-window market-wide event rate (window, slide) — the breadth
+    * twin: events per type per sliding window.
+    */
+  def typeRates(events: DataFrame,
+                windowDur: String = "1 hour",
+                slide: String = "30 minutes",
+                watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  test("decodeStub: hand-computed histogram, mean and embedding shape") {
+    val (hist, mean, emb) = Multimodal.decodeStub("abc".getBytes("UTF-8"))
+    // 'a'=97 'b'=98 'c'=99 all land in bin 97*16/256 = 6.
+    assert(hist(6) == 3L && hist.sum == 3L)
+    assert(mean == 98.0)
+    assert(emb.length == 8)
+    assert(emb.forall(x => x > -1f && x < 1f))
+    // Deterministic: same payload, same features.
+    val (h2, m2, e2) = Multimodal.decodeStub("abc".getBytes("UTF-8"))
+    assert(h2.sameElements(hist) && m2 == mean && e2.sameElements(emb))
+  }
+
+  test("media plumbing: schema, payload round-trip, partition-batched features") {
+    val media = Multimodal.asMedia(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val features = Multimodal.extractFeatures(media).collect()
+    assert(features.length == 500)
+    features.foreach { f =>
+      assert(f.histogram.length == Multimodal.HistogramBins)
+      assert(f.histogram.sum == f.n_bytes, "histogram must cover every byte")
+      assert(f.embedding.length == 8)
+      assert(f.kind == "image")
+    }
+    // Feature values tie back to the document text deterministically.
+    val doc0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("doc_id = 0").head.getAs[String]("text")
+    val f0 = features.find(_.doc_id == 0L).get
+    assert(f0.n_bytes == doc0.getBytes("UTF-8").length)
+    val (h0, m0, e0) = Multimodal.decodeStub(doc0.getBytes("UTF-8"))
+    assert(f0.histogram.sameElements(h0) && f0.mean_byte == m0 &&
+      f0.embedding.sameElements(e0))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Sessionize, WindowedAggs}
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed aggs finalize watermarked event-time windows (append mode)") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = WindowedAggs.userWindows(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("winagg").outputMode("append").start()
+    try {
+      // Window [10:00, 11:00) for user 1.
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 10.0),
+        (ts("2024-01-01 10:30:00"), 1L, 20.0))
+      query.processAllAvailable()
+      // Advance event time well past the window, then once more so the
+      // post-batch watermark update finalizes [10:00, 11:00).
+      input.addData((ts("2024-01-01 13:00:00"), 1L, 30.0))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), 1L, 40.0))
+      query.processAllAvailable()
+      val out = spark.table("winagg").collect()
+      assert(out.nonEmpty, "finalized window should be emitted")
+      val w1 = out.find(_.getAs[Long]("n_events") == 2L)
+      assert(w1.isDefined, s"expected the 2-event window, got ${out.mkString(";")}")
+      assert(w1.get.getAs[Double]("avg_value") == 15.0)
+      assert(w1.get.getAs[Double]("min_value") == 10.0)
+      assert(w1.get.getAs[Double]("max_value") == 20.0)
+    } finally query.stop()
+  }
+
+  test("streaming sessionize emits closed sessions on gap, keeps open state") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+        Sessionize.Event(2L, ts("2024-01-01 10:00:00"), 3.0))
+      query.processAllAvailable()
+      assert(spark.table("sessions").isEmpty, "no gap proven yet — nothing closes")
+      // 80-minute gap for user 1 closes their first session; user 2 stays open.
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 11:30:00"), 4.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions").collect()
+      assert(out.length == 1)
+      val s = out.head
+      assert(s.getAs[Long]("user_id") == 1L)
+      assert(s.getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+      assert(s.getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+      assert(s.getAs[Long]("n_events") == 2L)
+      assert(s.getAs[Double]("duration_sec") == 600.0)
+    } finally query.stop()
+  }
+
+  test("advance() folds batches like the batch sessionizer") {
+    val gap = Sessionize.gapMs(30)
+    val evs = Seq(
+      Sessionize.Event(7L, ts("2024-01-01 09:00:00"), 1.0),
+      Sessionize.Event(7L, ts("2024-01-01 09:05:00"), 1.0),
+      Sessionize.Event(7L, ts("2024-01-01 10:00:00"), 1.0))
+    val (closed, open) = Sessionize.advance(None, evs, gap, 7L)
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.duration_sec == 300.0)
+    assert(open.exists(_.nEvents == 1))
+    // Continuing within the gap extends the open session across batches.
+    val (closed2, open2) = Sessionize.advance(open,
+      Seq(Sessionize.Event(7L, ts("2024-01-01 10:20:00"), 1.0)), gap, 7L)
+    assert(closed2.isEmpty && open2.exists(_.nEvents == 2))
+  }
+
+  test("streaming and batch sessionize agree on the events table") {
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val clean = graft.operators.Cleaning
+      .cleanEvents(graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
+    val evs = clean.select($"user_id", $"ts", $"value").as[Sessionize.Event]
+      .collect().sortBy(e => (e.user_id, e.ts.getTime))
+    val input = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_all").outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      // A far-future event per user closes every real session.
+      val flush = evs.map(_.user_id).distinct
+        .map(u => Sessionize.Event(u, ts("2099-01-01 00:00:00"), 0.0))
+      input.addData(flush.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("sess_all")
+        .groupBy("user_id").count().collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+      val batch = graft.operators.Analytics.sessionize(clean)
+        .groupBy("user_id").count().collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+      assert(streamed == batch,
+        s"per-user session counts differ: streamed=$streamed batch=$batch")
+    } finally query.stop()
+  }
+}
