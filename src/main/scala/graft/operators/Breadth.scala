@@ -67,10 +67,14 @@ object Breadth {
         coalesce(col("new_lows"), lit(0L)).as("new_lows"))
       .withColumn("total_issues",
         col("advancers") + col("decliners") + col("unchanged"))
+      // Null gate before the clip: least/greatest SKIP nulls in both
+      // Spark and DuckDB, so clipping a null ratio would turn a no-data
+      // day into −100 instead of null (pandas clips NaN to NaN).
       .withColumn("breadth_percent",
-        least(greatest(
-          (col("advancers") - col("decliners")) / nullif(col("total_issues"), lit(0L)) * 100,
-          lit(-100.0)), lit(100.0)))
+        when(col("total_issues") > 0,
+          least(greatest(
+            (col("advancers") - col("decliners")) / col("total_issues") * 100,
+            lit(-100.0)), lit(100.0))))
       .withColumn("adv_dec_ratio",
         coalesce(col("advancers") / nullif(col("decliners"), lit(0L)), lit(0.0)))
   }

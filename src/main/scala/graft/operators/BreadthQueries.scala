@@ -84,7 +84,9 @@ object BreadthQueries {
       |  FROM cal LEFT JOIN daily ON cal.date = daily.date),
       |breadthd AS (
       |  SELECT *,
-      |    least(greatest((advancers - decliners) / nullif(total_issues, 0) * 100, -100.0), 100.0) AS breadth_percent,
+      |    CASE WHEN total_issues > 0
+      |      THEN least(greatest((advancers - decliners) / total_issues * 100, -100.0), 100.0)
+      |    END AS breadth_percent,
       |    coalesce(advancers / nullif(decliners, 0), 0.0) AS adv_dec_ratio
       |  FROM breadth0)""".stripMargin
 

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Fundamentals}
+
+class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def d(s: String) = Date.valueOf(s)
+
+  test("sessionize splits on >30min gaps and aggregates sessions") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 10:10:00"), 1.0),
+      (3L, 1L, ts("2024-01-01 11:00:00"), 1.0), // 50min gap → new session
+      (4L, 2L, ts("2024-01-01 09:00:00"), 1.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.sessionize(events).orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_events") == 2 && s1.getAs[Double]("duration_sec") == 600.0)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("funnel requires strict view→click→purchase ordering") {
+    val events = Seq(
+      // u1 completes the funnel in order.
+      (1L, "view", ts("2024-01-01 10:00:00")), (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // u2 clicks BEFORE viewing — click must not count.
+      (2L, "click", ts("2024-01-01 09:00:00")), (2L, "view", ts("2024-01-01 10:00:00")),
+      // u3 views only.
+      (3L, "view", ts("2024-01-01 08:00:00"))
+    ).map { case (u, t, time) => (u, t, time, 1.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val out = Analytics.eventFunnel(events).orderBy("user_id").collect()
+    assert(out.map(_.getAs[Int]("stage")).toSeq == Seq(3, 1, 1))
+  }
+
+  test("zscore flags the outlier") {
+    val events = (1 to 10).map(i => (i.toLong, 1L, ts(f"2024-01-01 10:$i%02d:00"), 10.0)) :+
+      (11L, 1L, ts("2024-01-01 11:00:00"), 1000.0)
+    val out = Analytics.anomalyZscore(events.toDF("event_id", "user_id", "ts", "value"),
+      threshold = 2.5).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 1000.0)
+  }
+
+  test("correlation: identical series → 1, inverted → −1") {
+    val bars = (1 to 10).flatMap { i =>
+      val v = 10.0 + i + (i % 3) // non-monotone so returns vary
+      Seq((1L, d(f"2024-01-$i%02d"), v, 100L), (2L, d(f"2024-01-$i%02d"), v, 90L),
+        (3L, d(f"2024-01-$i%02d"), 100.0 / v, 80L))
+    }.toDF("user_id", "date", "close", "volume")
+    val out = Analytics.correlationPairs(bars, topK = 3, minDays = 5).collect()
+      .map(r => (r.getAs[Long]("u1"), r.getAs[Long]("u2")) -> r.getAs[Double]("correlation"))
+      .toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-9)
+    assert(out((1L, 3L)) < 0, "reciprocal series must anti-correlate")
+  }
+
+  test("DCF fair value: PV of the quarterly series at 10%") {
+    val orders = Seq(
+      (1L, d("2024-01-15"), 50.0), (1L, d("2024-02-15"), 50.0), // Q1: 100
+      (1L, d("2024-04-15"), 110.0)                              // Q2: 110
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Fundamentals.fairValueDcf(orders).collect().head
+    val fv = 100.0 / 1.1 + 110.0 / (1.1 * 1.1)
+    assert(math.abs(out.getAs[Double]("fair_value") - fv) < 1e-9)
+    assert(out.getAs[Double]("price") == 110.0)
+    assert(math.abs(out.getAs[Double]("delta") - (fv - 110.0) / 110.0) < 1e-9)
+  }
+
+  test("red flags: strict 3-quarter decline and negative-growth streak") {
+    val declining = Seq( // 4 quarters strictly declining
+      (1L, d("2024-01-15"), 100.0), (1L, d("2024-04-15"), 90.0),
+      (1L, d("2024-07-15"), 80.0), (1L, d("2024-10-15"), 70.0),
+      // customer 2 grows — no flags
+      (2L, d("2024-01-15"), 50.0), (2L, d("2024-04-15"), 60.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((1L, 100.0), (2L, 200.0)).toDF("c_custkey", "c_acctbal")
+    val out = Fundamentals.redFlags(customer, declining).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("custkey") == 1L)
+    assert(out.head.getAs[Int]("flag_revenue_decline") == 1)
+    assert(out.head.getAs[Int]("flag_negative_growth") == 1)
+    assert(out.head.getAs[Int]("flag_negative_balance") == 0)
+  }
+}

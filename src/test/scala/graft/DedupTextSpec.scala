@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupTextSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts under the lowest id") {
+    val out = Dedup.exact(docs(1L -> "hello world", 2L -> "hello world", 3L -> "bye"))
+      .orderBy("canonical_id").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("canonical_id") == 1L)
+    assert(out.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram jaccard: hand-computed bigram overlap") {
+    val out = Dedup.ngramJaccard(docs(1L -> "a b c d", 2L -> "a b c e"), 0.01).collect()
+    // shingles {a b, b c, c d} vs {a b, b c, c e}: |∩|=2, |∪|=4 → J=0.5
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Int]("n_common") == 2 && r.getAs[Int]("n_union") == 4)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+    // The inverted-index twin must agree exactly.
+    val inv = Dedup.ngramJaccardInvertedIndex(
+      docs(1L -> "a b c d", 2L -> "a b c e"), 0.01).collect().head
+    assert(inv.getAs[Long]("n_common") == 2 && inv.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("minhash LSH surfaces near-identical pairs and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "changed")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val out = Dedup.minhashPairs(docs(1L -> base, 2L -> nearDup, 3L -> other), 0.3)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id1") == 1L && out.head.getAs[Long]("id2") == 2L)
+    assert(out.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs filtered") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = Dedup.simhashPairs(docs(1L -> a, 2L -> a), maxHamming = 8).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("cosine top-k ranks by similarity with deterministic tie-break") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(-1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineTopK(emb, nQueries = 1, k = 3).orderBy("rk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Double]("cos_sim")).toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("near-dup pairs stay inside label buckets") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0.01f), 0),
+      (2L, Array(1f, 0f), 1) // same vector, different bucket — never paired
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearDupPairs(emb, minCosine = 0.9).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id1") == 0L && out.head.getAs[Long]("id2") == 1L)
+  }
+
+  test("lang id counts stopword hits and predicts the argmax profile") {
+    val out = TextAnalysis.langId(docs(1L -> "the cat and the dog")).collect().head
+    assert(out.getAs[Int]("en_hits") == 3) // the ×2 + and
+    assert(out.getAs[Int]("de_hits") == 0)
+    assert(out.getAs[String]("pred_lang") == "en")
+  }
+
+  test("token counts: whitespace vs BPE-ish regex vs chars/4") {
+    val out = TextAnalysis.tokenCount(docs(1L -> "ab cd-ef 12")).collect().head
+    assert(out.getAs[Int]("n_chars") == 11)
+    assert(out.getAs[Int]("ws_tokens") == 3)
+    assert(out.getAs[Int]("regex_tokens") == 5) // ab | cd | - | ef | 12
+    assert(out.getAs[Long]("est_bpe") == 3L)    // ceil(11/4)
+  }
+
+  test("doc fingerprint: hand-computed polynomial fold") {
+    val out = TextAnalysis.docFingerprint(docs(1L -> "ab cd")).collect().head
+    // terms: 2·131+97 = 359, 2·131+99 = 361; fold: 359·31 + 361 = 11490
+    assert(out.getAs[Int]("n_tokens") == 2)
+    assert(out.getAs[Long]("fingerprint") == 11490L)
+  }
+
+  test("text quality: ratios and score on a crafted doc") {
+    val out = TextAnalysis.textQuality(docs(1L -> "The cat, the hat!")).collect().head
+    assert(out.getAs[Int]("n_words") == 4)
+    // 17 chars, 2 punctuation marks.
+    assert(math.abs(out.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-12)
+    assert(math.abs(out.getAs[Double]("upper_ratio") - 1.0 / 17) < 1e-12)
+    // stopword hits: the ×2 of 4 words.
+    assert(math.abs(out.getAs[Double]("stop_ratio") - 0.5) < 1e-12)
+    val expected = math.min(1.0, 4 / 50.0) * 0.4 + (1 - 2.0 / 17) * 0.3 +
+      math.min(1.0, 0.5 * 5) * 0.3
+    assert(math.abs(out.getAs[Double]("quality_score") - expected) < 1e-6)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bars, Cleaning, Indicators}
+
+/** Hand-computed fixtures for the cleaning→bars→indicators chain. The EMA
+  * fixture recomputes the pandas ewm(adjust=False) recursion in plain
+  * Scala — exactly the class of test that catches a truncated alpha.
+  */
+class MarketSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def d(s: String) = Date.valueOf(s)
+
+  private def barsOf(closes: Seq[Double]): DataFrame =
+    closes.zipWithIndex.map { case (c, i) =>
+      (1L, d(f"2024-01-${i + 1}%02d"), c)
+    }.toDF("user_id", "date", "close")
+
+  private def col1(df: DataFrame, name: String): Seq[Option[Double]] =
+    df.orderBy("date").collect().map(r =>
+      if (r.isNullAt(r.fieldIndex(name))) None else Some(r.getAs[Double](name))).toSeq
+
+  test("cleanEvents dedupes keep-last and derives date") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 5.0),
+      (2L, 10L, ts("2024-01-01 10:00:00"), 7.0), // same (user, ts) — higher id wins
+      (3L, 10L, ts("2024-01-02 11:00:00"), 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Cleaning.cleanEvents(events).orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("value") == 7.0, "keep-last must pick event_id 2")
+    assert(out(1).getAs[Date]("date") == d("2024-01-02"))
+  }
+
+  test("daily bars: open/high/low/close/volume/vwap from ticks") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 12:00:00"), 14.0),
+      (3L, 1L, ts("2024-01-01 16:00:00"), 12.0)
+    ).toDF("event_id", "user_id", "ts", "value").withColumn("date",
+      org.apache.spark.sql.functions.to_date($"ts"))
+    val b = Bars.daily(events).collect().head
+    assert(b.getAs[Double]("open") == 10.0)
+    assert(b.getAs[Double]("high") == 14.0)
+    assert(b.getAs[Double]("low") == 10.0)
+    assert(b.getAs[Double]("close") == 12.0)
+    assert(b.getAs[Long]("volume") == 3L)
+    assert(math.abs(b.getAs[Double]("vwap") - 12.0) < 1e-12)
+  }
+
+  /** pandas ewm(span, adjust=False) reference recursion. */
+  private def ewm(xs: Seq[Double], span: Int): Seq[Double] = {
+    val a = 2.0 / (span + 1)
+    xs.tail.scanLeft(xs.head)((acc, v) => a * v + (1 - a) * acc)
+  }
+
+  test("EMA matches the full-precision pandas recursion with min_periods gating") {
+    val closes = Seq(10.0, 11.0, 12.0, 13.0, 14.0)
+    val out = col1(Indicators.withEma(barsOf(closes), Seq(3)), "ema_3")
+    val exp = ewm(closes, 3)
+    assert(out.take(2).forall(_.isEmpty), "null until span observations")
+    (2 until 5).foreach { i =>
+      assert(math.abs(out(i).get - exp(i)) < 1e-12, s"row $i: ${out(i)} vs ${exp(i)}")
+    }
+    // The alpha must be the full double 2/(span+1): with span 12 the
+    // round-1 bug truncated 2/13 to 6 decimals.
+    val closes2 = (1 to 14).map(_.toDouble)
+    val out2 = col1(Indicators.withEma(barsOf(closes2), Seq(12)), "ema_12")
+    val exp2 = ewm(closes2, 12)
+    assert(math.abs(out2(13).get - exp2(13)) < 1e-12)
+  }
+
+  test("MACD: fast/slow EMA difference, signal seeded at first valid macd") {
+    val closes = Seq(10.0, 11.0, 12.0, 13.0, 14.0)
+    val macdFull = ewm(closes, 2).zip(ewm(closes, 3)).map { case (f, s) => f - s }
+    val sigFull = ewm(macdFull.drop(2), 2) // seeded at the first unmasked macd
+    val df = Indicators.withMacd(barsOf(closes), fast = 2, slow = 3, sig = 2)
+    val macd = col1(df, "macd")
+    val sig = col1(df, "macd_signal")
+    val hist = col1(df, "macd_hist")
+    assert(macd.take(2).forall(_.isEmpty) && sig.take(3).forall(_.isEmpty))
+    (2 until 5).foreach(i => assert(math.abs(macd(i).get - macdFull(i)) < 1e-12))
+    (3 until 5).foreach { i =>
+      assert(math.abs(sig(i).get - sigFull(i - 2)) < 1e-12)
+      assert(math.abs(hist(i).get - (macdFull(i) - sigFull(i - 2))) < 1e-12)
+    }
+  }
+
+  test("SMA gates on min_periods and RSI uses rolling-mean gains/losses") {
+    val sma = col1(Indicators.withSma(barsOf(Seq(10.0, 12.0, 14.0)), Seq(2)), "ma_2")
+    assert(sma == Seq(None, Some(11.0), Some(13.0)))
+    val rsi = col1(Indicators.withRsi(barsOf(Seq(10.0, 12.0, 11.0, 13.0)), 2), "rsi")
+    assert(rsi.take(2).forall(_.isEmpty), "needs p deltas")
+    // gains (2,0) losses (0,1): rs=2 → rsi = 100 − 100/3
+    assert(math.abs(rsi(2).get - (100.0 - 100.0 / 3)) < 1e-12)
+  }
+
+  test("ATR first bar uses high−low; OBV accumulates signed volume") {
+    val bars = Seq(
+      (1L, d("2024-01-01"), 10.0, 11.0, 9.0, 5L),
+      (1L, d("2024-01-02"), 12.0, 13.0, 10.0, 3L),
+      (1L, d("2024-01-03"), 11.0, 12.5, 10.5, 4L)
+    ).toDF("user_id", "date", "close", "high", "low", "volume")
+    val atr = Indicators.withAtr(bars, 2)
+    val tr2 = math.max(13.0 - 10.0, math.max(math.abs(13.0 - 10.0), math.abs(10.0 - 10.0)))
+    val atr2 = col1(atr, "atr")(1)
+    assert(math.abs(atr2.get - ((11.0 - 9.0) + tr2) / 2) < 1e-12)
+    val obv = col1(Indicators.withVolumeMetrics(bars), "obv")
+    assert(obv == Seq(Some(0.0), Some(3.0), Some(-1.0)), "0, +3 (up), 3−4 (down)")
+  }
+
+  test("returns: daily pct, cumulative seeded null, momentum horizons") {
+    val df = Indicators.withReturns(barsOf(Seq(10.0, 11.0, 12.1)), Seq(2))
+    val pct = col1(df, "daily_return_pct")
+    assert(pct(0).isEmpty && math.abs(pct(1).get - 0.1) < 1e-12)
+    val cum = col1(df, "cumulative_return")
+    assert(cum(0).isEmpty && math.abs(cum(2).get - 0.21) < 1e-12)
+    val m2 = col1(df, "momentum_2")
+    assert(m2.take(2).forall(_.isEmpty) && math.abs(m2(2).get - 0.21) < 1e-12)
+  }
+}
