@@ -20,6 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // events.ts is parquet TIMESTAMP(NANOS); read as long (Tables.events
+      // truncates to micros). Set here so loaders never mutate session conf.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }
 

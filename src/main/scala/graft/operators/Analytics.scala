@@ -91,22 +91,36 @@ object Analytics {
 
   /** #31 event_funnel: ordered view→click→purchase conversion per user —
     * first view, first click strictly after it, first purchase strictly
-    * after that. stage = furthest step reached. Three filtered
-    * aggregations joined on user_id (co-partitioned single-key shuffles).
+    * after that. stage = furthest step reached.
+    *
+    * Single-shuffle plan: one groupBy(user) collects the (tiny, filtered)
+    * step events in time order and a linear fold assigns the funnel
+    * timestamps — the canonical per-key funnel at scale, vs the naive
+    * three-aggregation/two-join chain (11 shuffles). Sorted-first-match
+    * equals the min-with-strict-inequality semantics of the staged form.
     */
   def eventFunnel(cleanEvents: DataFrame): DataFrame = {
-    val v = cleanEvents.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = cleanEvents.filter(col("event_type") === "click")
-      .join(v, Seq("user_id"))
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val p = cleanEvents.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id"))
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+    val nullTs = lit(null).cast("timestamp")
+    val folded = cleanEvents
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("__evs"))
+      .withColumn("__acc", aggregate(
+        col("__evs"),
+        struct(nullTs.as("v"), nullTs.as("c"), nullTs.as("p")),
+        (acc, e) => struct(
+          when(acc("v").isNull && e("event_type") === "view", e("ts"))
+            .otherwise(acc("v")).as("v"),
+          when(acc("c").isNull && acc("v").isNotNull &&
+            e("event_type") === "click" && e("ts") > acc("v"), e("ts"))
+            .otherwise(acc("c")).as("c"),
+          when(acc("p").isNull && acc("c").isNotNull &&
+            e("event_type") === "purchase" && e("ts") > acc("c"), e("ts"))
+            .otherwise(acc("p")).as("p"))))
+    folded
+      .select(col("user_id"), col("__acc.v").as("t_view"),
+        col("__acc.c").as("t_click"), col("__acc.p").as("t_purchase"))
+      .filter(col("t_view").isNotNull)
       .withColumn("stage",
         when(col("t_purchase").isNotNull, 3)
           .when(col("t_click").isNotNull, 2)

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Dataset export — Spark re-expression of the reference's
+  * `DataExporter` (/root/reference/src/utils/data_exporter.py): parquet/
+  * csv snapshot writes with partition layout and overwrite-by-snapshot
+  * semantics.
+  *
+  * The reference writes one pandas file per symbol per day; here a write
+  * is one distributed job, with directory partitioning carrying the
+  * (date, symbol) layout and parquet stats enabling pruned reads back.
+  */
+object Export {
+
+  /** Partitioned parquet snapshot. `partitionBy` date-ish columns keeps
+    * downstream scans prunable; coalesce caps small-file count for
+    * day-grain outputs.
+    */
+  def parquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+              maxFiles: Int = 0): Unit = {
+    val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
+    val w = out.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** CSV export with header (for the reference's spreadsheet outputs). */
+  def csv(df: DataFrame, path: String, maxFiles: Int = 1): Unit =
+    df.coalesce(maxFiles).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** Versioned snapshot path (the reference suffixes files with a date
+    * stamp; here the stamp is a directory level so readers can pin or
+    * `latest` by lexical max).
+    */
+  def snapshotPath(base: String, stamp: String): String = s"$base/snapshot=$stamp"
+}
