@@ -38,4 +38,45 @@ object Cleaning {
 
   def isValidSymbol(c: Column): Column =
     normalizeSymbol(c).rlike("^[A-Z0-9]{3,5}$")
+
+  /** snake_case a column name (reference `_snake_case`,
+    * data_cleaner.py:172).
+    */
+  def snakeCase(name: String): String =
+    name.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  /** Parse a financial value string (reference `_parse_financial_value`,
+    * data_cleaner.py:176): "12.5%" → 0.125; Vietnamese units "1,5 tỷ" →
+    * 1.5e9, "300 triệu" / "300 tr" → 3e8; plain numerics pass through;
+    * unparseable → null. Pure Catalyst (regexp + conditionals) — no UDF.
+    */
+  def parseFinancialValue(c: Column): Column = {
+    val t = lower(trim(c))
+    val digits = regexp_replace(regexp_replace(t, "[^0-9\\-,\\.]+", ""), ",", "")
+    val num = when(digits.rlike("^-?(\\d+\\.?\\d*|\\.\\d+)$"), digits.cast("double"))
+    val mult = when(t.contains("tỷ"), lit(1e9))
+      .when(t.rlike("triệu|tr"), lit(1e6))
+      .otherwise(lit(1.0))
+    when(t.rlike("%$"), num / 100).otherwise(num * mult)
+  }
+
+  /** Clean a financial-statement frame (reference `clean_financial`,
+    * data_cleaner.py:59): snake_case headers, parse every string column's
+    * units, drop all-null rows, sort newest period first. Column renames
+    * and parsing are projections — one pass, no shuffle; the sort is the
+    * caller-facing presentation order.
+    */
+  def cleanFinancial(df: DataFrame): DataFrame = {
+    val renamed = df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, snakeCase(c)))
+    val parsed = renamed.schema.fields.foldLeft(renamed) { (acc, f) =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        acc.withColumn(f.name, parseFinancialValue(col(f.name)))
+      else acc
+    }
+    val nonEmpty = parsed.na.drop("all")
+    if (nonEmpty.columns.contains("year")) nonEmpty.orderBy(col("year").desc)
+    else if (nonEmpty.columns.contains("period")) nonEmpty.orderBy(col("period").desc)
+    else nonEmpty
+  }
 }

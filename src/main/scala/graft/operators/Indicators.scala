@@ -28,6 +28,32 @@ object Indicators {
   val KeyCol = "user_id"
   val OrdCol = "date"
 
+  /** Full enrichment chain — every indicator family in one call, the
+    * Spark twin of the reference applying its whole `TechnicalIndicators`
+    * battery per symbol. Fold-based indicators (MACD, EMA) run first so
+    * their per-key series collection carries only bar-grain columns;
+    * the window families then share one (key)-partitioned sort.
+    */
+  def enrichAll(bars: DataFrame,
+                smaPeriods: Seq[Int] = Seq(5, 10, 20),
+                emaSpans: Seq[Int] = Seq(5, 12, 26),
+                rsiPeriod: Int = 14,
+                macd: (Int, Int, Int) = (12, 26, 9),
+                bollinger: (Int, Double) = (20, 2.0),
+                atrPeriod: Int = 20,
+                momentumHorizons: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val (f, s, sig) = macd
+    val (bp, bk) = bollinger
+    val afterFolds = withEma(withMacd(bars, f, s, sig), emaSpans)
+    withReturns(
+      withVolumeMetrics(
+        withAtr(
+          withBollinger(
+            withRsi(
+              withSma(afterFolds, smaPeriods), rsiPeriod), bp, bk), atrPeriod)),
+      momentumHorizons)
+  }
+
   def byKey: WindowSpec =
     Window.partitionBy(col(KeyCol)).orderBy(col(OrdCol))
 
