@@ -105,27 +105,44 @@ object Dedup {
       array_min(transform(hashedShingleCol, h => xxhash64(h + lit(i.toLong))))
     }: _*)
 
-  /** Signature table (doc_id, mh_0..mh_{Perms−1}) via explode + codegen'd
-    * min aggregates — one shuffle on doc_id carrying fixed-width partial
-    * minima (map-side combined), all hashing inside whole-stage codegen.
+  /** Row-form shingle postings: one DISTINCT (doc_id, source, lang,
+    * shingle-hash) row per shingle, built with posexplode + a lead()
+    * window — NO per-row array materialization and no HOF lambdas, so
+    * the whole pipeline stays inside whole-stage codegen. Produces the
+    * same shingle sets as [[withHashedShingles]] (spec-checked).
     */
-  def minhashSignatures(shingleSets: DataFrame): DataFrame = {
-    val exploded = shingleSets.select(col("doc_id"), explode(col("hs")).as("h"))
+  def shinglePostings(documents: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        xxhash64(concat_ws(" ", col("w"), col("w2"))).as("h"))
+      .distinct()
+  }
+
+  /** Signature table (doc_id, mh_0..mh_{Perms−1}) via codegen'd min
+    * aggregates over the posting rows — one shuffle on doc_id carrying
+    * fixed-width partial minima (map-side combined).
+    */
+  def minhashSignatures(postings: DataFrame): DataFrame = {
     val mhCols = (0 until Perms).map(i =>
       min(xxhash64(col("h") + lit(i.toLong))).as(s"mh_$i"))
-    exploded.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    postings.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
   }
 
   /** #38 dedup_minhash: LSH candidate pairs verified by exact Jaccard.
     * Signatures band into Bands keys; docs sharing any (band, key) bucket
     * become candidates; candidates are verified against the true shingle
-    * Jaccard. The join carries only (band, key, doc_id) — never text.
+    * Jaccard. The join carries only (band, key, doc_id) — never text —
+    * and the expensive posting pipeline is evaluated once: the verify
+    * branch rebuilds shingle arrays only for the (tiny) candidate set.
     */
   def minhashPairs(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
-    val shingleSets = withHashedShingles(documents)
-      .select(col("doc_id"), col("hs"))
-      .filter(size(col("hs")) > 0)
-    val banded = minhashSignatures(shingleSets)
+    val banded = minhashSignatures(shinglePostings(documents).select(col("doc_id"), col("h")))
       .select(
         col("doc_id"),
         explode(array((0 until Bands).map { b =>
@@ -148,9 +165,17 @@ object Dedup {
           struct(x.as("id1"), y.as("id2")))))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
+    // Exact-Jaccard verification: shingle ARRAYS are built only for docs
+    // that appear in a candidate pair (left-semi on the candidate ids),
+    // so the array path costs O(candidates), not O(corpus).
+    val candidateIds = candidates.select(col("id1").as("doc_id"))
+      .union(candidates.select(col("id2").as("doc_id"))).distinct()
+    val candidateShingles = withHashedShingles(
+        documents.join(broadcast(candidateIds), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("hs"))
     candidates
-      .join(shingleSets.select(col("doc_id").as("id1"), col("hs").as("sh1")), Seq("id1"))
-      .join(shingleSets.select(col("doc_id").as("id2"), col("hs").as("sh2")), Seq("id2"))
+      .join(candidateShingles.select(col("doc_id").as("id1"), col("hs").as("sh1")), Seq("id1"))
+      .join(candidateShingles.select(col("doc_id").as("id2"), col("hs").as("sh2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         size(array_intersect(col("sh1"), col("sh2"))).as("n_common"),
         (size(col("sh1")) + size(col("sh2"))).as("n_total"))
@@ -251,10 +276,8 @@ object Dedup {
     */
   def ngramJaccardInvertedIndex(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
     require(minJaccard > 0, "inverted-index plan only emits overlapping pairs")
-    val d = withHashedShingles(documents)
-    val sizes = d.select(col("doc_id"), size(col("hs")).as("n_sh"))
-    val postings = d.select(col("source"), col("lang"), col("doc_id"),
-      explode(col("hs")).as("h"))
+    val postings = shinglePostings(documents)
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = postings.as("a")
       .join(postings.as("b"),
         col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&

@@ -22,19 +22,15 @@ object Probe {
       df.write.format("noop").mode("overwrite").save(); 0L
     }
     val docs = Tables.documents(spark, d)
-    time("warmup scan")(docs.count())
-    time("scan again")(docs.count())
-    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
-    time("tokens noop")(noop(toks))
-    val sh = toks.select(col("doc_id"), Dedup.bigramShinglesFromTokens(col("t")).as("sh"))
-    time("shingles noop")(noop(sh))
-    val hs = sh.select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-    time("hashed noop")(noop(hs))
-    val full = Dedup.withHashedShingles(docs)
-    time("withHashedShingles noop")(noop(full))
-    val mh = full.select(col("doc_id"), col("hs")).filter(size(col("hs")) > 0)
-      .withColumn("mh", Dedup.minhashSignature(col("hs")))
-    time("minhash sig noop")(noop(mh))
+    time("warmup")(docs.count())
+    val postings = Dedup.shinglePostings(docs).select(col("doc_id"), col("h"))
+    time("postings noop")(noop(postings))
+    val sig = Dedup.minhashSignatures(postings)
+    time("signatures noop")(noop(sig))
+    time("minhash full 1st")(Dedup.minhashPairs(docs).count())
+    time("minhash full 2nd")(Dedup.minhashPairs(docs).count())
+    time("ngram full 1st")(Dedup.ngramJaccard(docs).count())
+    time("ngram full 2nd")(Dedup.ngramJaccard(docs).count())
     spark.stop()
   }
 }

@@ -32,6 +32,18 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(inv.getAs[Long]("n_common") == 2 && inv.getAs[Double]("jaccard") == 0.5)
   }
 
+  test("shingle postings equal the array-form shingle sets") {
+    val d = docs(1L -> "a b c d a b", 2L -> "x", 3L -> "p q p q")
+    val fromArrays = Dedup.withHashedShingles(d)
+      .select($"doc_id", org.apache.spark.sql.functions.explode($"hs").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromPostings = Dedup.shinglePostings(d)
+      .select($"doc_id", $"h").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromPostings == fromArrays)
+    assert(!fromPostings.exists(_._1 == 2L), "1-token doc has no bigrams")
+  }
+
   test("minhash LSH surfaces near-identical pairs and skips unrelated docs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = base.replace("tok7", "changed")
