@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Vector as double array (float→double widening is exact). */
-  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
+  private def vd(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential left-fold dot product — deterministic summation order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+  /** Native codegen'd dot product (graft.functions.DotProduct): same
+    * sequential 0-seeded summation order as the HOF fold it replaced —
+    * bitwise-identical results, primitive loop instead of interpreted
+    * per-element lambdas.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.vec_dot(a, b)
 
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
+  def l2norm(a: Column): Column = graft.functions.VectorOps.vec_norm(a)
 
   /** Corpus with precomputed double vector + norm (computed once, reused
     * by every pair the row participates in).

@@ -61,6 +61,26 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
   }
 
+  test("native vec_dot: hand-computed values, codegen and SQL paths agree") {
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val viaColumn = df.select(VectorOps.vec_dot(col("a"), col("b"))).head.getDouble(0)
+    assert(viaColumn == 32.0) // 4 + 10 + 18
+    VectorOps.register(spark)
+    df.createOrReplaceTempView("vec_fixture")
+    val viaSql = spark.sql("SELECT vec_dot(a, b) FROM vec_fixture").head.getDouble(0)
+    assert(viaSql == 32.0)
+    assert(df.select(VectorOps.vec_norm(col("a"))).head.getDouble(0) ==
+      math.sqrt(14.0))
+    // Equals the HOF fold it replaced, bit for bit.
+    val viaFold = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)"))
+      .head.getDouble(0)
+    assert(viaColumn == viaFold)
+  }
+
   test("cosine top-k ranks by similarity with deterministic tie-break") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
