@@ -31,6 +31,7 @@ object GraftSession {
     val s = builder(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${sys.props("user.name")}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

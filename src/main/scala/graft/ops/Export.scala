@@ -34,4 +34,17 @@ object Export {
     * `latest` by lexical max).
     */
   def snapshotPath(base: String, stamp: String): String = s"$base/snapshot=$stamp"
+
+  /** Bucketed managed table: pre-shuffles once at write so every later
+    * join/aggregation on `bucketCols` is exchange-free (co-located).
+    * The 100 TB pattern for a fact table joined on the same key by many
+    * downstream queries — pay the shuffle once, reuse it forever.
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }

@@ -45,6 +45,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(csv.count() == 2)
   }
 
+  test("salted join: identical result set, shuffle key carries the salt") {
+    val fact = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i.toDouble))
+      .toDF("user_id", "value") // key 1 carries 90% of rows
+    val dim = Seq((1L, "hot"), (95L, "cold")).toDF("user_id", "tag")
+    val plain = fact.join(dim, Seq("user_id")).collect()
+    val salted = operators.Skew.saltedJoin(fact, dim, "user_id", salts = 4)
+    val out = salted.collect()
+    assert(out.length == plain.length)
+    assert(out.map(_.getAs[Double]("value")).sorted.sameElements(
+      plain.map(_.getAs[Double]("value")).sorted))
+    val plan = salted.queryExecution.executedPlan.toString()
+    assert(plan.contains("__salt"), "join key must include the salt column")
+    val profile = operators.Skew.keyProfile(fact, "user_id", 1).collect()
+    assert(profile.head.getAs[Long]("user_id") == 1L &&
+      profile.head.getAs[Long]("count") == 90L)
+  }
+
+  test("bucketed table: co-located self-join plans without an exchange") {
+    // A previous JVM's warehouse files survive while the in-memory
+    // catalog does not — clear both so Overwrite can create the table.
+    spark.sql("DROP TABLE IF EXISTS bars_bucketed")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir") + "/bars_bucketed"))
+    if (loc.exists) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    val df = (1 to 1000).map(i => (i.toLong % 50, i.toDouble)).toDF("user_id", "v")
+    Export.bucketedTable(df, "bars_bucketed", Seq("user_id"), buckets = 8,
+      sortCols = Seq("user_id"))
+    val t = spark.table("bars_bucketed")
+    val agg = t.groupBy("user_id").count()
+    val aggPlan = agg.queryExecution.executedPlan.toString()
+    assert(!aggPlan.contains("Exchange"),
+      s"bucketed groupBy must not shuffle:\n$aggPlan")
+    assert(agg.count() == 50)
+    val joined = t.as("a").join(spark.table("bars_bucketed").as("b"), "user_id")
+    assert(joined.count() == 1000 * 20)
+  }
+
   test("report: daily markdown assembles summary, regime and movers") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val bars = Bars.daily(Cleaning.cleanEvents(events))
