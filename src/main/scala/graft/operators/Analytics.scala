@@ -89,6 +89,35 @@ object Analytics {
       ((max(col("__us")) - min(col("__us"))) / lit(1000000.0)).as("duration_sec"))
   }
 
+  /** As-of join: each left row picks the most recent right row with
+    * right.ts ≤ left.ts for the same key — the canonical market-data
+    * enrichment (trade → prevailing quote) that Spark lacks natively.
+    *
+    * Composed from built-ins (the design brief's preference (a), before
+    * any custom SparkPlan): tag both sides, union, and carry the right
+    * payload forward with last(ignoreNulls) over one (key, ts, side)
+    * window — a single shuffle on the key, linear scan, no range join
+    * and no per-key loop. At equal ts the right side sorts first, so the
+    * match is inclusive, exactly DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`.
+    * Right-side (key, ts) must be unique (true post-cleanEvents).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(col(tsCol).as("__asof_ts") +: payloadCols.map(col): _*)
+    val l = left.withColumn("__side", lit(1)).withColumn("__payload",
+      lit(null).cast(right.select(payload).schema.fields.head.dataType))
+    val r = right.select(
+      (col(key) +: col(tsCol) +: Seq(lit(0).as("__side"), payload.as("__payload"))): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__payload")
+  }
+
   /** #31 event_funnel: ordered view→click→purchase conversion per user —
     * first view, first click strictly after it, first purchase strictly
     * after that. stage = furthest step reached.

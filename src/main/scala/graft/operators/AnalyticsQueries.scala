@@ -35,6 +35,19 @@ object AnalyticsQueries {
     "event_funnel" -> ((s, d) =>
       Analytics.eventFunnel(clean(s, d))
         .orderBy(col("user_id"))),
+
+    "asof_join" -> ((s, d) => {
+      val c = clean(s, d)
+      val purchases = c.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = c.filter(col("event_type") === "view")
+      Analytics.asofJoin(purchases, views, "user_id", "ts", Seq("value"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("purchase_value"),
+          col("__match.__asof_ts").as("view_ts"),
+          col("__match.value").as("view_value"))
+        .orderBy(col("user_id"), col("ts"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -114,5 +127,18 @@ object AnalyticsQueries {
          |LEFT JOIN c ON v.user_id = c.user_id
          |LEFT JOIN p ON v.user_id = p.user_id
          |ORDER BY v.user_id""".stripMargin,
+
+    "asof_join" ->
+      s"""${MarketQueries.CleanCte},
+         |p AS (SELECT user_id, ts, event_id, value FROM clean
+         |      WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts, value FROM clean
+         |      WHERE event_type = 'view')
+         |SELECT p.user_id, p.ts, p.event_id,
+         |  p.value AS purchase_value,
+         |  v.ts AS view_ts, v.value AS view_value
+         |FROM p ASOF LEFT JOIN v
+         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+         |ORDER BY p.user_id, p.ts""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.{Date, Timestamp}
 
+import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Analytics, Fundamentals}
@@ -61,6 +62,26 @@ class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(math.abs(out((1L, 2L)) - 1.0) < 1e-9)
     assert(out((1L, 3L)) < 0, "reciprocal series must anti-correlate")
+  }
+
+  test("asof join picks the latest right row at or before each left ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 101.0),
+      (2L, ts("2024-01-01 10:00:00"), 200.0)
+    ).toDF("user_id", "ts", "price")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 99.0),
+      (1L, ts("2024-01-01 11:59:00"), 100.5),
+      (1L, ts("2024-01-01 12:00:00"), 100.7), // equal ts → inclusive match
+      (2L, ts("2024-01-01 11:00:00"), 999.0)  // after the trade → no match
+    ).toDF("user_id", "ts", "quote")
+    val out = Analytics.asofJoin(trades, quotes, "user_id", "ts", Seq("quote"))
+      .orderBy("user_id", "ts").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Row]("__match").getAs[Double]("quote") == 99.0)
+    assert(out(1).getAs[Row]("__match").getAs[Double]("quote") == 100.7)
+    assert(out(2).getAs[Row]("__match") == null, "no quote at or before the trade")
   }
 
   test("DCF fair value: PV of the quarterly series at 10%") {
