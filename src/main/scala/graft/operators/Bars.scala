@@ -29,4 +29,24 @@ object Bars {
         max_by(col("value"), col("ts")).as("close"),
         count(lit(1)).as("volume"),
         avg(col("value")).as("vwap"))
+
+  /** Arbitrary-interval OHLCV resample (the reference's resolution /
+    * interval parameter on its extractors — "1 hour", "15 minutes", …):
+    * same single hash aggregation, keyed on the event-time bucket start.
+    * This is also the batch twin of streaming.WindowedAggs' tumbling
+    * window.
+    */
+  def resample(events: DataFrame, interval: String): DataFrame =
+    events
+      .groupBy(col("user_id"), window(col("ts"), interval))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("volume"),
+        avg(col("value")).as("vwap"))
+      .select(col("user_id"), col("window.start").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("vwap"))
 }

@@ -27,6 +27,11 @@ object MarketQueries {
     "bars_daily" -> ((s, d) =>
       ordered(roundCols(bars(s, d), Seq("vwap")))),
 
+    "bars_hourly" -> ((s, d) =>
+      roundCols(Bars.resample(Cleaning.cleanEvents(Tables.events(s, d)), "1 hour"),
+        Seq("vwap"))
+        .orderBy(col("user_id"), col("bucket_start"))),
+
     "ind_sma" -> ((s, d) => {
       val df = Indicators.withSma(bars(s, d), Seq(5, 10, 20))
         .select("user_id", "date", "close",
@@ -119,6 +124,17 @@ object MarketQueries {
          |SELECT user_id, date, open, high, low, close, volume,
          |  round(vwap, 6) AS vwap
          |FROM bars ORDER BY user_id, date""".stripMargin,
+
+    "bars_hourly" ->
+      s"""$CleanCte
+         |SELECT user_id,
+         |  time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+         |  arg_max(value, ts) AS close, count(*) AS volume,
+         |  round(avg(value), 6) AS vwap
+         |FROM clean
+         |GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)
+         |ORDER BY user_id, bucket_start""".stripMargin,
 
     "ind_sma" ->
       s"""$BarsCte,

@@ -54,6 +54,20 @@ class MarketSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(b.getAs[Double]("vwap") - 12.0) < 1e-12)
   }
 
+  test("interval resample buckets ticks into hourly bars") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 09:10:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 09:50:00"), 12.0),
+      (3L, 1L, ts("2024-01-01 10:05:00"), 11.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = operators.Bars.resample(events, "1 hour")
+      .orderBy("bucket_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Timestamp]("bucket_start") == ts("2024-01-01 09:00:00"))
+    assert(out(0).getAs[Double]("open") == 10.0 && out(0).getAs[Double]("close") == 12.0)
+    assert(out(1).getAs[Long]("volume") == 1L)
+  }
+
   /** pandas ewm(span, adjust=False) reference recursion. */
   private def ewm(xs: Seq[Double], span: Int): Seq[Double] = {
     val a = 2.0 / (span + 1)
