@@ -54,6 +54,39 @@ object Analytics {
       .filter(col("n_days") >= minDays)
   }
 
+  /** Rolling-window Pearson correlation for top-K user pairs
+    * (breadth_analyzer.py:92 calculate_correlation with its `window`
+    * argument — the reference returns only the last value; the whole
+    * rolling series is the distributed generalization). Gated to full
+    * windows like pandas rolling(w).corr.
+    */
+  def rollingCorrelation(bars: DataFrame, topK: Int = 3, window: Int = 10): DataFrame = {
+    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val returns = bars
+      .withColumn("ret",
+        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
+      .filter(col("ret").isNotNull)
+      .select(col("user_id"), col("date"), col("ret"))
+    val topUsers = bars.groupBy(col("user_id"))
+      .agg(sum(col("volume")).as("total_volume"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("total_volume").desc, col("user_id"))))
+      .filter(col("rk") <= topK)
+      .select(col("user_id"))
+    val active = returns.join(broadcast(topUsers), Seq("user_id"))
+    val a = active.select(col("user_id").as("u1"), col("date"), col("ret").as("ret1"))
+    val b = active.select(col("user_id").as("u2"), col("date"), col("ret").as("ret2"))
+    val w = Window.partitionBy(col("u1"), col("u2")).orderBy(col("date"))
+      .rowsBetween(-(window - 1), 0)
+    a.join(b, Seq("date"))
+      .filter(col("u1") < col("u2"))
+      .withColumn("correlation",
+        when(count(col("ret1")).over(w) === window,
+          corr(col("ret1"), col("ret2")).over(w)))
+      .filter(col("correlation").isNotNull)
+      .select(col("u1"), col("u2"), col("date"), col("correlation"))
+  }
+
   /** #29 anomaly_zscore (completes the reference's empty
     * anomaly_detector.py): per-user z-score of the tick value against the
     * user's full-history mean/stddev; |z| above the threshold is an

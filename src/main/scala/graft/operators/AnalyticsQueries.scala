@@ -24,6 +24,10 @@ object AnalyticsQueries {
       roundCols(Analytics.correlationPairs(bars(s, d)), Seq("correlation"))
         .orderBy(col("u1"), col("u2"))),
 
+    "rolling_correlation" -> ((s, d) =>
+      roundCols(Analytics.rollingCorrelation(bars(s, d)), Seq("correlation"))
+        .orderBy(col("u1"), col("u2"), col("date"))),
+
     "anomaly_zscore" -> ((s, d) =>
       roundCols(Analytics.anomalyZscore(clean(s, d)), Seq("zscore"))
         .orderBy(col("user_id"), col("event_id"))),
@@ -72,6 +76,33 @@ object AnalyticsQueries {
          |GROUP BY a.user_id, b.user_id
          |HAVING count(*) >= 5
          |ORDER BY u1, u2""".stripMargin,
+
+    "rolling_correlation" ->
+      s"""${MarketQueries.BarsCte},
+         |ret AS (
+         |  SELECT user_id, date,
+         |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY date), 0.0) - 1 AS ret
+         |  FROM bars),
+         |retn AS (SELECT * FROM ret WHERE ret IS NOT NULL),
+         |topu AS (
+         |  SELECT user_id FROM (
+         |    SELECT user_id,
+         |      row_number() OVER (ORDER BY sum(volume) DESC, user_id) AS rk
+         |    FROM bars GROUP BY user_id) t
+         |  WHERE rk <= 3),
+         |active AS (SELECT r.* FROM retn r JOIN topu USING (user_id)),
+         |j AS (
+         |  SELECT a.user_id AS u1, b.user_id AS u2, a.date,
+         |    a.ret AS ret1, b.ret AS ret2
+         |  FROM active a JOIN active b ON a.date = b.date AND a.user_id < b.user_id),
+         |rc AS (
+         |  SELECT u1, u2, date,
+         |    CASE WHEN count(ret1) OVER w = 10 THEN corr(ret1, ret2) OVER w END AS correlation
+         |  FROM j
+         |  WINDOW w AS (PARTITION BY u1, u2 ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         |SELECT u1, u2, date, round(correlation, 6) AS correlation
+         |FROM rc WHERE correlation IS NOT NULL
+         |ORDER BY u1, u2, date""".stripMargin,
 
     "anomaly_zscore" ->
       s"""${MarketQueries.CleanCte},
