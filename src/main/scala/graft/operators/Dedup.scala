@@ -253,8 +253,12 @@ object Dedup {
     * plan, no quadratic intersect work.
     */
   def ngramJaccard(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
-    val d = withHashedShingles(documents)
-      .select(col("doc_id"), col("source"), col("lang"), col("hs").as("sh"))
+    // Arrays assembled from the codegen posting pipeline (collect_list
+    // over distinct posting rows) rather than the interpreted HOF
+    // shingle path; intersection ignores element order.
+    val d = shinglePostings(documents)
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(collect_list(col("h")).as("sh"))
     d.as("a").join(d.as("b"),
         col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
