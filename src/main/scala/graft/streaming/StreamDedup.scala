@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming twin of the batch keep-last dedupe in
+  * `operators.Cleaning.cleanEvents`: exactly-once event identity over an
+  * unbounded stream.
+  *
+  * `dropDuplicates` on (user_id, ts) with a watermark bounds the dedupe
+  * state: keys older than the watermark are evicted, so state size is
+  * (arrival rate × watermark window), not stream length. Batch semantics
+  * differ in one respect by necessity: a stream sees rows in arrival
+  * order, so FIRST occurrence wins (the batch operator can pick the
+  * highest event_id because it sees all duplicates at once) — the
+  * standard streaming relaxation for idempotent upstream feeds.
+  */
+object StreamDedup {
+
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "ts")
+
+  /** Within-watermark duplicate drop for document streams (content
+    * identity = the exact-dedup hash of `operators.Dedup.exact`).
+    */
+  def dedupDocuments(documents: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    documents
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicates("content_hash")
+  }
+}

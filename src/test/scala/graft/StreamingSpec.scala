@@ -84,6 +84,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(closed2.isEmpty && open2.exists(_.nEvents == 2))
   }
 
+  test("streaming dedup drops duplicate (user, ts) across micro-batches") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = graft.streaming.StreamDedup.dedupEvents(events, "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 5.0),
+        (ts("2024-01-01 10:00:00"), 1L, 7.0), // same key, same batch
+        (ts("2024-01-01 10:01:00"), 1L, 8.0))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 10:00:00"), 1L, 9.0)) // dup, later batch
+      query.processAllAvailable()
+      val out = spark.table("dedup_stream").collect()
+      assert(out.length == 2, s"expected 2 unique (user, ts), got ${out.length}")
+      assert(out.map(_.getAs[Double]("value")).toSet.intersect(Set(9.0)).isEmpty,
+        "cross-batch duplicate must be dropped by state")
+    } finally query.stop()
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     import spark.implicits._
     val sqlCtx = spark.sqlContext
