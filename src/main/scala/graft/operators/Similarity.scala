@@ -93,18 +93,26 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** #43 ann_lsh_topk: queries probe only their signature bucket; exact
-    * cosine ranks the bucket survivors. Planes=6 ⇒ 64 buckets (sized for
-    * the test corpus; at scale, more planes + multi-probe are parameter
-    * changes, same plan shape).
+  /** #43 ann_lsh_topk: queries probe their signature bucket plus every
+    * bucket at hamming distance 1 (multi-probe — planes+1 probes per
+    * query, the standard recall lever that avoids growing the table);
+    * exact cosine ranks the bucket survivors. Planes=4 ⇒ 16 buckets —
+    * sized for the test corpus's weak cosine structure (per-plane
+    * agreement ≈ 0.57 at cos 0.2, so recall falls geometrically with
+    * planes); at scale, planes and probe radius are parameter changes,
+    * same plan shape.
     */
-  def lshTopK(embeddings: DataFrame, planes: Int = 6, nQueries: Int = 10,
-              k: Int = 5): DataFrame = {
+  def lshTopK(embeddings: DataFrame, planes: Int = 4, nQueries: Int = 10,
+              k: Int = 5, multiProbe: Boolean = true): DataFrame = {
     val e = withNorm(embeddings)
       .withColumn("sig", lshSignature(col("v"), planes))
+    val probes =
+      if (multiProbe) array(col("sig") +:
+        (0 until planes).map(p => col("sig").bitwiseXOR(lit(1 << p))): _*)
+      else array(col("sig"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("sig"))
+        col("nrm").as("qn"), explode(probes).as("sig"))
     broadcast(queries)
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("nrm").as("cn"), col("sig")), Seq("sig"))

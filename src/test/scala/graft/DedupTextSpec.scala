@@ -101,6 +101,21 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Long]("id1") == 0L && out.head.getAs[Long]("id2") == 1L)
   }
 
+  test("multi-probe LSH recovers most brute-force neighbors") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, nQueries = 10, k = 5))
+    val single = pairs(Similarity.lshTopK(emb, nQueries = 10, k = 5, multiProbe = false))
+    val multi = pairs(Similarity.lshTopK(emb, nQueries = 10, k = 5))
+    val recallSingle = (exact intersect single).size.toDouble / exact.size
+    val recallMulti = (exact intersect multi).size.toDouble / exact.size
+    assert(recallMulti >= recallSingle,
+      s"multi-probe must not lose recall: $recallMulti < $recallSingle")
+    assert(recallMulti >= 0.25,
+      s"expected multi-probe recall >= 0.25 at 64 buckets, got $recallMulti")
+  }
+
   test("lang id counts stopword hits and predicts the argmax profile") {
     val out = TextAnalysis.langId(docs(1L -> "the cat and the dog")).collect().head
     assert(out.getAs[Int]("en_hits") == 3) // the ×2 + and
