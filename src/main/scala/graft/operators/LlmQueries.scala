@@ -59,6 +59,11 @@ object LlmQueries {
 
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.docFingerprint(docs(s, d)).orderBy(col("doc_id"))),
+
+    "corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(docs(s, d))
+        .withColumn("avg_words", round(col("avg_words"), 6))
+        .orderBy(col("lang"))),
   )
 
   /** Shared vector CTE: double-widened embeddings with L2 norms, and the
@@ -192,6 +197,14 @@ object LlmQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT lang,
+        |  count(*) AS n_docs,
+        |  sum(length(text)) AS total_chars,
+        |  round(avg(len(string_split_regex(text, '\s+'))), 6) AS avg_words,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH t AS (

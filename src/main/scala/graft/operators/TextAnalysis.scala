@@ -84,6 +84,41 @@ object TextAnalysis {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("regex_tokens"),
       ceil(length(col("text")) / 4.0).as("est_bpe"))
 
+  /** Deterministic train/val/test assignment by key hash — the standard
+    * reproducible corpus split (no RNG state, stable across runs and
+    * cluster sizes, new documents never reshuffle old assignments).
+    * Fractions are cumulative cuts of the 10k-bucket hash space.
+    */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  valFrac: Double = 0.05, testFrac: Double = 0.05): DataFrame = {
+    val bucket = pmod(xxhash64(col(keyCol)), lit(10000L))
+    df.withColumn("split",
+      when(bucket < (valFrac * 10000).toLong, "val")
+        .when(bucket < ((valFrac + testFrac) * 10000).toLong, "test")
+        .otherwise("train"))
+  }
+
+  /** Deterministic sub-sampling by key hash (rate ∈ [0,1]) — corpus
+    * downsampling that composes with splitByHash (independent salts).
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(pmod(xxhash64(col(keyCol), lit("sample")), lit(10000L)) <
+      (rate * 10000).toLong)
+
+  /** Corpus composition report: per-language document counts, size and
+    * quality aggregates — what a training-data pipeline publishes with
+    * every corpus snapshot.
+    */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("__words", size(split(col("text"), "\\s+")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        avg(col("__words")).as("avg_words"),
+        countDistinct(col("source")).as("n_sources"))
+
   /** #47 doc_fingerprint: polynomial rolling hash over word tokens —
     * term(w) = 131·len(w) + code(first char), fingerprint = left fold
     * h ← (31·h + term) mod 1e9+7. Bounded intermediates (< 2⁶³), engine-

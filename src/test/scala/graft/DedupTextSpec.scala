@@ -138,6 +138,22 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.getAs[Long]("fingerprint") == 11490L)
   }
 
+  test("hash split is deterministic, exhaustive, and composes with sampling") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = TextAnalysis.splitByHash(corpus, "doc_id", valFrac = 0.1, testFrac = 0.1)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(counts.values.sum == 500)
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // Stable across evaluations.
+    val again = TextAnalysis.splitByHash(corpus, "doc_id", 0.1, 0.1)
+      .groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(again == counts)
+    val sampled = TextAnalysis.sampleByHash(corpus, "doc_id", 0.2).count()
+    assert(sampled > 50 && sampled < 180, s"~20% of 500 expected, got $sampled")
+  }
+
   test("text quality: ratios and score on a crafted doc") {
     val out = TextAnalysis.textQuality(docs(1L -> "The cat, the hat!")).collect().head
     assert(out.getAs[Int]("n_words") == 4)
