@@ -140,6 +140,33 @@ object Fundamentals {
         col("n_orders"), col("rel_rev"), col("avg_order"), col("rel_avg_order"))
   }
 
+  /** Relative fair value (fundamental_analyzer.py:33, the
+    * 'pe_relative' branch of calculate_fair_value): multiple = price /
+    * earnings-proxy, fair value = price scaled by the segment-average
+    * multiple ratio, delta vs price. On the TPC-H mapping price = latest
+    * quarter revenue and the earnings proxy = average quarterly revenue.
+    */
+  def fairValueRelative(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val series = quarterlySeries(orders)
+      .withColumn("__rd", row_number().over(byCustQDesc))
+    val perCust = series.groupBy(col("custkey")).agg(
+      max(when(col("__rd") === 1, col("revenue"))).as("price"),
+      avg(col("revenue")).as("earnings_proxy"))
+    val withSeg = customer
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      .join(perCust, Seq("custkey"))
+      .withColumn("pe", col("price") / nullif(col("earnings_proxy"), lit(0.0)))
+    val segAvg = withSeg.groupBy(col("c_mktsegment"))
+      .agg(avg(col("pe")).as("sector_pe"))
+    withSeg.join(broadcast(segAvg), Seq("c_mktsegment"))
+      .withColumn("fair_value",
+        col("pe") / nullif(col("sector_pe"), lit(0.0)) * col("price"))
+      .withColumn("delta",
+        (col("fair_value") - col("price")) / nullif(col("price"), lit(0.0)))
+      .select(col("custkey"), col("c_mktsegment"), col("price"), col("pe"),
+        col("sector_pe"), col("fair_value"), col("delta"))
+  }
+
   /** #36 fund_fair_value_dcf (fundamental_analyzer.py:17
     * calculate_fair_value): PV of the quarterly revenue series at a 10%
     * discount rate (term i discounted by 1.1^i, i = 1-based chronological

@@ -41,6 +41,16 @@ object FundamentalsQueries {
         .drop("n_orders")
         .orderBy(col("custkey"))),
 
+    "fund_fair_value_relative" -> ((s, d) => {
+      val df = Fundamentals.fairValueRelative(Tables.customer(s, d), Tables.orders(s, d))
+      df.withColumn("price", round(col("price"), 4))
+        .withColumn("pe", round(col("pe"), 6))
+        .withColumn("sector_pe", round(col("sector_pe"), 6))
+        .withColumn("fair_value", round(col("fair_value"), 4))
+        .withColumn("delta", round(col("delta"), 6))
+        .orderBy(col("custkey"))
+    }),
+
     "fund_fair_value_dcf" -> ((s, d) => {
       val df = Fundamentals.fairValueDcf(Tables.orders(s, d))
       df.withColumn("fair_value", round(col("fair_value"), 4))
@@ -150,6 +160,28 @@ object FundamentalsQueries {
          |  round(round(p.total_rev, 4) / p.n_orders, 6) AS avg_order,
          |  round((p.avg_order - s.med_avg_order) / nullif(s.med_avg_order, 0.0) * 100, 6) AS rel_avg_order
          |FROM prof p JOIN seg s ON p.c_mktsegment = s.c_mktsegment
+         |ORDER BY p.custkey""".stripMargin,
+
+    "fund_fair_value_relative" ->
+      s"""$QrevCte,
+         |pc AS (
+         |  SELECT custkey,
+         |    max(CASE WHEN rnd = 1 THEN revenue END) AS price,
+         |    avg(revenue) AS earnings_proxy
+         |  FROM qg GROUP BY custkey),
+         |pe AS (
+         |  SELECT c.c_custkey AS custkey, c.c_mktsegment, pc.price,
+         |    pc.price / nullif(pc.earnings_proxy, 0.0) AS pe
+         |  FROM customer c JOIN pc ON c.c_custkey = pc.custkey),
+         |seg AS (SELECT c_mktsegment, avg(pe) AS sector_pe FROM pe GROUP BY 1)
+         |SELECT p.custkey, p.c_mktsegment,
+         |  round(p.price, 4) AS price,
+         |  round(p.pe, 6) AS pe,
+         |  round(s.sector_pe, 6) AS sector_pe,
+         |  round(p.pe / nullif(s.sector_pe, 0.0) * p.price, 4) AS fair_value,
+         |  round((p.pe / nullif(s.sector_pe, 0.0) * p.price - p.price)
+         |    / nullif(p.price, 0.0), 6) AS delta
+         |FROM pe p JOIN seg s ON p.c_mktsegment = s.c_mktsegment
          |ORDER BY p.custkey""".stripMargin,
 
     "fund_fair_value_dcf" ->
