@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.ops.{Export, Report}
+import graft.sources.Tables
+
+/** End-to-end daily pipeline — the orchestration role of the reference's
+  * `src/pipeline.py` + `scripts/daily_update.py`, re-expressed as one
+  * DAG of DataFrames instead of a per-symbol thread loop with per-symbol
+  * error isolation: a failed symbol in the reference skips that symbol;
+  * here correctness is per-row and fault tolerance is per-task (Spark
+  * retries), which is the isolation model that actually survives a
+  * 1000-executor run.
+  *
+  * Every stage below derives from the single cleaned feed; Spark reuses
+  * the shared lineage per action, and at production scale the natural
+  * cut points (bars, enriched) are checkpoint/bucketed-table candidates
+  * (`Export.bucketedTable`).
+  */
+object Pipeline {
+
+  final case class Outputs(
+    bars: DataFrame,
+    enriched: DataFrame,
+    breadth: DataFrame,
+    health: DataFrame,
+    movers: DataFrame,
+    signals: DataFrame,
+    breakouts: DataFrame)
+
+  /** Build the full analytic DAG from the raw feed (no actions). */
+  def build(spark: SparkSession, dir: String): Outputs = {
+    val clean = Cleaning.cleanEvents(Tables.events(spark, dir))
+    val bars = Bars.daily(clean)
+    val enriched = Indicators.enrichAll(bars,
+      smaPeriods = Seq(5, 10, 20), emaSpans = Seq(5, 12, 26),
+      rsiPeriod = 14, macd = (5, 10, 4), bollinger = (10, 2.0),
+      atrPeriod = 10)
+    val breadth = Breadth.breadthDaily(bars)
+    Outputs(
+      bars = bars,
+      enriched = enriched,
+      breadth = breadth,
+      health = Breadth.marketHealth(breadth),
+      movers = Breadth.topMovers(bars),
+      signals = Screener.signalScore(enriched),
+      breakouts = Screener.breakouts(bars))
+  }
+
+  /** Run the daily snapshot: parquet every output under
+    * `outDir/snapshot=<stamp>`, return the markdown report.
+    */
+  def runDaily(spark: SparkSession, dir: String, outDir: String, stamp: String): String = {
+    val o = build(spark, dir)
+    val base = Export.snapshotPath(outDir, stamp)
+    Export.parquet(o.bars, s"$base/bars", partitionCols = Seq("date"))
+    Export.parquet(o.enriched, s"$base/indicators")
+    Export.parquet(o.breadth, s"$base/breadth")
+    Export.parquet(o.health, s"$base/health", maxFiles = 1)
+    Export.parquet(o.movers, s"$base/movers", maxFiles = 1)
+    Export.parquet(o.signals, s"$base/signals")
+    Export.parquet(o.breakouts, s"$base/breakouts")
+    Report.dailyMarkdown(
+      Breadth.marketSummary(o.breadth, o.bars), o.movers,
+      Breadth.marketRegime(o.breadth))
+  }
+}

@@ -87,6 +87,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(joined.count() == 1000 * 20)
   }
 
+  test("pipeline: daily snapshot writes every output and renders the report") {
+    val out = Files.createTempDirectory("graft-pipeline").toString
+    val md = Pipeline.runDaily(spark, "/root/testdata/sf0.001", out, "2024-01-31")
+    assert(md.contains("# Daily Market Report"))
+    val base = s"$out/snapshot=2024-01-31"
+    Seq("bars", "indicators", "breadth", "health", "movers", "signals", "breakouts")
+      .foreach { name =>
+        val df = spark.read.parquet(s"$base/$name")
+        assert(df.columns.nonEmpty, s"$name must have a schema")
+      }
+    assert(spark.read.parquet(s"$base/bars").count() ==
+      spark.read.parquet(s"$base/indicators").count(),
+      "enrichment preserves bar grain")
+    assert(spark.read.parquet(s"$base/health").count() == 1)
+  }
+
   test("report: daily markdown assembles summary, regime and movers") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val bars = Bars.daily(Cleaning.cleanEvents(events))
