@@ -35,11 +35,12 @@ object Analytics {
         col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
       .filter(col("ret").isNotNull)
       .select(col("user_id"), col("date"), col("ret"))
+    // Distributed top-k (TakeOrderedAndProject): the set of top users is
+    // all that's needed — no rank column, no global window.
     val topUsers = bars.groupBy(col("user_id"))
       .agg(sum(col("volume")).as("total_volume"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("total_volume").desc, col("user_id"))))
-      .filter(col("rk") <= topK)
+      .orderBy(col("total_volume").desc, col("user_id"))
+      .limit(topK)
       .select(col("user_id"))
     // Top-K universe is tiny — broadcast it into the returns filter, then
     // self-join day-grain series (K² pairs max, never full cross product).
@@ -69,9 +70,8 @@ object Analytics {
       .select(col("user_id"), col("date"), col("ret"))
     val topUsers = bars.groupBy(col("user_id"))
       .agg(sum(col("volume")).as("total_volume"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("total_volume").desc, col("user_id"))))
-      .filter(col("rk") <= topK)
+      .orderBy(col("total_volume").desc, col("user_id"))
+      .limit(topK)
       .select(col("user_id"))
     val active = returns.join(broadcast(topUsers), Seq("user_id"))
     val a = active.select(col("user_id").as("u1"), col("date"), col("ret").as("ret1"))

@@ -116,16 +116,20 @@ object Breadth {
     * 0–100 clipped sentiment 50 + (breadth−50)/2. One output row.
     */
   def marketSummary(breadth: DataFrame, bars: DataFrame): DataFrame = {
-    val byDay = Window.orderBy(col("date"))
-    val volWin = byDay.rowsBetween(-19, 0)
-    // Market-level per-day volume: tiny (one row per day) — the global
-    // (unpartitioned) window runs over day grain, never tick grain.
+    // Only the LATEST day's trailing-20 volume average is needed, so
+    // instead of a global (single-partition) window over the whole day
+    // series: distributed top-20-days (TakeOrderedAndProject) → one
+    // 20-row aggregate. max_by picks the latest day's own volume.
     val mktVol = bars.groupBy(col("date")).agg(sum(col("volume")).as("mkt_volume"))
-      .withColumn("vol_avg_20",
-        when(count(col("mkt_volume")).over(volWin) >= 5, avg(col("mkt_volume")).over(volWin)))
-    val latestVol = mktVol.orderBy(col("date").desc).limit(1)
+    val latestVol = mktVol.orderBy(col("date").desc).limit(20)
+      .agg(
+        max(col("date")).as("date"),
+        max_by(col("mkt_volume"), col("date")).as("mkt_volume"),
+        avg(col("mkt_volume")).as("vol_avg_20"),
+        count(lit(1)).as("n_days"))
       .select(col("date"),
-        when(col("vol_avg_20") > 0, col("mkt_volume") / col("vol_avg_20"))
+        when(col("n_days") >= 5 && col("vol_avg_20") > 0,
+          col("mkt_volume") / col("vol_avg_20"))
           .as("volume_vs_avg"))
     val latestBreadth = breadth.orderBy(col("date").desc).limit(1)
       .select(col("date"), col("advancers"), col("decliners"), col("breadth_percent"))
@@ -147,15 +151,14 @@ object Breadth {
       .filter(col("__rn") === 1 && col("__prev").isNotNull)
       .withColumn("return_pct", (col("close") / nullif(col("__prev"), lit(0.0)) - 1) * 100)
       .filter(col("return_pct").isNotNull)
-    val gainers = lastBar
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("return_pct").desc, col("user_id"))))
-      .filter(col("rk") <= k)
+    // Distributed top-k (TakeOrderedAndProject) instead of a global
+    // row_number window — the ranking never sorts the whole universe on
+    // one partition.
+    val gainers = TopK.withRank(lastBar, k,
+        Seq(TopK.descNum(col("return_pct")), col("user_id")))
       .withColumn("side", lit("gainer"))
-    val losers = lastBar
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("return_pct").asc, col("user_id"))))
-      .filter(col("rk") <= k)
+    val losers = TopK.withRank(lastBar, k,
+        Seq(col("return_pct"), col("user_id")))
       .withColumn("side", lit("loser"))
     gainers.unionByName(losers)
       .select(col("side"), col("rk"), col("user_id"), col("date"),
@@ -178,12 +181,11 @@ object Breadth {
       max(when(col("__rn") === 1, col("sector_value"))).as("last_value"),
       max(when(col("__rn") === 2, col("sector_value"))).as("prev_value"),
       max(when(col("__rn") === 1, col("volume"))).as("volume"))
-    pivoted
+    val changed = pivoted
       .withColumn("change_pct",
         (col("last_value") / nullif(col("prev_value"), lit(0.0)) - 1) * 100)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("change_pct").desc, col("event_type"))))
-      .filter(col("rk") <= topN)
+    TopK.withRank(changed, topN,
+        Seq(TopK.descNum(col("change_pct")), col("event_type")))
       .select(col("rk"), col("event_type").as("sector"), col("change_pct"),
         col("volume"))
   }

@@ -134,14 +134,36 @@ object Dedup {
     postings.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
   }
 
+  /** Bounded pair expansion within an LSH bucket: buckets at or under
+    * `cap` emit all C(n,2) pairs; an OVERSIZED (degenerate) bucket —
+    * empty documents, boilerplate, the all-same-signature pathology that
+    * appears at corpus scale — emits a star against the bucket minimum
+    * instead: O(n) pairs that keep every member connected to one
+    * canonical representative (so duplicate CLUSTERS survive intact for
+    * connected-components grouping) without the quadratic blowup.
+    * `xs` must be sorted ascending so pair order and the star root are
+    * deterministic.
+    */
+  private def cappedPairs(xs: Column, cap: Int): Column =
+    when(size(xs) <= lit(cap),
+      flatten(transform(xs, (x, i) =>
+        transform(slice(xs, i + lit(2), size(xs)), y =>
+          struct(x.as("a"), y.as("b"))))))
+      .otherwise(transform(slice(xs, lit(2), size(xs)), y =>
+        struct(element_at(xs, 1).as("a"), y.as("b"))))
+
   /** #38 dedup_minhash: LSH candidate pairs verified by exact Jaccard.
     * Signatures band into Bands keys; docs sharing any (band, key) bucket
     * become candidates; candidates are verified against the true shingle
     * Jaccard. The join carries only (band, key, doc_id) — never text —
     * and the expensive posting pipeline is evaluated once: the verify
     * branch rebuilds shingle arrays only for the (tiny) candidate set.
+    * Buckets larger than `maxBucket` expand as stars, not all-pairs
+    * (see [[cappedPairs]]) — the guard that keeps one degenerate band
+    * bucket from going quadratic at 100 TB.
     */
-  def minhashPairs(documents: DataFrame, minJaccard: Double = 0.3): DataFrame = {
+  def minhashPairs(documents: DataFrame, minJaccard: Double = 0.3,
+                   maxBucket: Int = 1024): DataFrame = {
     val banded = minhashSignatures(shinglePostings(documents).select(col("doc_id"), col("h")))
       .select(
         col("doc_id"),
@@ -154,16 +176,13 @@ object Dedup {
     // Bucket-collect instead of a self-join: one groupBy on the band key
     // computes the signature pipeline ONCE and emits each bucket's pair
     // combinations locally (a self-join would re-derive the full
-    // signature plan on both sides). At production scale add a bucket
-    // size cap before the pair expansion (quadratic in bucket size).
+    // signature plan on both sides). Expansion is bounded by maxBucket.
     val candidates = banded
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(explode(cappedPairs(col("ids"), maxBucket)).as("p"))
+      .select(col("p.a").as("id1"), col("p.b").as("id2"))
       .distinct()
     // Exact-Jaccard verification: shingle ARRAYS are built only for docs
     // that appear in a candidate pair (left-semi on the candidate ids),
@@ -205,10 +224,16 @@ object Dedup {
     simhashFromHashes(transform(tokens(text), w => xxhash64(w)))
 
   /** #39 dedup_simhash: candidate pairs share at least one of four
-    * 16-bit signature chunks (exact for hamming ≤ 3 by pigeonhole);
-    * verified by full hamming distance ≤ maxHamming.
+    * 16-bit signature chunks (exact for hamming ≤ 3 by pigeonhole;
+    * recall above hamming 3 is partial — candidates still need SOME
+    * chunk to collide); verified by full hamming distance ≤ maxHamming.
+    * Chunk buckets are collected and pair-expanded locally (computing
+    * the signature aggregation once, where the former self-join derived
+    * it twice), with the same `maxBucket` star-expansion guard as
+    * minhash against degenerate buckets.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 8,
+                   maxBucket: Int = 1024): DataFrame = {
     // Explode + codegen'd bit-count aggregates (the HOF twin
     // simhashFromHashes evaluates interpreted — fine for fixtures, 64
     // interpreted array scans per row in the hot path are not).
@@ -231,12 +256,13 @@ object Dedup {
       }: _*)).as("ck"))
       .select(col("doc_id"), col("sim"),
         col("ck.chunk").as("chunk"), col("ck.chunk_key").as("chunk_key"))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.chunk_key") === col("b.chunk_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sim").as("sim1"), col("b.sim").as("sim2"))
+    chunked
+      .groupBy(col("chunk"), col("chunk_key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(cappedPairs(col("ms"), maxBucket)).as("p"))
+      .select(col("p.a.doc_id").as("id1"), col("p.b.doc_id").as("id2"),
+        col("p.a.sim").as("sim1"), col("p.b.sim").as("sim2"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
       .filter(col("hamming") <= maxHamming)

@@ -29,7 +29,7 @@ object LlmQueries {
       Dedup.simhashPairs(docs(s, d)).orderBy(col("id1"), col("id2"))),
 
     "ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(docs(s, d))
+      Dedup.ngramJaccardInvertedIndex(docs(s, d))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id1"), col("id2"))),
 
@@ -201,7 +201,7 @@ object LlmQueries {
     "corpus_stats" ->
       """SELECT lang,
         |  count(*) AS n_docs,
-        |  sum(length(text)) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  round(avg(len(string_split_regex(text, '\s+'))), 6) AS avg_words,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

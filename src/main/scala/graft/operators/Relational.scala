@@ -103,8 +103,9 @@ object Relational {
   }
 
   /** Revenue share by part brand: ratio-to-total aggregation.
-    * The global total is a scalar window over the (tiny) aggregated set —
-    * no second scan of the fact table.
+    * The global total is a 1-row aggregate of the (tiny) per-brand set,
+    * broadcast back onto it — no second scan of the fact table and no
+    * single-partition global window.
     */
   def partBrandShare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -115,7 +116,7 @@ object Relational {
       .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev_raw"),
         count(lit(1)).as("n_items"))
     byBrand
-      .withColumn("total", sum($"rev_raw").over(Window.partitionBy()))
+      .crossJoin(broadcast(byBrand.agg(sum($"rev_raw").as("total"))))
       .select($"p_brand", round($"rev_raw", 4).as("revenue"), $"n_items",
         round($"rev_raw" / $"total" * 100, 6).as("share_pct"))
       .orderBy($"p_brand")

@@ -17,13 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Scope {
 
-  /** Top-N users by summed bar volume (deterministic id tie-break). */
+  /** Top-N users by summed bar volume (deterministic id tie-break).
+    * TakeOrderedAndProject via [[TopK.withRank]] — no global window, so
+    * the universe-sized aggregate never lands on a single partition.
+    */
   def topNByActivity(bars: DataFrame, n: Int): DataFrame =
-    bars.groupBy(col("user_id"))
-      .agg(sum(col("volume")).as("total_volume"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("total_volume").desc, col("user_id"))))
-      .filter(col("rk") <= n)
+    TopK.withRank(
+      bars.groupBy(col("user_id")).agg(sum(col("volume")).as("total_volume")),
+      n, Seq(TopK.descNum(col("total_volume")), col("user_id")))
       .select(col("user_id"), col("total_volume"), col("rk"))
 
   /** Users whose modal event_type falls in `allowed` (event_type plays

@@ -29,9 +29,10 @@ object Tables {
     * vectorized reader rejects. Read nanos as long and truncate to
     * microsecond timestamps (`div 1000` = the same truncation DuckDB's
     * `CAST(ts_ns AS TIMESTAMP)` applies — both engines agree on values).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * GraftSession.builder — loaders never mutate session conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

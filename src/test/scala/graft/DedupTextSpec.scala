@@ -61,6 +61,25 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
   }
 
+  test("degenerate bucket: pair expansion is bounded, cluster stays connected") {
+    // 100 identical docs — one pathological LSH bucket. Uncapped expansion
+    // would emit C(100,2)=4950 pairs; the cap stars them against the
+    // bucket minimum: 99 pairs, every doc still reachable from doc 1.
+    val same = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val many = docs((1L to 100L).map(i => i -> same): _*)
+    val mh = Dedup.minhashPairs(many, minJaccard = 0.3, maxBucket = 10).collect()
+    assert(mh.length == 99, s"expected 99 star pairs, got ${mh.length}")
+    assert(mh.forall(_.getAs[Long]("id1") == 1L))
+    assert(mh.forall(_.getAs[Double]("jaccard") == 1.0))
+    val sh = Dedup.simhashPairs(many, maxHamming = 8, maxBucket = 10).collect()
+    assert(sh.length == 99, s"expected 99 star pairs, got ${sh.length}")
+    assert(sh.forall(r => r.getAs[Long]("id1") == 1L && r.getAs[Int]("hamming") == 0))
+    // Small buckets are untouched: full expansion under the cap.
+    val full = Dedup.minhashPairs(docs((1L to 5L).map(i => i -> same): _*),
+      minJaccard = 0.3, maxBucket = 10).collect()
+    assert(full.length == 10) // C(5,2)
+  }
+
   test("native vec_dot: hand-computed values, codegen and SQL paths agree") {
     import graft.functions.VectorOps
     import org.apache.spark.sql.functions.{col, expr}
