@@ -165,6 +165,31 @@ object Breadth {
         col("close"), col("return_pct"))
   }
 
+  /** foreign_flows (breadth_extractor.py:87 `get_foreign_trading`, :187
+    * `_normalize_foreign_trading`): per-day buy/sell value aggregation
+    * with net flow. The reference pulls a pre-aggregated exchange feed
+    * and normalizes it (numeric coercion, date parse, drop null dates,
+    * sort date desc); graft derives the same frame from the event feed —
+    * `buyType` events play the foreign-buy role, `sellType` the
+    * foreign-sell role (role mapping is a parameter, like the
+    * reference's column aliasing). One (date) aggregate over the cleaned
+    * feed: map-side combinable, day-grain output.
+    */
+  def foreignFlows(cleanEvents: DataFrame, buyType: String = "purchase",
+                   sellType: String = "view"): DataFrame =
+    cleanEvents
+      .filter(col("event_type").isin(buyType, sellType))
+      .groupBy(col("date"))
+      .agg(
+        sum(when(col("event_type") === buyType, col("value")).otherwise(lit(0.0)))
+          .as("value_buy"),
+        sum(when(col("event_type") === sellType, col("value")).otherwise(lit(0.0)))
+          .as("value_sell"),
+        count(when(col("event_type") === buyType, 1)).as("volume_buy"),
+        count(when(col("event_type") === sellType, 1)).as("volume_sell"),
+        count(lit(1)).as("volume"))
+      .withColumn("net_value", col("value_buy") - col("value_sell"))
+
   /** #21 sector_performance (breadth_analyzer.py:73 find_leading_sectors):
     * event_type plays the sector role; per-sector index = mean value per
     * day; change_pct over the sector's last two trading days; ranked

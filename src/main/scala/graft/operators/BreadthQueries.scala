@@ -46,6 +46,12 @@ object BreadthQueries {
         Breadth.sectorPerformance(Cleaning.cleanEvents(Tables.events(s, d))),
         Seq("change_pct"))
         .orderBy(col("rk"))),
+
+    "foreign_flows" -> ((s, d) =>
+      roundCols(
+        Breadth.foreignFlows(Cleaning.cleanEvents(Tables.events(s, d))),
+        Seq("value_buy", "value_sell", "net_value"))
+        .orderBy(col("date").desc)),
   )
 
   /** Shared oracle CTE: bars → per-day breadth with calendar gap fill.
@@ -197,5 +203,19 @@ object BreadthQueries {
          |  FROM c)
          |SELECT rk, sector, round(change_pct, 6) AS change_pct, volume
          |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    "foreign_flows" ->
+      s"""${MarketQueries.CleanCte}
+         |SELECT date,
+         |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS value_buy,
+         |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 6) AS value_sell,
+         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS volume_buy,
+         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS volume_sell,
+         |  count(*) AS volume,
+         |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+         |    - sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 6) AS net_value
+         |FROM clean
+         |WHERE event_type IN ('purchase', 'view')
+         |GROUP BY date ORDER BY date DESC""".stripMargin,
   )
 }

@@ -167,6 +167,83 @@ object Fundamentals {
         col("sector_pe"), col("fair_value"), col("delta"))
   }
 
+  /** Ratio table (fundamental_extractor.py:274 `get_financial_ratios` —
+    * the pe/pb/ps/roe/... numeric normalization feeding the analyzer):
+    * per-(customer, quarter) ratio columns derived from the order book.
+    * Proxies on the TPC-H mapping, one role each:
+    * price = gross transacted value (Σ l_extendedprice);
+    * earnings = discount-net revenue; debt = open-order ('O')
+    * commitments; equity = account balance. Derived columns are exactly
+    * the ones `score_fundamentals` consumes (roe, debt_to_equity,
+    * current_ratio, revenue_growth, gross_margin) plus pe/ps for the
+    * sector-compare surface. One fact-scale shuffle (the quarter
+    * rollup); the customer join carries one row per customer.
+    */
+  def financialRatios(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame): DataFrame = {
+    val q = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"),
+        date_trunc("quarter", col("o_orderdate")).as("quarter"))
+      .agg(
+        sum(col("l_extendedprice")).as("gross"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("earnings"),
+        sum(when(col("o_orderstatus") === "O", col("l_extendedprice"))).as("__debt_raw"),
+        count(lit(1)).as("n_items"))
+    q.join(customer.select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"), col("c_acctbal")), Seq("custkey"))
+      .withColumn("debt", coalesce(col("__debt_raw"), lit(0.0)))
+      .withColumn("pe", col("gross") / nullif(col("earnings"), lit(0.0)))
+      .withColumn("ps", col("gross") / col("n_items"))
+      .withColumn("roe", col("earnings") / nullif(col("c_acctbal"), lit(0.0)))
+      .withColumn("debt_to_equity", col("debt") / nullif(col("c_acctbal"), lit(0.0)))
+      .withColumn("current_ratio",
+        col("c_acctbal") / nullif(col("gross") / col("n_items"), lit(0.0)))
+      .withColumn("gross_margin", col("earnings") / nullif(col("gross"), lit(0.0)))
+      .withColumn("revenue_growth",
+        col("earnings") / nullif(lag(col("earnings"), 1).over(byCustQ), lit(0.0)) - 1)
+      .select(col("custkey"), col("quarter"), col("c_mktsegment"),
+        col("gross"), col("earnings"), col("debt"), col("n_items"),
+        col("pe"), col("ps"), col("roe"), col("debt_to_equity"),
+        col("current_ratio"), col("gross_margin"), col("revenue_growth"))
+  }
+
+  /** Reference-faithful `score_fundamentals` (fundamental_analyzer.py:46)
+    * over the ratio table: latest quarter per customer, five checks —
+    * roe above sector average, debt_to_equity < 1, current_ratio > 1.5,
+    * revenue_growth > 10%, gross_margin above sector average — summed
+    * into a score, 'buy' at ≥ 4 else 'hold'. Sector averages are
+    * computed from the same latest-quarter rows (the reference receives
+    * them precomputed) and broadcast back.
+    */
+  def scoreFromRatios(ratios: DataFrame): DataFrame = {
+    val latest = ratios
+      .withColumn("__rd", row_number().over(byCustQDesc))
+      .filter(col("__rd") === 1)
+    val segAvg = latest.groupBy(col("c_mktsegment")).agg(
+      avg(col("roe")).as("seg_roe"),
+      avg(col("gross_margin")).as("seg_margin"))
+    latest.join(broadcast(segAvg), Seq("c_mktsegment"))
+      .withColumn("f_roe",
+        coalesce((col("roe") > col("seg_roe")).cast("int"), lit(0)))
+      .withColumn("f_de",
+        coalesce((col("debt_to_equity") < 1).cast("int"), lit(0)))
+      .withColumn("f_current",
+        coalesce((col("current_ratio") > 1.5).cast("int"), lit(0)))
+      .withColumn("f_growth",
+        coalesce((col("revenue_growth") > 0.1).cast("int"), lit(0)))
+      .withColumn("f_margin",
+        coalesce((col("gross_margin") > col("seg_margin")).cast("int"), lit(0)))
+      .withColumn("score",
+        col("f_roe") + col("f_de") + col("f_current") +
+          col("f_growth") + col("f_margin"))
+      .withColumn("recommendation",
+        when(col("score") >= 4, "buy").otherwise("hold"))
+      .select(col("custkey"), col("c_mktsegment"), col("f_roe"), col("f_de"),
+        col("f_current"), col("f_growth"), col("f_margin"), col("score"),
+        col("recommendation"))
+  }
+
   /** #36 fund_fair_value_dcf (fundamental_analyzer.py:17
     * calculate_fair_value): PV of the quarterly revenue series at a 10%
     * discount rate (term i discounted by 1.1^i, i = 1-based chronological

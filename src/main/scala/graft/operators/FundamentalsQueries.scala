@@ -58,6 +58,23 @@ object FundamentalsQueries {
         .withColumn("delta", round(col("delta"), 6))
         .orderBy(col("custkey"))
     }),
+
+    "fund_ratios" -> ((s, d) =>
+      roundCols(
+        Fundamentals.financialRatios(Tables.customer(s, d), Tables.orders(s, d),
+          Tables.lineitem(s, d)),
+        Seq("pe", "ps", "roe", "debt_to_equity", "current_ratio",
+          "gross_margin", "revenue_growth"))
+        .withColumn("gross", round(col("gross"), 4))
+        .withColumn("earnings", round(col("earnings"), 4))
+        .withColumn("debt", round(col("debt"), 4))
+        .orderBy(col("custkey"), col("quarter"))),
+
+    "fund_score_ratios" -> ((s, d) =>
+      Fundamentals.scoreFromRatios(
+        Fundamentals.financialRatios(Tables.customer(s, d), Tables.orders(s, d),
+          Tables.lineitem(s, d)))
+        .orderBy(col("custkey"))),
   )
 
   /** Orders-grain quarterly revenue series, shared by #33/#34/#36. */
@@ -85,6 +102,34 @@ object FundamentalsQueries {
       |    count(*) AS n_orders
       |  FROM customer JOIN orders ON o_custkey = c_custkey
       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Lineitem-grain quarterly ratio table (mirrors
+    * Fundamentals.financialRatios proxies).
+    */
+  private val RatiosCte: String =
+    """WITH q AS (
+      |  SELECT o_custkey AS custkey,
+      |    date_trunc('quarter', o_orderdate) AS quarter,
+      |    sum(l_extendedprice) AS gross,
+      |    sum(l_extendedprice * (1 - l_discount)) AS earnings,
+      |    sum(CASE WHEN o_orderstatus = 'O' THEN l_extendedprice END) AS debt_raw,
+      |    count(*) AS n_items
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |ratios AS (
+      |  SELECT q.custkey, q.quarter, c.c_mktsegment,
+      |    q.gross, q.earnings,
+      |    coalesce(q.debt_raw, 0.0) AS debt,
+      |    q.n_items,
+      |    q.gross / nullif(q.earnings, 0.0) AS pe,
+      |    q.gross / q.n_items AS ps,
+      |    q.earnings / nullif(c.c_acctbal, 0.0) AS roe,
+      |    coalesce(q.debt_raw, 0.0) / nullif(c.c_acctbal, 0.0) AS debt_to_equity,
+      |    c.c_acctbal / nullif(q.gross / q.n_items, 0.0) AS current_ratio,
+      |    q.earnings / nullif(q.gross, 0.0) AS gross_margin,
+      |    q.earnings / nullif(lag(q.earnings) OVER (
+      |      PARTITION BY q.custkey ORDER BY q.quarter), 0.0) - 1 AS revenue_growth
+      |  FROM q JOIN customer c ON q.custkey = c.c_custkey)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "fund_quarterly_revenue" ->
@@ -196,5 +241,45 @@ object FundamentalsQueries {
          |  round((fair_value - price) / nullif(price, 0.0), 6) AS delta
          |FROM fv JOIN pr ON fv.custkey = pr.custkey
          |ORDER BY fv.custkey""".stripMargin,
+
+    "fund_ratios" ->
+      s"""$RatiosCte
+         |SELECT custkey, quarter, c_mktsegment,
+         |  round(gross, 4) AS gross,
+         |  round(earnings, 4) AS earnings,
+         |  round(debt, 4) AS debt,
+         |  n_items,
+         |  round(pe, 6) AS pe,
+         |  round(ps, 6) AS ps,
+         |  round(roe, 6) AS roe,
+         |  round(debt_to_equity, 6) AS debt_to_equity,
+         |  round(current_ratio, 6) AS current_ratio,
+         |  round(gross_margin, 6) AS gross_margin,
+         |  round(revenue_growth, 6) AS revenue_growth
+         |FROM ratios ORDER BY custkey, quarter""".stripMargin,
+
+    "fund_score_ratios" ->
+      s"""$RatiosCte,
+         |latest AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY custkey ORDER BY quarter DESC) AS rnd
+         |    FROM ratios) t
+         |  WHERE rnd = 1),
+         |seg AS (
+         |  SELECT c_mktsegment, avg(roe) AS seg_roe, avg(gross_margin) AS seg_margin
+         |  FROM latest GROUP BY 1),
+         |f AS (
+         |  SELECT l.custkey, l.c_mktsegment,
+         |    coalesce(CASE WHEN l.roe > s.seg_roe THEN 1 ELSE 0 END, 0) AS f_roe,
+         |    coalesce(CASE WHEN l.debt_to_equity < 1 THEN 1 ELSE 0 END, 0) AS f_de,
+         |    coalesce(CASE WHEN l.current_ratio > 1.5 THEN 1 ELSE 0 END, 0) AS f_current,
+         |    coalesce(CASE WHEN l.revenue_growth > 0.1 THEN 1 ELSE 0 END, 0) AS f_growth,
+         |    coalesce(CASE WHEN l.gross_margin > s.seg_margin THEN 1 ELSE 0 END, 0) AS f_margin
+         |  FROM latest l JOIN seg s ON l.c_mktsegment = s.c_mktsegment)
+         |SELECT custkey, c_mktsegment, f_roe, f_de, f_current, f_growth, f_margin,
+         |  f_roe + f_de + f_current + f_growth + f_margin AS score,
+         |  CASE WHEN f_roe + f_de + f_current + f_growth + f_margin >= 4
+         |    THEN 'buy' ELSE 'hold' END AS recommendation
+         |FROM f ORDER BY custkey""".stripMargin,
   )
 }

@@ -110,4 +110,36 @@ class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Int]("flag_negative_growth") == 1)
     assert(out.head.getAs[Int]("flag_negative_balance") == 0)
   }
+
+  test("financial ratios: hand-computed quarter table and faithful scoring") {
+    val customer = Seq((1L, "AUTO", 50.0)).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val orders = Seq(
+      (10L, 1L, d("2024-01-15"), "F"),
+      (11L, 1L, d("2024-04-15"), "O")
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+    val lineitem = Seq(
+      (10L, 100.0, 0.1), // Q1: gross 100, earnings 90
+      (11L, 200.0, 0.0)  // Q2: gross 200, earnings 200, open → debt 200
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val out = Fundamentals.financialRatios(customer, orders, lineitem)
+      .orderBy("quarter").collect()
+    assert(out.length == 2)
+    val q1 = out(0)
+    assert(q1.getAs[Double]("gross") == 100.0 && q1.getAs[Double]("earnings") == 90.0)
+    assert(q1.getAs[Double]("debt") == 0.0)
+    assert(math.abs(q1.getAs[Double]("pe") - 100.0 / 90.0) < 1e-12)
+    assert(q1.getAs[Double]("roe") == 90.0 / 50.0)
+    assert(q1.getAs[Double]("current_ratio") == 0.5) // 50 / (100/1)
+    assert(math.abs(q1.getAs[Double]("gross_margin") - 0.9) < 1e-12)
+    assert(q1.isNullAt(q1.fieldIndex("revenue_growth")))
+    val q2 = out(1)
+    assert(q2.getAs[Double]("debt_to_equity") == 4.0) // 200 / 50
+    assert(math.abs(q2.getAs[Double]("revenue_growth") - (200.0 / 90.0 - 1)) < 1e-12)
+    // Scoring reads the latest quarter: growth 122% passes, the four
+    // other checks fail (sector avgs equal own values; d/e = 4; cr 0.25).
+    val score = Fundamentals.scoreFromRatios(
+      Fundamentals.financialRatios(customer, orders, lineitem)).collect().head
+    assert(score.getAs[Int]("f_growth") == 1 && score.getAs[Int]("score") == 1)
+    assert(score.getAs[String]("recommendation") == "hold")
+  }
 }

@@ -49,6 +49,26 @@ class BreadthScreenerSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq("strong bullish", "bullish", "neutral", "bearish", "strong bearish"))
   }
 
+  test("foreign flows: per-day buy/sell values, counts, and net") {
+    val events = Seq(
+      (1L, d("2024-01-01"), "purchase", 10.0),
+      (2L, d("2024-01-01"), "purchase", 20.0),
+      (3L, d("2024-01-01"), "view", 5.0),
+      (4L, d("2024-01-01"), "click", 99.0), // other types excluded
+      (5L, d("2024-01-02"), "view", 7.0)
+    ).toDF("event_id", "date", "event_type", "value")
+    val out = Breadth.foreignFlows(events).orderBy("date").collect()
+    assert(out.length == 2)
+    val day1 = out(0)
+    assert(day1.getAs[Double]("value_buy") == 30.0)
+    assert(day1.getAs[Double]("value_sell") == 5.0)
+    assert(day1.getAs[Double]("net_value") == 25.0)
+    assert(day1.getAs[Long]("volume_buy") == 2 && day1.getAs[Long]("volume_sell") == 1)
+    assert(day1.getAs[Long]("volume") == 3)
+    val day2 = out(1)
+    assert(day2.getAs[Double]("value_buy") == 0.0 && day2.getAs[Double]("net_value") == -7.0)
+  }
+
   test("top movers ranks last-day returns both ways") {
     val out = Breadth.topMovers(fixtureBars, k = 1).collect()
     val gain = out.find(_.getAs[String]("side") == "gainer").get
