@@ -51,8 +51,53 @@ object Sessionize {
     Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs),
       s.nEvents, (s.lastMs - s.startMs) / 1000.0)
 
+  /** Streaming sessionize with event-time timeout: the production
+    * variant. [[sessions]] only closes a session when a LATER event for
+    * the same user proves the gap — a user who goes quiet forever keeps
+    * an open session in the state store and never emits. Here the
+    * watermark drives the flush: each update arms a timeout at
+    * last-event + gap, and when the watermark passes it the state
+    * function fires with an empty iterator, emits the session and drops
+    * the state — terminal sessions emit and state is bounded by the
+    * watermark horizon.
+    */
+  def sessionsWithTimeout(events: Dataset[Event], gapMinutes: Int = 30,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val gap = gapMs(gapMinutes)
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(finish(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val (closed, open) = advance(state.getOption, sorted, gap, userId)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // Arm the flush at gap past the last event; never earlier
+                // than the current watermark (late data would make
+                // setTimeoutTimestamp throw).
+                state.setTimeoutTimestamp(
+                  math.max(s.lastMs + gap, state.getCurrentWatermarkMs + 1))
+              case None => if (state.exists) state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming sessionize: append-mode, one open-session state per user.
     * Works identically on a MemoryStream (specs) and a real source.
+    * Gap closure requires a successor event — see [[sessionsWithTimeout]]
+    * for the watermark-flushed production variant.
     */
   def sessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     val gap = gapMs(gapMinutes)

@@ -103,6 +103,51 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$base/health").count() == 1)
   }
 
+  test("report: weekly performance and markdown (tail-5 returns, top/bottom)") {
+    val bars = Seq(
+      // u1: 6 bars — only the last 5 count: 10 → 13 = +30%
+      (1L, d("2024-01-01"), 99.0), (1L, d("2024-01-02"), 10.0),
+      (1L, d("2024-01-03"), 11.0), (1L, d("2024-01-04"), 12.0),
+      (1L, d("2024-01-05"), 12.5), (1L, d("2024-01-06"), 13.0),
+      // u2: 2 bars, −10%
+      (2L, d("2024-01-05"), 10.0), (2L, d("2024-01-06"), 9.0),
+      // u3: 1 bar — skipped (reference's len < 2 guard)
+      (3L, d("2024-01-06"), 5.0)
+    ).toDF("user_id", "date", "close")
+    val perf = Report.weeklyPerformance(bars).orderBy("user_id").collect()
+    assert(perf.length == 2, "single-bar user must be skipped")
+    assert(perf(0).getAs[Double]("weekly_return_pct") == 30.0)
+    assert(perf(0).getAs[Double]("last_close") == 13.0)
+    assert(perf(1).getAs[Double]("weekly_return_pct") == -10.0)
+    val md = Report.weeklyMarkdown(Report.weeklyPerformance(bars), "2024-W01")
+    assert(md.contains("# Weekly Summary (2024-W01)"))
+    assert(md.contains("## Weekly Performance"))
+    assert(md.contains("## Top Performers") && md.contains("## Underperformers"))
+    assert(md.contains("| 1 | 30.00 | 13.00 |"))
+  }
+
+  test("report: per-symbol technical report with risk assessment") {
+    import graft.operators.{Indicators, Screener}
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val bars = Bars.daily(Cleaning.cleanEvents(events))
+    val enriched = Indicators.enrichAll(bars,
+      smaPeriods = Seq(5, 10, 20), emaSpans = Seq(5, 12, 26),
+      rsiPeriod = 14, macd = (5, 10, 4), bollinger = (10, 2.0), atrPeriod = 10)
+    val uid = bars.select("user_id").limit(1).collect().head.getLong(0)
+    val md = Report.technicalMarkdown(uid, enriched,
+      Screener.supportResistance(bars),
+      Screener.trendCheck(bars),
+      Screener.signalScore(enriched))
+    assert(md.contains(s"# Technical Report: $uid"))
+    assert(md.contains("## Snapshot") && md.contains("- **Close**:"))
+    assert(md.contains("## Indicators") && md.contains("- **ma_5**:"))
+    assert(md.contains("## Support / Resistance"))
+    assert(md.contains("## Trend") && md.contains("## Signal Summary"))
+    assert(md.contains("## Risk Assessment"))
+    assert(md.contains("olatility") || md.contains("n/a"),
+      s"risk block must classify volatility:\n$md")
+  }
+
   test("report: daily markdown assembles summary, regime and movers") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val bars = Bars.daily(Cleaning.cleanEvents(events))

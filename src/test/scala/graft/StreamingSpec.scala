@@ -68,6 +68,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("event-time timeout flushes the terminal session without a successor event") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessionsWithTimeout(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_timeout").outputMode("append").start()
+    try {
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 10:10:00"), 2.0))
+      query.processAllAvailable()
+      assert(spark.table("sess_timeout").isEmpty)
+      // ANOTHER user's event drives the watermark past 10:10 + 30min gap;
+      // user 1 never sends again. One more batch lets the post-batch
+      // watermark trigger the timeout.
+      input.addData(Sessionize.Event(2L, ts("2024-01-01 12:00:00"), 3.0))
+      query.processAllAvailable()
+      input.addData(Sessionize.Event(2L, ts("2024-01-01 12:01:00"), 4.0))
+      query.processAllAvailable()
+      val out = spark.table("sess_timeout").collect()
+      assert(out.exists(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Long]("n_events") == 2L &&
+        r.getAs[Double]("duration_sec") == 600.0),
+        s"user 1's terminal session must flush on watermark, got ${out.mkString(";")}")
+    } finally query.stop()
+  }
+
   test("advance() folds batches like the batch sessionizer") {
     val gap = Sessionize.gapMs(30)
     val evs = Seq(
