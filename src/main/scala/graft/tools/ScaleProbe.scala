@@ -43,6 +43,55 @@ object ScaleProbe {
       println(f"[scale] k=$k rows=${k * 1000000L} clean=$tClean%.2f bars=$tBars%.2f " +
         f"indicators=$tInd%.2f breadth=$tBreadth%.2f macd=$tMacd%.2f")
     }
+
+    // ---- LLM-op sweep ----------------------------------------------------
+    // Copies must grow the corpus WITHOUT manufacturing cross-copy
+    // near-dups (identical text k× would make every doc a dup of its
+    // clones → pair count quadratic in k by construction, and the sweep
+    // would measure the fixture, not the plan). Per-copy Caesar cipher:
+    // within-copy dup structure is preserved exactly (same rotation),
+    // cross-copy shingle/hash overlap drops to ~0.
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+    val docsBase = Tables.documents(spark, d)
+    docsBase.count()
+    // Embedding copies: flip a per-(copy, dim) pseudo-random sign.
+    // cos(s⊙x, s⊙y) = cos(x, y) within a copy; across copies the sign
+    // patterns decorrelate the vectors, so near-dup structure stays
+    // per-copy, like the cipher does for text.
+    val embBase = Tables.embeddings(spark, d)
+    embBase.count()
+    Seq(1, 1, 2, 4).foreach { k =>
+      val docs = (0 until k).map(i =>
+        docsBase.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          .withColumn("text", translate(col("text"),
+            lower + upper, rot(lower, i) + rot(upper, i))))
+        .reduce(_ unionByName _)
+      val emb = (0 until k).map(i =>
+        embBase.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+          .withColumn("embedding", zip_with(
+            col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, j) => x * when(pmod(hash(lit(i), j), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f)))))
+        .reduce(_ unionByName _)
+      val tMinhash = noopTime(Dedup.minhashPairs(docs))
+      val tSimhash = noopTime(Dedup.simhashPairs(docs))
+      val tNgram = noopTime(Dedup.ngramJaccardInvertedIndex(docs))
+      val tAnnBrute = noopTime(Similarity.cosineTopK(emb))
+      val tAnnLsh = noopTime(Similarity.lshTopK(emb))
+      val tNearDup = noopTime(Similarity.nearDupPairs(emb))
+      println(f"[scale-llm] k=$k docs=${k * docsBaseCount(docsBase)} " +
+        f"minhash=$tMinhash%.2f simhash=$tSimhash%.2f ngram=$tNgram%.2f " +
+        f"ann_brute=$tAnnBrute%.2f ann_lsh=$tAnnLsh%.2f near_dup=$tNearDup%.2f")
+    }
     spark.stop()
+  }
+
+  private var cachedDocCount = -1L
+  private def docsBaseCount(docs: DataFrame): Long = {
+    if (cachedDocCount < 0) cachedDocCount = docs.count()
+    cachedDocCount
   }
 }

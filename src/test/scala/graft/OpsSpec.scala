@@ -161,4 +161,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(md.contains("## Top gainers") && md.contains("## Top losers"))
     assert(md.split("\n").count(_.startsWith("| ")) >= 6, "movers tables populated")
   }
+
+  test("bench regression gate: baseline parses and thresholds hold") {
+    val baseline = Bench.loadBaseline("BASELINE.md")
+    assert(baseline.size >= 55, s"expected >=55 baseline rows, got ${baseline.size}")
+    assert(baseline.keySet.contains("ngram_jaccard"))
+    assert(baseline.values.forall(v => v > 0 && v < 60))
+    // sub-second queries need the absolute floor, slow ones the 2x rule
+    assert(Bench.regressionThreshold(0.3) == 1.3)
+    assert(Bench.regressionThreshold(2.5) == 5.0)
+    // every SparkEntry query has a frozen row (new queries get seeded
+    // the round they land — this asserts we never silently skip one)
+    val missing = SparkEntry.queries.keySet -- baseline.keySet
+    assert(missing.isEmpty, s"queries without a baseline row: $missing")
+  }
 }
