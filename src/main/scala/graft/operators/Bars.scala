@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tick → OHLCV bar resampling.
@@ -49,4 +50,38 @@ object Bars {
       .select(col("user_id"), col("window.start").as("bucket_start"),
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("vwap"))
+
+  /** realtime_snapshot (price_extractor.py:109 `get_realtime`, record
+    * shape at :147-154; tz normalization per `_validate_and_clean`:97-101):
+    * the reference polls its quote API per symbol (≤50 at a time, cached
+    * 60 s) into a board of {symbol, price, change, pct_change, volume,
+    * time}; the engine derives the same board from the tick feed itself —
+    * last tick value/time per user, last-day volume and previous-day
+    * close from the daily bars. Both inputs aggregate to user grain
+    * before joining, so the join carries one row per symbol and the
+    * symbol-count cap becomes irrelevant. Quote time is normalized to
+    * the exchange timezone (`from_utc_timestamp` — the tz_convert the
+    * reference applies to every quote frame).
+    */
+  def realtimeSnapshot(cleanEvents: DataFrame,
+                       tz: String = "Asia/Ho_Chi_Minh"): DataFrame = {
+    val wDesc = Window.partitionBy(col("user_id")).orderBy(col("date").desc)
+    val lastBar = daily(cleanEvents)
+      .withColumn("prev_close", lead(col("close"), 1).over(wDesc))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("prev_close"), col("volume"))
+    val lastTick = cleanEvents.groupBy(col("user_id")).agg(
+      max_by(col("value"), col("ts")).as("price"),
+      max(col("ts")).as("ts_last"))
+    lastTick.join(lastBar, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("price"),
+        (col("price") - col("prev_close")).as("change"),
+        when(col("prev_close") =!= 0.0,
+          (col("price") / col("prev_close") - lit(1.0)) * 100).as("pct_change"),
+        col("volume"),
+        from_utc_timestamp(col("ts_last"), tz).as("time_local"))
+  }
 }

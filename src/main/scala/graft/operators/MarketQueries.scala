@@ -32,6 +32,11 @@ object MarketQueries {
         Seq("vwap"))
         .orderBy(col("user_id"), col("bucket_start"))),
 
+    "realtime_snapshot" -> ((s, d) =>
+      roundCols(Bars.realtimeSnapshot(Cleaning.cleanEvents(Tables.events(s, d))),
+        Seq("price", "change", "pct_change"))
+        .orderBy(col("user_id"))),
+
     "ind_sma" -> ((s, d) => {
       val df = Indicators.withSma(bars(s, d), Seq(5, 10, 20))
         .select("user_id", "date", "close",
@@ -124,6 +129,26 @@ object MarketQueries {
          |SELECT user_id, date, open, high, low, close, volume,
          |  round(vwap, 6) AS vwap
          |FROM bars ORDER BY user_id, date""".stripMargin,
+
+    "realtime_snapshot" ->
+      s"""$BarsCte,
+         |lastbar AS (
+         |  SELECT user_id, prev_close, volume FROM (
+         |    SELECT user_id, volume,
+         |      lead(close) OVER (PARTITION BY user_id ORDER BY date DESC) AS prev_close,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY date DESC) AS rn
+         |    FROM bars) t
+         |  WHERE rn = 1),
+         |lasttick AS (
+         |  SELECT user_id, arg_max(value, ts) AS price, max(ts) AS ts_last
+         |  FROM clean GROUP BY user_id)
+         |SELECT t.user_id, round(price, 6) AS price,
+         |  round(price - prev_close, 6) AS change,
+         |  round(CASE WHEN prev_close <> 0 THEN (price / prev_close - 1) * 100 END, 6) AS pct_change,
+         |  volume,
+         |  CAST(timezone('Asia/Ho_Chi_Minh', timezone('UTC', ts_last)) AS TIMESTAMP) AS time_local
+         |FROM lasttick t JOIN lastbar b ON t.user_id = b.user_id
+         |ORDER BY t.user_id""".stripMargin,
 
     "bars_hourly" ->
       s"""$CleanCte

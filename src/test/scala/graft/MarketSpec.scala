@@ -54,6 +54,31 @@ class MarketSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(b.getAs[Double]("vwap") - 12.0) < 1e-12)
   }
 
+  test("realtime snapshot: last tick, change vs prev close, exchange tz") {
+    val events = Seq(
+      // u1: two days — prev close 12.0, last tick 15.0 at 10:00 UTC
+      (1L, 1L, ts("2024-01-01 09:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 16:00:00"), 12.0),
+      (3L, 1L, ts("2024-01-02 09:00:00"), 14.0),
+      (4L, 1L, ts("2024-01-02 10:00:00"), 15.0),
+      // u2: single day — no prev close, change/pct null
+      (5L, 2L, ts("2024-01-02 09:00:00"), 8.0)
+    ).toDF("event_id", "user_id", "ts", "value").withColumn("date",
+      org.apache.spark.sql.functions.to_date($"ts"))
+    val out = Bars.realtimeSnapshot(events).orderBy("user_id").collect()
+    assert(out.length == 2)
+    val u1 = out(0)
+    assert(u1.getAs[Double]("price") == 15.0)
+    assert(u1.getAs[Double]("change") == 3.0)
+    assert(math.abs(u1.getAs[Double]("pct_change") - 25.0) < 1e-9)
+    assert(u1.getAs[Long]("volume") == 2L, "volume counts last-day ticks")
+    assert(u1.getAs[Timestamp]("time_local") == ts("2024-01-02 17:00:00"),
+      "UTC 10:00 renders as 17:00 Asia/Ho_Chi_Minh (+7)")
+    val u2 = out(1)
+    assert(u2.isNullAt(u2.fieldIndex("change")))
+    assert(u2.isNullAt(u2.fieldIndex("pct_change")))
+  }
+
   test("interval resample buckets ticks into hourly bars") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 09:10:00"), 10.0),
