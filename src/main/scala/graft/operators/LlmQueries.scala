@@ -38,6 +38,11 @@ object LlmQueries {
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy(col("id1"), col("id2"))),
 
+    "dedup_clusters" -> ((s, d) =>
+      Components.dedupClusters(
+        Similarity.nearDupPairs(emb(s, d), minCosine = 0.3), "id1", "id2")
+        .orderBy(col("cluster_id"), col("id"))),
+
     "ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
 
@@ -125,6 +130,33 @@ object LlmQueries {
          |SELECT label, id1, id2, round(cos_sim, 6) AS cos_sim
          |FROM p WHERE cos_sim >= 0.4
          |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (
+         |  SELECT vec_id, label, v,
+         |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x)) AS nrm
+         |  FROM e),
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |p AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]),
+         |      (s, x) -> s + x) / (a.nrm * b.nrm) >= 0.3),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM p
+         |          UNION ALL SELECT id2, id1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  CAST(id = cluster_id AS INT) AS is_canonical
+         |FROM labels ORDER BY cluster_id, id""".stripMargin,
 
     "ann_cosine_topk" ->
       s"""$VecCte,

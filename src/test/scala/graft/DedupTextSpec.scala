@@ -173,6 +173,25 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(sampled > 50 && sampled < 180, s"~20% of 500 expected, got $sampled")
   }
 
+  test("connected components: chain, clique and pair resolve to min-id clusters") {
+    import graft.operators.Components
+    val edges = Seq(
+      // chain 10-11-12-13-14: needs several propagation rounds
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      // triangle 1-2-3 plus a pair 5-6
+      (1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L)
+    ).toDF("id1", "id2")
+    val out = Components.dedupClusters(edges, "id1", "id2")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Int]("is_canonical")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 1), (2L, 1L, 3L, 0), (3L, 1L, 3L, 0),
+      (5L, 5L, 2L, 1), (6L, 5L, 2L, 0),
+      (10L, 10L, 5L, 1), (11L, 10L, 5L, 0), (12L, 10L, 5L, 0),
+      (13L, 10L, 5L, 0), (14L, 10L, 5L, 0)))
+  }
+
   test("text quality: ratios and score on a crafted doc") {
     val out = TextAnalysis.textQuality(docs(1L -> "The cat, the hat!")).collect().head
     assert(out.getAs[Int]("n_words") == 4)
