@@ -49,6 +49,11 @@ object LlmQueries {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
 
+    // rows-only: the k-means quantizer is not DuckDB-expressible; the
+    // correctness gate is DedupTextSpec's recall-vs-brute-force floor.
+    "ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
+
     "lang_id" -> ((s, d) =>
       TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
 

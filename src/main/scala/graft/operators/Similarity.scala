@@ -125,4 +125,67 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** #43b ann_ivf_topk: inverted-file ANN — the production scale path
+    * next to [[lshTopK]]. Build: a k-means coarse quantizer is fit on a
+    * corpus SAMPLE (at 100 TB you train the quantizer on a sample and
+    * assign everything — the fit input is bounded, not corpus-sized);
+    * each corpus vector lands in its nearest centroid's cell via a
+    * broadcast of the (tiny) centroid table + map-side-combinable
+    * min_by aggregate — no UDF in the corpus-scale path. Search: each
+    * query ranks the centroids, probes its `nProbe` nearest cells, and
+    * ranks the survivors by exact cosine. Cost per query ≈
+    * nProbe/nCells of one corpus scan — the recall/cost dial.
+    * Deterministic: fixed seed, (distance, cell) and (cos, id)
+    * tie-breaks.
+    */
+  def ivfTopK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+              nQueries: Int = 10, k: Int = 5, sampleFraction: Double = 1.0,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val e = withNorm(embeddings)
+    val feat = e.select(array_to_vector(col("v")).as("features"))
+    val train = if (sampleFraction >= 1.0) feat
+                else feat.sample(withReplacement = false, sampleFraction, seed)
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").fit(train)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+
+    // Nearest cell per corpus vector: |c|² − 2⟨v,c⟩ ranks cells (the
+    // |v|² term is constant per vector), min_by combines map-side.
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2", dot(col("centroid"), col("centroid"))
+        - lit(2.0) * dot(col("v"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("v"), col("nrm")),
+        struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id").as("neighbor_id"), col("m.cell").as("cell"),
+        col("m.v").as("cv"), col("m.nrm").as("cn"))
+
+    val probed = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", dot(col("centroid"), col("centroid"))
+        - lit(2.0) * dot(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+
+    broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cell"),
+        col("cos_sim"))
+  }
 }

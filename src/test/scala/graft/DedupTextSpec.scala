@@ -135,6 +135,23 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"expected multi-probe recall >= 0.25 at 64 buckets, got $recallMulti")
   }
 
+  test("IVF ANN: probing more cells raises recall toward brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, nQueries = 10, k = 5))
+    val narrow = pairs(Similarity.ivfTopK(emb, nCells = 8, nProbe = 2))
+    val wide = pairs(Similarity.ivfTopK(emb, nCells = 8, nProbe = 8))
+    val recallNarrow = (exact intersect narrow).size.toDouble / exact.size
+    val recallWide = (exact intersect wide).size.toDouble / exact.size
+    assert(recallWide == 1.0,
+      s"probing ALL cells must equal brute force, recall $recallWide")
+    assert(recallNarrow >= 0.25,
+      s"expected nProbe=2/8 recall >= 0.25, got $recallNarrow")
+    // determinism: same seed, same result
+    assert(pairs(Similarity.ivfTopK(emb, nCells = 8, nProbe = 2)) == narrow)
+  }
+
   test("lang id counts stopword hits and predicts the argmax profile") {
     val out = TextAnalysis.langId(docs(1L -> "the cat and the dog")).collect().head
     assert(out.getAs[Int]("en_hits") == 3) // the ×2 + and
