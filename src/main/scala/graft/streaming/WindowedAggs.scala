@@ -38,6 +38,30 @@ object WindowedAggs {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
+  /** Streaming OHLCV bars — the streaming twin of Bars.resample, same
+    * aggregate set including true open/close (min_by/max_by on event
+    * time, which combine map-side in streaming state exactly as in
+    * batch). A live quote board is this stream with a short window:
+    * the continuous counterpart of price_extractor.py's 60 s-cached
+    * realtime polling loop.
+    */
+  def ohlcvBars(events: DataFrame,
+                windowDur: String = "1 minute",
+                watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), windowDur))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("volume"),
+        avg(col("value")).as("vwap"))
+      .select(col("user_id"), col("window.start").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("vwap"))
+
   /** Sliding-window market-wide event rate (window, slide) — the breadth
     * twin: events per type per sliding window.
     */

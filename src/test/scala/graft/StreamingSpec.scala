@@ -40,6 +40,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming OHLCV bars agree with the batch resampler once finalized") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = WindowedAggs.ohlcvBars(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("sbars").outputMode("append").start()
+    val batchRows = Seq(
+      (ts("2024-01-01 10:05:00"), 1L, 12.0),
+      (ts("2024-01-01 10:20:00"), 1L, 15.0),
+      (ts("2024-01-01 10:40:00"), 1L, 9.0),
+      (ts("2024-01-01 10:55:00"), 1L, 11.0))
+    try {
+      input.addData(batchRows: _*)
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), 1L, 30.0))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), 1L, 40.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sbars")
+        .filter($"bucket_start" === ts("2024-01-01 10:00:00")).collect()
+      assert(streamed.length == 1, s"one finalized bar expected")
+      val batch = graft.operators.Bars.resample(
+        batchRows.toDF("ts", "user_id", "value"), "1 hour").collect().head
+      val s = streamed.head
+      for (c <- Seq("open", "high", "low", "close", "vwap"))
+        assert(s.getAs[Double](c) == batch.getAs[Double](c), s"$c differs from batch")
+      assert(s.getAs[Long]("volume") == batch.getAs[Long]("volume"))
+      assert(s.getAs[Double]("open") == 12.0 && s.getAs[Double]("close") == 11.0)
+    } finally query.stop()
+  }
+
   test("streaming sessionize emits closed sessions on gap, keeps open state") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
