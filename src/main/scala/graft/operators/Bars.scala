@@ -65,22 +65,26 @@ object Bars {
     */
   def realtimeSnapshot(cleanEvents: DataFrame,
                        tz: String = "Asia/Ho_Chi_Minh"): DataFrame = {
+    // One (user, day) aggregate carrying close + last tick time + count
+    // — the last day's close IS the last tick value, so the board needs
+    // no second tick-grain scan and no join; the trailing window runs on
+    // day-grain rows only.
     val wDesc = Window.partitionBy(col("user_id")).orderBy(col("date").desc)
-    val lastBar = daily(cleanEvents)
+    cleanEvents
+      .groupBy(col("user_id"), col("date"))
+      .agg(
+        max_by(col("value"), col("ts")).as("close"),
+        max(col("ts")).as("ts_last"),
+        count(lit(1)).as("volume"))
       .withColumn("prev_close", lead(col("close"), 1).over(wDesc))
       .withColumn("rn", row_number().over(wDesc))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("prev_close"), col("volume"))
-    val lastTick = cleanEvents.groupBy(col("user_id")).agg(
-      max_by(col("value"), col("ts")).as("price"),
-      max(col("ts")).as("ts_last"))
-    lastTick.join(lastBar, Seq("user_id"))
       .select(
         col("user_id"),
-        col("price"),
-        (col("price") - col("prev_close")).as("change"),
+        col("close").as("price"),
+        (col("close") - col("prev_close")).as("change"),
         when(col("prev_close") =!= 0.0,
-          (col("price") / col("prev_close") - lit(1.0)) * 100).as("pct_change"),
+          (col("close") / col("prev_close") - lit(1.0)) * 100).as("pct_change"),
         col("volume"),
         from_utc_timestamp(col("ts_last"), tz).as("time_local"))
   }

@@ -187,8 +187,10 @@ object Dedup {
     // Exact-Jaccard verification: shingle ARRAYS are built only for docs
     // that appear in a candidate pair (left-semi on the candidate ids),
     // so the array path costs O(candidates), not O(corpus).
-    val candidateIds = candidates.select(col("id1").as("doc_id"))
-      .union(candidates.select(col("id2").as("doc_id"))).distinct()
+    // One reference to the candidate subplan (explode both ids), not a
+    // two-branch union that re-derives the signature pipeline twice.
+    val candidateIds = candidates
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
     val candidateShingles = withHashedShingles(
         documents.join(broadcast(candidateIds), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("hs"))

@@ -11,10 +11,13 @@ import graft.SparkEntry
 object PlanReview {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = graft.GraftSession.builder("graft-planreview")
+      .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      // AQE defers physical planning, so codegen spans never print on an
+      // unexecuted plan; the audit wants the static plan with *(n) marks.
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.nonEmpty) {
       args.foreach { name =>
@@ -29,7 +32,8 @@ object PlanReview {
         val nBcast = "BroadcastExchange".r.findAllIn(plan).length
         val nSort = "Sort ".r.findAllIn(plan).length
         val nScan = "FileScan".r.findAllIn(plan).length
-        val nWscg = "WholeStageCodegen".r.findAllIn(plan).length
+        // codegen'd operators print as "*(n) Op" in executedPlan.toString
+        val nWscg = """\*\(\d+\)""".r.findAllIn(plan).toSeq.distinct.length
         val cartesian = if (plan.contains("Cartesian")) " CARTESIAN!" else ""
         val bnl = if (plan.contains("BroadcastNestedLoop")) " BNLJ" else ""
         println(f"$name%-26s shuffles=$nShuffle%2d single=$nSingle%2d bcast=$nBcast%2d sorts=$nSort%2d scans=$nScan%2d wscg=$nWscg%2d$cartesian$bnl")
