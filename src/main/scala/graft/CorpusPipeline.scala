@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Dedup, TextAnalysis}
+
+/** Corpus curation pipeline — the LLM-training-data twin of [[Pipeline]]:
+  * quality gate → language filter → exact dedup → near-dup cluster
+  * resolution → deterministic split, composed as ONE DataFrame DAG.
+  * This is the workflow the individual operators exist for; a user runs
+  * `curate(docs)` and gets the training corpus the reference-style
+  * per-document scripting could never produce at 100 TB.
+  *
+  * Scale notes: stage 1 is a linear projection (filters reach the scan);
+  * stage 2 is one shuffle on the content hash (no join); stage 3 joins
+  * the corpus against the (small) non-canonical drop list; stage 4 is a
+  * stateless hash. At production scale the post-gate frame is the
+  * natural checkpoint/bucketed-table cut before the pair emitter
+  * re-reads it.
+  */
+object CorpusPipeline {
+
+  /** Curate a raw document corpus. `pairsOf` picks the near-dup pair
+    * emitter (minhash by default; ngram-Jaccard for an oracle-friendly
+    * run — both emit (id1, id2) pairs).
+    */
+  def curate(documents: DataFrame,
+             minQuality: Double = 0.55,
+             langs: Seq[String] = Seq("en", "de", "es", "fr"),
+             pairsOf: DataFrame => DataFrame = d => Dedup.minhashPairs(d),
+             valFrac: Double = 0.05,
+             testFrac: Double = 0.05): DataFrame = {
+    // 1. Annotate + gate: one projection, both predicates in one pass.
+    val gated = TextAnalysis.withQuality(documents)
+      .filter(col("lang").isin(langs: _*) && col("quality_score") >= minQuality)
+    // 2. Exact dedup, keep-lowest-id: one shuffle on the content hash.
+    val exactDeduped = gated
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    // 3. Near-dup resolution: pairs → connected components → drop every
+    //    non-canonical cluster member (keep one doc per dup cluster).
+    val drops = Components.dedupClusters(pairsOf(exactDeduped), "id1", "id2")
+      .filter(col("is_canonical") === 0)
+      .select(col("id").as("doc_id"))
+    val resolved = exactDeduped.join(drops, Seq("doc_id"), "left_anti")
+    // 4. Deterministic split — stable under corpus growth.
+    TextAnalysis.splitByHash(resolved, "doc_id", valFrac, testFrac)
+  }
+}

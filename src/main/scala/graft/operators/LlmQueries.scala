@@ -74,6 +74,17 @@ object LlmQueries {
       TextAnalysis.corpusStats(docs(s, d))
         .withColumn("avg_words", round(col("avg_words"), 6))
         .orderBy(col("lang"))),
+
+    // The composed curation DAG with the oracle-friendly pair emitter
+    // (ngram Jaccard; the minhash default is seeded-hash → rows-only).
+    // The split column is deterministic engine-side hashing — excluded
+    // here, covered by the splitByHash spec.
+    "corpus_pipeline" -> ((s, d) =>
+      graft.CorpusPipeline.curate(docs(s, d),
+          pairsOf = dd => Dedup.ngramJaccardInvertedIndex(dd, minJaccard = 0.5))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))),
   )
 
   /** Shared vector CTE: double-widened embeddings with L2 norms, and the
@@ -250,5 +261,58 @@ object LlmQueries {
         |  list_reduce(list_transform(toks, w -> CAST(length(w) * 131 + ascii(w) AS BIGINT)),
         |    (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_pipeline" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id, text, lang, source,
+         |    length(text) AS n_chars,
+         |    len(string_split_regex(text, '\\s+')) AS n_words,
+         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |      w -> list_contains([$EnStops], w))) AS n_stops
+         |  FROM documents
+         |  WHERE lang IN ('en', 'de', 'es', 'fr')),
+         |q AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    round(least(1.0, CAST(n_words AS DOUBLE) / 50) * 0.4
+         |      + (1.0 - CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 0.3
+         |      + least(1.0, CAST(n_stops AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0) * 5) * 0.3, 6) AS quality_score
+         |  FROM b),
+         |g AS (SELECT * FROM q WHERE quality_score >= 0.55),
+         |ex AS (
+         |  SELECT * FROM (SELECT *,
+         |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM g)
+         |  WHERE rn = 1),
+         |t AS (SELECT doc_id, source, lang,
+         |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks FROM ex),
+         |dsh AS (SELECT doc_id, source, lang,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_distinct(list_transform(range(len(toks) - 1),
+         |        i -> toks[i+1] || ' ' || toks[i+2]))
+         |      ELSE [] END AS sh
+         |  FROM t),
+         |p AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
+         |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
+         |    len(a.sh) AS la, len(b2.sh) AS lb
+         |  FROM dsh a JOIN dsh b2
+         |    ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id),
+         |pairs AS (
+         |  SELECT id1, id2 FROM p
+         |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS bb FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.bb FROM reach r JOIN edges e2 ON r.dst = e2.a),
+         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |drops AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
+         |SELECT ex.doc_id, lang, source, n_chars, quality_score
+         |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
+         |WHERE drops.doc_id IS NULL
+         |ORDER BY ex.doc_id""".stripMargin,
   )
 }

@@ -43,11 +43,11 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
-  /** #45 text_quality: length/punctuation/stopword/case ratios combined
-    * into a 0–1 quality score (quality heuristics in the spirit of
-    * C4/Gopher-style filters, deterministic arithmetic only).
+  /** Quality columns appended in place (originals kept) — the composable
+    * form [[CorpusPipeline]] gates on without a doc-grain self-join.
+    * NOTE: replaces any incoming `n_chars` with length(text).
     */
-  def textQuality(documents: DataFrame): DataFrame = {
+  def withQuality(documents: DataFrame): DataFrame = {
     val nChars = length(col("text"))
     val words = split(col("text"), "\\s+")
     val nWords = size(words)
@@ -67,10 +67,17 @@ object TextAnalysis {
         round(least(lit(1.0), nWords.cast("double") / 50) * 0.4 +
           (lit(1.0) - col("punct_ratio")) * 0.3 +
           least(lit(1.0), col("stop_ratio") * 5) * 0.3, 6))
+  }
+
+  /** #45 text_quality: length/punctuation/stopword/case ratios combined
+    * into a 0–1 quality score (quality heuristics in the spirit of
+    * C4/Gopher-style filters, deterministic arithmetic only).
+    */
+  def textQuality(documents: DataFrame): DataFrame =
+    withQuality(documents)
       .select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_word_len"),
         col("punct_ratio"), col("upper_ratio"), col("stop_ratio"),
         col("quality_score"))
-  }
 
   /** #46 token_count: whitespace tokens, BPE-ish regex tokens (letter
     * runs | digit runs | single punctuation), and the chars/4 estimate.

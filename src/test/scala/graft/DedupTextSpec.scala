@@ -209,6 +209,30 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (13L, 10L, 5L, 0), (14L, 10L, 5L, 0)))
   }
 
+  test("corpus pipeline: every stage gates what it should") {
+    val good = ("the cat and the dog sat in the house and it was warm " * 3).trim
+    val rows = Seq(
+      (1L, good, "en", "src0"),                   // kept, canonical of {1,2,3}
+      (2L, good, "en", "src0"),                   // exact dup of 1 → dropped
+      (3L, good + " extra tail words here", "en", "src0"), // near-dup of 1 → dropped
+      (4L, "!!! ??? ### $$$ %%%", "en", "src0"),  // low quality → dropped
+      (5L, good, "zh", "src0"),                   // lang gate → dropped
+      (6L, "the bird flew to the sea and it was far away from home today", "en", "src1") // kept
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPipeline.curate(rows,
+        pairsOf = d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.5))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 6L),
+      s"expected docs 1 and 6 to survive, got ${out.map(_.getAs[Long]("doc_id")).mkString(",")}")
+    assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    // deterministic: same input, same split assignment
+    val again = CorpusPipeline.curate(rows,
+        pairsOf = d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.5))
+      .orderBy("doc_id").collect().map(r => r.getAs[String]("split")).toSeq
+    assert(again == out.map(_.getAs[String]("split")).toSeq)
+  }
+
   test("text quality: ratios and score on a crafted doc") {
     val out = TextAnalysis.textQuality(docs(1L -> "The cat, the hat!")).collect().head
     assert(out.getAs[Int]("n_words") == 4)
