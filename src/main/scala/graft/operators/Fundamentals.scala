@@ -53,6 +53,44 @@ object Fundamentals {
         avg(col("o_totalprice")).as("avg_order"),
         count(lit(1)).as("n_orders"))
 
+  /** company_overview (fundamental_extractor.py:319 get_company_overview
+    * — name / industry / exchange / cap fields, `_normalize_dict`): the
+    * per-entity profile row. Segment plays the industry role, nation the
+    * exchange role, lifetime order aggregates the cap proxies. Left join
+    * keeps order-less entities (the reference returns an overview even
+    * when other endpoints are empty); the nation dim broadcasts.
+    */
+  def companyOverview(customer: DataFrame, orders: DataFrame,
+                      nation: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_mktsegment").as("industry"), col("c_nationkey"),
+        col("c_acctbal").as("acctbal"))
+      .agg(
+        sum(col("o_totalprice")).as("total_rev"),
+        count(col("o_orderkey")).as("n_orders"),
+        max(col("o_orderdate")).as("last_order"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("exchange"))), Seq("c_nationkey"))
+      .select(col("custkey"), col("name"), col("industry"), col("exchange"),
+        col("acctbal"), col("total_rev"), col("n_orders"), col("last_order"))
+
+  /** dividend_history (fundamental_extractor.py:328 get_dividends —
+    * ex_date parse, numeric coerce, sort desc, head(limit)): last
+    * `limit` payout events per entity, newest first. Per-key recent-N
+    * via window rank — key-parallel, never a global sort; the
+    * reference's per-symbol head(10) loop becomes one distributed pass.
+    */
+  def dividendHistory(orders: DataFrame, limit: Int = 10): DataFrame =
+    orders
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey"))))
+      .filter(col("rk") <= limit)
+      .select(col("o_custkey").as("custkey"), col("rk"),
+        col("o_orderdate").as("ex_date"), col("o_totalprice").as("dividend"))
+
   /** #33 fund_score (fundamental_analyzer.py:46 score_fundamentals):
     * five binary checks — latest-quarter growth > 10%, positive balance,
     * above-segment average order value, above-segment total revenue,

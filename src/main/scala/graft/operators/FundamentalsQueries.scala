@@ -75,6 +75,18 @@ object FundamentalsQueries {
         Fundamentals.financialRatios(Tables.customer(s, d), Tables.orders(s, d),
           Tables.lineitem(s, d)))
         .orderBy(col("custkey"))),
+
+    "company_overview" -> ((s, d) =>
+      Fundamentals.companyOverview(Tables.customer(s, d), Tables.orders(s, d),
+          Tables.nation(s, d))
+        .withColumn("acctbal", round(col("acctbal"), 4))
+        .withColumn("total_rev", round(col("total_rev"), 4))
+        .orderBy(col("custkey"))),
+
+    "dividend_history" -> ((s, d) =>
+      Fundamentals.dividendHistory(Tables.orders(s, d))
+        .withColumn("dividend", round(col("dividend"), 4))
+        .orderBy(col("custkey"), col("rk"))),
   )
 
   /** Orders-grain quarterly revenue series, shared by #33/#34/#36. */
@@ -281,5 +293,29 @@ object FundamentalsQueries {
          |  CASE WHEN f_roe + f_de + f_current + f_growth + f_margin >= 4
          |    THEN 'buy' ELSE 'hold' END AS recommendation
          |FROM f ORDER BY custkey""".stripMargin,
+
+    "company_overview" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+        |  c_mktsegment AS industry, n_name AS exchange,
+        |  round(c_acctbal, 4) AS acctbal,
+        |  round(sum(o_totalprice), 4) AS total_rev,
+        |  count(o_orderkey) AS n_orders,
+        |  max(o_orderdate) AS last_order
+        |FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_mktsegment, n_name, c_acctbal
+        |ORDER BY custkey""".stripMargin,
+
+    "dividend_history" ->
+      """SELECT o_custkey AS custkey, rk, o_orderdate AS ex_date,
+        |  round(o_totalprice, 4) AS dividend
+        |FROM (
+        |  SELECT o_custkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 10
+        |ORDER BY custkey, rk""".stripMargin,
   )
 }
