@@ -38,8 +38,11 @@ object Components {
     val sym = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .union(edges.select(col(dst).cast("long").as("a"), col(src).cast("long").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seed labels with min(id, min neighbor) — the node-id distinct is a
+    // shuffle aggregate anyway, so folding propagation round 1 into it
+    // is free and shaves a full join+materialize round off the loop.
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
