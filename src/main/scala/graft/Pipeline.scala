@@ -49,6 +49,21 @@ object Pipeline {
       breakouts = Screener.breakouts(bars))
   }
 
+  /** Run the weekly summary (report_generator.py:217 via the weekly
+    * scripts' cadence): trailing-week per-symbol performance from the
+    * same bar DAG, parquet'd next to the daily snapshots, markdown
+    * returned. One extra day-grain aggregate on top of [[build]]'s bars
+    * — no second pass over the tick feed.
+    */
+  def runWeekly(spark: SparkSession, dir: String, outDir: String,
+                yearWeek: String): String = {
+    val bars = Bars.daily(Cleaning.cleanEvents(Tables.events(spark, dir)))
+    val perf = Report.weeklyPerformance(bars)
+    Export.parquet(perf, s"${Export.snapshotPath(outDir, yearWeek)}/weekly",
+      maxFiles = 1)
+    Report.weeklyMarkdown(perf, yearWeek)
+  }
+
   /** Run the daily snapshot: parquet every output under
     * `outDir/snapshot=<stamp>`, return the markdown report.
     */

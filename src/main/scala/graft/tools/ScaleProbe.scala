@@ -20,7 +20,10 @@ object ScaleProbe {
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def noopTime(df: DataFrame): Double = {
+    // By-name: operators with driver-side orchestration (the CC loop)
+    // do real work while the DataFrame is being BUILT — that belongs
+    // inside the timer.
+    def noopTime(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -82,9 +85,12 @@ object ScaleProbe {
       val tAnnBrute = noopTime(Similarity.cosineTopK(emb))
       val tAnnLsh = noopTime(Similarity.lshTopK(emb))
       val tNearDup = noopTime(Similarity.nearDupPairs(emb))
+      val tClusters = noopTime(Components.dedupClusters(
+        Similarity.nearDupPairs(emb, minCosine = 0.3), "id1", "id2"))
       println(f"[scale-llm] k=$k docs=${k * docsBaseCount(docsBase)} " +
         f"minhash=$tMinhash%.2f simhash=$tSimhash%.2f ngram=$tNgram%.2f " +
-        f"ann_brute=$tAnnBrute%.2f ann_lsh=$tAnnLsh%.2f near_dup=$tNearDup%.2f")
+        f"ann_brute=$tAnnBrute%.2f ann_lsh=$tAnnLsh%.2f near_dup=$tNearDup%.2f " +
+        f"clusters=$tClusters%.2f")
     }
     spark.stop()
   }

@@ -103,6 +103,16 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$base/health").count() == 1)
   }
 
+  test("pipeline: weekly summary writes the performance table and renders") {
+    val out = Files.createTempDirectory("graft-weekly").toString
+    val md = Pipeline.runWeekly(spark, "/root/testdata/sf0.001", out, "2024-W05")
+    assert(md.contains("# Weekly Summary (2024-W05)"))
+    assert(md.contains("## Top Performers"))
+    val perf = spark.read.parquet(s"$out/snapshot=2024-W05/weekly")
+    assert(perf.count() > 0)
+    assert(perf.columns.contains("weekly_return_pct"))
+  }
+
   test("report: weekly performance and markdown (tail-5 returns, top/bottom)") {
     val bars = Seq(
       // u1: 6 bars — only the last 5 count: 10 → 13 = +30%
