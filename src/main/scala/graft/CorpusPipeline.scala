@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.operators.{Components, Dedup, TextAnalysis}
 
@@ -36,10 +37,17 @@ object CorpusPipeline {
     val gated = TextAnalysis.withQuality(documents)
       .filter(col("lang").isin(langs: _*) && col("quality_score") >= minQuality)
     // 2. Exact dedup, keep-lowest-id: one shuffle on the content hash.
+    //    Persisted: this frame feeds BOTH the pair emitter (materialized
+    //    eagerly by the CC loop below) and the final anti-join — the cut
+    //    the §5 scale notes promise. Without it the scan + quality
+    //    projection + content-hash shuffle run twice. The cache stays hot
+    //    for the caller's action on the returned frame; a long-lived job
+    //    unpersists (or swaps in a bucketed table) after materializing.
     val exactDeduped = gated
       .withColumn("__rn", row_number().over(
         Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // 3. Near-dup resolution: pairs → connected components → drop every
     //    non-canonical cluster member (keep one doc per dup cluster).
     val drops = Components.dedupClusters(pairsOf(exactDeduped), "id1", "id2")

@@ -15,20 +15,40 @@ object Cleaning {
   /** Clean a tick feed keyed by (user_id, ts) with price column `value`.
     * Keep-last semantics on duplicate (key, ts): highest event_id wins
     * (the reference keeps the last occurrence of a timestamp).
+    *
+    * `positivity` mirrors the reference's post-ffill check
+    * (data_cleaner.py:49 raises when any OHLCV value ≤ 0):
+    *  - "keep" (default): propagate non-positive values — downstream
+    *    operators guard with nullif;
+    *  - "null": validate-or-null — non-positive prices become null;
+    *  - "error": reference parity — the job fails on the first
+    *    non-positive value (codegen'd `raise_error`, zero cost on the
+    *    good-row path).
     */
-  def cleanEvents(events: DataFrame): DataFrame = {
+  def cleanEvents(events: DataFrame, positivity: String = "keep"): DataFrame = {
     val dedup = Window.partitionBy(col("user_id"), col("ts"))
       .orderBy(col("event_id").desc)
     val ffill = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    events
+    val filled = events
       .filter(col("ts").isNotNull)
       .withColumn("rn", row_number().over(dedup))
       .filter(col("rn") === 1)
       .drop("rn")
       .withColumn("value", last(col("value"), ignoreNulls = true).over(ffill))
-      .withColumn("date", to_date(col("ts")))
+    val validated = positivity match {
+      case "null" =>
+        filled.withColumn("value", when(col("value") > 0, col("value")))
+      case "error" =>
+        filled.withColumn("value",
+          when(col("value") <= 0, raise_error(concat(
+            lit("non-positive value after forward-fill for user_id="),
+            col("user_id").cast("string"))))
+            .otherwise(col("value")))
+      case _ => filled
+    }
+    validated.withColumn("date", to_date(col("ts")))
   }
 
   /** Normalize a symbol-ish string column: trim, uppercase, validity flag

@@ -143,8 +143,16 @@ object Dedup {
     * connected-components grouping) without the quadratic blowup.
     * `xs` must be sorted ascending so pair order and the star root are
     * deterministic.
+    *
+    * Recall contract: downstream exact verification (Jaccard/hamming)
+    * runs PER PAIR, so in an oversized bucket that is NOT homogeneous,
+    * a spoke whose similarity to the star root fails the threshold is
+    * disconnected even if it is a genuine duplicate of another non-root
+    * member — star expansion trades that recall tail for the quadratic
+    * bound. Callers can measure exposure by counting buckets over `cap`
+    * (`groupBy(bucket).count.filter(count > cap)`) before emitting.
     */
-  private def cappedPairs(xs: Column, cap: Int): Column =
+  private[operators] def cappedPairs(xs: Column, cap: Int): Column =
     when(size(xs) <= lit(cap),
       flatten(transform(xs, (x, i) =>
         transform(slice(xs, i + lit(2), size(xs)), y =>

@@ -104,7 +104,11 @@ object Fundamentals {
       .withColumn("__rn", row_number().over(byCustQDesc))
     val lastGrowth = series.filter(col("__rn") === 1)
       .select(col("custkey"), col("growth").as("last_growth"))
+    // Company-grain, referenced by the segment rollup AND the final join
+    // — persist cuts the second orders-scan derivation (see
+    // fairValueRelative's note).
     val profile = customerProfile(customer, orders)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segAvg = profile.groupBy(col("c_mktsegment")).agg(
       avg(col("total_rev")).as("seg_rev"),
       avg(col("avg_order")).as("seg_avg_order"))
@@ -166,6 +170,7 @@ object Fundamentals {
     */
   def sectorCompare(customer: DataFrame, orders: DataFrame): DataFrame = {
     val profile = customerProfile(customer, orders)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segMed = profile.groupBy(col("c_mktsegment")).agg(
       expr("percentile(total_rev, 0.5)").as("med_rev"),
       expr("percentile(avg_order, 0.5)").as("med_avg_order"))
@@ -190,10 +195,17 @@ object Fundamentals {
     val perCust = series.groupBy(col("custkey")).agg(
       max(when(col("__rd") === 1, col("revenue"))).as("price"),
       avg(col("revenue")).as("earnings_proxy"))
+    // Persisted: referenced by BOTH the segment-average branch and the
+    // final probe side — without the cut the whole orders scan + quarter
+    // rollup + window subplan is planned (and executed) twice; Spark's
+    // exchange reuse does not collapse it (verified via explain). The
+    // frame is company-grain (one row per customer with orders) —
+    // bounded at any corpus scale.
     val withSeg = customer
       .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
       .join(perCust, Seq("custkey"))
       .withColumn("pe", col("price") / nullif(col("earnings_proxy"), lit(0.0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segAvg = withSeg.groupBy(col("c_mktsegment"))
       .agg(avg(col("pe")).as("sector_pe"))
     withSeg.join(broadcast(segAvg), Seq("c_mktsegment"))
@@ -241,7 +253,8 @@ object Fundamentals {
       .withColumn("revenue_growth",
         col("earnings") / nullif(lag(col("earnings"), 1).over(byCustQ), lit(0.0)) - 1)
       .select(col("custkey"), col("quarter"), col("c_mktsegment"),
-        col("gross"), col("earnings"), col("debt"), col("n_items"),
+        col("gross"), col("earnings"), col("debt"),
+        col("c_acctbal").as("equity"), col("n_items"),
         col("pe"), col("ps"), col("roe"), col("debt_to_equity"),
         col("current_ratio"), col("gross_margin"), col("revenue_growth"))
   }
@@ -258,6 +271,7 @@ object Fundamentals {
     val latest = ratios
       .withColumn("__rd", row_number().over(byCustQDesc))
       .filter(col("__rd") === 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segAvg = latest.groupBy(col("c_mktsegment")).agg(
       avg(col("roe")).as("seg_roe"),
       avg(col("gross_margin")).as("seg_margin"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -59,16 +60,36 @@ object FundamentalsQueries {
         .orderBy(col("custkey"))
     }),
 
-    "fund_ratios" -> ((s, d) =>
-      roundCols(
-        Fundamentals.financialRatios(Tables.customer(s, d), Tables.orders(s, d),
-          Tables.lineitem(s, d)),
-        Seq("pe", "ps", "roe", "debt_to_equity", "current_ratio",
-          "gross_margin", "revenue_growth"))
+    "fund_ratios" -> ((s, d) => {
+      // Stable compare frame: every round-6 ratio is re-derived from
+      // already-round-4'd aggregates. The true sums sit on the source's
+      // 2/4-decimal grid, so round4 is bit-identical across engines and
+      // runs; dividing stable operands is then deterministic — sum-order
+      // noise is quantized away BEFORE the division amplifies it (the
+      // fund_sector_compare avg_order trick, applied to all 7 ratios).
+      val wq = Window.partitionBy(col("custkey")).orderBy(col("quarter"))
+      Fundamentals.financialRatios(Tables.customer(s, d), Tables.orders(s, d),
+          Tables.lineitem(s, d))
         .withColumn("gross", round(col("gross"), 4))
         .withColumn("earnings", round(col("earnings"), 4))
         .withColumn("debt", round(col("debt"), 4))
-        .orderBy(col("custkey"), col("quarter"))),
+        .withColumn("pe", round(col("gross") / nullif(col("earnings"), lit(0.0)), 6))
+        .withColumn("ps", round(col("gross") / col("n_items"), 6))
+        .withColumn("roe", round(col("earnings") / nullif(col("equity"), lit(0.0)), 6))
+        // + 0.0 normalizes −0.0 (debt 0 over negative equity): Spark's
+        // round collapses the sign, DuckDB's keeps it — same value,
+        // different string, hash mismatch.
+        .withColumn("debt_to_equity",
+          round(col("debt") / nullif(col("equity"), lit(0.0)), 6) + lit(0.0))
+        .withColumn("current_ratio",
+          round(col("equity") / nullif(col("gross") / col("n_items"), lit(0.0)), 6))
+        .withColumn("gross_margin",
+          round(col("earnings") / nullif(col("gross"), lit(0.0)), 6))
+        .withColumn("revenue_growth",
+          round(col("earnings") / nullif(lag(col("earnings"), 1).over(wq), lit(0.0)) - 1, 6))
+        .drop("equity")
+        .orderBy(col("custkey"), col("quarter"))
+    }),
 
     "fund_score_ratios" -> ((s, d) =>
       Fundamentals.scoreFromRatios(
@@ -87,6 +108,41 @@ object FundamentalsQueries {
       Fundamentals.dividendHistory(Tables.orders(s, d))
         .withColumn("dividend", round(col("dividend"), 4))
         .orderBy(col("custkey"), col("rk"))),
+
+    // Statement measures round at their natural decimal grid (price/
+    // discount/tax columns are 2-dp, so products sit on 4-/6-dp grids):
+    // the rounded value is bit-stable under sum-order noise.
+    "income_statement" -> ((s, d) =>
+      Statements.incomeStatement(Tables.orders(s, d), Tables.lineitem(s, d))
+        .withColumn("gross_revenue", round(col("gross_revenue"), 4))
+        .withColumn("discounts", round(col("discounts"), 4))
+        .withColumn("net_revenue", round(col("net_revenue"), 4))
+        .withColumn("tax_expense", round(col("tax_expense"), 6))
+        .withColumn("net_income", round(col("net_income"), 6))
+        .orderBy(col("custkey"), col("period"))),
+
+    "balance_sheet" -> ((s, d) =>
+      Statements.balanceSheet(Tables.customer(s, d), Tables.orders(s, d))
+        .withColumn("receivables", round(col("receivables"), 4))
+        .withColumn("retained", round(col("retained"), 4))
+        .withColumn("cash", round(col("cash"), 4))
+        .withColumn("total_assets", round(col("total_assets"), 4))
+        .withColumn("liabilities", round(col("liabilities"), 4))
+        .withColumn("equity", round(col("equity"), 4))
+        .orderBy(col("custkey"), col("period"))),
+
+    "cash_flow" -> ((s, d) =>
+      Statements.cashFlow(Tables.orders(s, d))
+        .withColumn("operating_inflow", round(col("operating_inflow"), 4))
+        .withColumn("committed_outflow", round(col("committed_outflow"), 4))
+        .withColumn("net_cash_flow", round(col("net_cash_flow"), 4))
+        .withColumn("cumulative_cash", round(col("cumulative_cash"), 4))
+        .orderBy(col("custkey"), col("period"))),
+
+    "corporate_events" -> ((s, d) =>
+      Statements.corporateEvents(Tables.events(s, d))
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("entity_id"), col("rk"))),
   )
 
   /** Orders-grain quarterly revenue series, shared by #33/#34/#36. */
@@ -254,21 +310,30 @@ object FundamentalsQueries {
          |FROM fv JOIN pr ON fv.custkey = pr.custkey
          |ORDER BY fv.custkey""".stripMargin,
 
+    // Ratios derived from round-4'd sums on BOTH sides — see the Spark
+    // wrapper's determinism note.
     "fund_ratios" ->
-      s"""$RatiosCte
-         |SELECT custkey, quarter, c_mktsegment,
-         |  round(gross, 4) AS gross,
-         |  round(earnings, 4) AS earnings,
-         |  round(debt, 4) AS debt,
-         |  n_items,
-         |  round(pe, 6) AS pe,
-         |  round(ps, 6) AS ps,
-         |  round(roe, 6) AS roe,
-         |  round(debt_to_equity, 6) AS debt_to_equity,
-         |  round(current_ratio, 6) AS current_ratio,
-         |  round(gross_margin, 6) AS gross_margin,
-         |  round(revenue_growth, 6) AS revenue_growth
-         |FROM ratios ORDER BY custkey, quarter""".stripMargin,
+      """WITH q AS (
+        |  SELECT o_custkey AS custkey,
+        |    date_trunc('quarter', o_orderdate) AS quarter,
+        |    round(sum(l_extendedprice), 4) AS gross,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS earnings,
+        |    round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN l_extendedprice END), 0.0), 4) AS debt,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT q.custkey, q.quarter, c.c_mktsegment,
+        |  q.gross, q.earnings, q.debt, q.n_items,
+        |  round(q.gross / nullif(q.earnings, 0.0), 6) AS pe,
+        |  round(q.gross / q.n_items, 6) AS ps,
+        |  round(q.earnings / nullif(c.c_acctbal, 0.0), 6) AS roe,
+        |  round(q.debt / nullif(c.c_acctbal, 0.0), 6) + 0.0 AS debt_to_equity,
+        |  round(c.c_acctbal / nullif(q.gross / q.n_items, 0.0), 6) AS current_ratio,
+        |  round(q.earnings / nullif(q.gross, 0.0), 6) AS gross_margin,
+        |  round(q.earnings / nullif(lag(q.earnings) OVER (
+        |    PARTITION BY q.custkey ORDER BY q.quarter), 0.0) - 1, 6) AS revenue_growth
+        |FROM q JOIN customer c ON q.custkey = c.c_custkey
+        |ORDER BY custkey, quarter""".stripMargin,
 
     "fund_score_ratios" ->
       s"""$RatiosCte,
@@ -317,5 +382,68 @@ object FundamentalsQueries {
         |  FROM orders) t
         |WHERE rk <= 10
         |ORDER BY custkey, rk""".stripMargin,
+
+    "income_statement" ->
+      """SELECT o_custkey AS custkey,
+        |  date_trunc('quarter', o_orderdate) AS period,
+        |  round(sum(l_extendedprice), 4) AS gross_revenue,
+        |  round(sum(l_extendedprice * l_discount), 4) AS discounts,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount) * l_tax), 6) AS tax_expense,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount))
+        |    - sum(l_extendedprice * (1 - l_discount) * l_tax), 6) AS net_income
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY custkey, period""".stripMargin,
+
+    "balance_sheet" ->
+      """WITH p AS (
+        |  SELECT o_custkey AS custkey,
+        |    date_trunc('quarter', o_orderdate) AS period,
+        |    coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0) AS receivables,
+        |    coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0) AS fulf
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (
+        |  SELECT custkey, period, receivables,
+        |    sum(fulf) OVER (PARTITION BY custkey ORDER BY period
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS retained
+        |  FROM p)
+        |SELECT b.custkey, b.period,
+        |  round(b.receivables, 4) AS receivables,
+        |  round(b.retained, 4) AS retained,
+        |  round(c.c_acctbal, 4) AS cash,
+        |  round(c.c_acctbal + b.receivables + b.retained, 4) AS total_assets,
+        |  round(b.receivables, 4) AS liabilities,
+        |  round(c.c_acctbal + b.retained, 4) AS equity
+        |FROM b JOIN customer c ON b.custkey = c.c_custkey
+        |ORDER BY custkey, period""".stripMargin,
+
+    "cash_flow" ->
+      """WITH p AS (
+        |  SELECT o_custkey AS custkey,
+        |    date_trunc('quarter', o_orderdate) AS period,
+        |    coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0) AS operating_inflow,
+        |    coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0) AS committed_outflow,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT custkey, period, n_orders,
+        |  round(operating_inflow, 4) AS operating_inflow,
+        |  round(committed_outflow, 4) AS committed_outflow,
+        |  round(operating_inflow - committed_outflow, 4) AS net_cash_flow,
+        |  round(sum(operating_inflow - committed_outflow) OVER (
+        |    PARTITION BY custkey ORDER BY period
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cumulative_cash
+        |FROM p
+        |ORDER BY custkey, period""".stripMargin,
+
+    "corporate_events" ->
+      """SELECT user_id AS entity_id, CAST(ts AS DATE) AS date,
+        |  event_type, round(value, 6) AS value, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY CAST(ts AS DATE) DESC, event_id) AS rk
+        |FROM events
+        |WHERE ts IS NOT NULL
+        |ORDER BY entity_id, rk""".stripMargin,
   )
 }

@@ -38,9 +38,21 @@ object LlmQueries {
         .withColumn("cos_sim", round(col("cos_sim"), 6))
         .orderBy(col("id1"), col("id2"))),
 
+    // Label-bucketed emitter: oracle-expressible (the recursive CTE
+    // below mirrors it exactly) — kept as the cross-engine-checked row.
     "dedup_clusters" -> ((s, d) =>
       Components.dedupClusters(
         Similarity.nearDupPairs(emb(s, d), minCosine = 0.3), "id1", "id2")
+        .orderBy(col("cluster_id"), col("id"))),
+
+    // The production default: LSH-signature-bucketed emitter — candidate
+    // count tracks bucket occupancy, not per-label density (the label
+    // variant is quadratic in dense labels; SURVEY §5 caveat). Rows-only:
+    // seeded-hash signatures aren't cross-engine; the correctness gate is
+    // DedupTextSpec's pair-parity-vs-ground-truth fixture.
+    "dedup_clusters_lsh" -> ((s, d) =>
+      Components.dedupClusters(
+        Similarity.nearDupPairsLsh(emb(s, d), minCosine = 0.3), "id1", "id2")
         .orderBy(col("cluster_id"), col("id"))),
 
     "ann_cosine_topk" -> ((s, d) =>

@@ -55,6 +55,63 @@ object Similarity {
       .select(col("label"), col("id1"), col("id2"), col("cos_sim"))
   }
 
+  /** Scale-safe near-dup pair emitter: banded random-hyperplane LSH —
+    * the default emitter for cluster resolution at corpus scale. The
+    * label-bucketed [[nearDupPairs]] is oracle-checkable but quadratic
+    * in per-label density; here candidates come from `bands` independent
+    * signature tables of `planesPerBand` hyperplanes each (the minhash
+    * banding scheme applied to hyperplane bits), so a pair is a
+    * candidate iff some band agrees on all its bits: recall =
+    * 1 − (1 − p^r)^L with p the per-plane agreement — ≈0.998 at cosine
+    * 0.9 with r=4, L=8. Exact cosine then verifies every candidate, so
+    * false positives cost time, never correctness.
+    *
+    * Shape: ONE signature computation per vector, exploded into L
+    * narrow (band, bandSig, id) rows; candidates come from a bucket
+    * collect + local pair expansion (the minhash plan — computes the
+    * signature subtree once, where a self-join would derive it twice),
+    * star-capped at `maxBucket` so one degenerate bucket can never go
+    * quadratic; verification joins vectors back for the (distinct)
+    * candidate set only. Never all-pairs, never label-density-quadratic.
+    *
+    * Sizing contract: random (non-dup) pairs collide per band at rate
+    * 2^(−r), so candidate volume ≈ L·n²/2^r + true-pair volume — `r`
+    * (planesPerBand) must grow with log₂(corpus density) to keep buckets
+    * bounded, exactly like any LSH index. The defaults (r=7, L=4) fit
+    * the test corpus; at 100 TB they are config, not code.
+    */
+  def nearDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.4,
+                      planesPerBand: Int = 7, bands: Int = 4,
+                      maxBucket: Int = 512): DataFrame = {
+    require(planesPerBand * bands <= 30, "signature must fit a positive int")
+    val e = withNorm(embeddings)
+    val mask = (1 << planesPerBand) - 1
+    val bandKeys = e
+      .withColumn("sig", lshSignature(col("v"), planesPerBand * bands))
+      .select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * planesPerBand)
+            .bitwiseAND(lit(mask)).as("bsig"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val cands = bandKeys
+      .groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(Dedup.cappedPairs(col("xs"), maxBucket)).as("pr"))
+      // A pair can agree in several bands — dedupe before the (heavier)
+      // vector verify so the dot product runs once per pair.
+      .select(col("pr.a").as("id1"), col("pr.b").as("id2")).distinct()
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
+    cands
+      .join(vecs.select(col("vec_id").as("id1"), col("v").as("v1"),
+        col("nrm").as("n1")), Seq("id1"))
+      .join(vecs.select(col("vec_id").as("id2"), col("v").as("v2"),
+        col("nrm").as("n2")), Seq("id2"))
+      .withColumn("cos_sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+  }
+
   /** #42 ann_cosine_topk: brute-force exact top-k per query vector. The
     * query side (vec_id < nQueries) is broadcast; ranking is per-query
     * over rounded cosine with id tie-break (deterministic across
@@ -77,18 +134,32 @@ object Similarity {
         col("cos_sim"))
   }
 
-  /** Random-hyperplane signature: bit p = sign of ⟨v, r_p⟩ where r_p is a
-    * deterministic pseudo-random hyperplane derived from xxhash64(p, i)
-    * mapped to [−1, 1] — reproducible with no RNG state.
+  /** Hyperplane component r_p[i] = xxhash64("p#i") mapped to [−1, 1] —
+    * deterministic, no RNG state. Evaluated ONCE on the driver (the
+    * value depends only on (plane, index), never on data) via the same
+    * Catalyst XxHash64 the executor-side formula used, so signatures are
+    * bit-identical to the old per-row evaluation.
     */
-  def lshSignature(v: Column, planes: Int): Column = {
+  private def planeComponent(p: Int, i: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // seed 42L = the `xxhash64` SQL function's default
+    XxHash64(Seq(Literal(s"$p#$i")), 42L).eval(null).asInstanceOf[Long].toDouble /
+      9.223372036854776e18
+  }
+
+  /** Random-hyperplane signature: bit p = sign of ⟨v, r_p⟩. Each
+    * hyperplane ships as a LITERAL array into the codegen'd `vec_dot`
+    * loop — the original formulation computed the hash per element per
+    * row inside an interpreted HOF lambda (planes × dim × rows string
+    * hashes; the profile-dominant cost of every LSH operator at sf0.1).
+    * `maxDim` bounds the shipped literals; vectors longer than it would
+    * silently project onto the first `maxDim` coordinates — raise it for
+    * wider embeddings (cost is plan-size only).
+    */
+  def lshSignature(v: Column, planes: Int, maxDim: Int = 128): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
-          x * (xxhash64(concat(lit(s"$p#"), i.cast("string"))).cast("double") /
-            lit(9.223372036854776e18))),
-        lit(0.0), (s, x) => s + x)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+      val plane = typedlit(Array.tabulate(maxDim)(i => planeComponent(p, i)))
+      when(dot(v, plane) > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }

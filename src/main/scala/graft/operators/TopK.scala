@@ -17,10 +17,21 @@ import org.apache.spark.sql.functions._
 object TopK {
 
   /** Ascending-encoded sort key for a DESCENDING numeric column: negate,
-    * with nulls pushed last (+∞), matching desc-nulls-last default order.
+    * with nulls pushed last (+∞) matching desc-nulls-last default order,
+    * and NaN pushed FIRST (−∞) matching Spark's NaN-greater-than-any
+    * ordering under `desc` (a plain negate would send NaN last, silently
+    * excluding NaN metrics from the top-k).
+    *
+    * Numeric-key contract: keys are compared as doubles, so integral
+    * keys above 2^53 may collide in the encoding (ties then resolve by
+    * the caller's tie-break key). For exact ordering on huge longs, pass
+    * a natively-typed expression (e.g. `-c` on the long itself) instead.
     */
-  def descNum(c: Column): Column =
-    coalesce(-c.cast("double"), lit(Double.PositiveInfinity))
+  def descNum(c: Column): Column = {
+    val d = c.cast("double")
+    when(isnan(d), lit(Double.NegativeInfinity))
+      .otherwise(coalesce(-d, lit(Double.PositiveInfinity)))
+  }
 
   /** Top-k rows of `df` under ascending lexicographic `ascKeys` order
     * (encode descending numerics with [[descNum]]), plus a 1-based

@@ -77,7 +77,13 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            // flatMapGroupsWithState does NOT pre-filter late data: a
+            // straggler older than the watermark could re-open state a
+            // timeout flush already emitted and produce a second,
+            // overlapping session for the same user in append mode. The
+            // watermark is the flush contract — drop sub-watermark events.
+            val wm = state.getCurrentWatermarkMs
+            val sorted = it.toSeq.filter(_.ts.getTime > wm).sortBy(_.ts.getTime)
             val (closed, open) = advance(state.getOption, sorted, gap, userId)
             open match {
               case Some(s) =>

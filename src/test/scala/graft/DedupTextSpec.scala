@@ -233,6 +233,42 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(again == out.map(_.getAs[String]("split")).toSeq)
   }
 
+  test("banded LSH near-dup pairs: exact parity on identical-direction clusters") {
+    // Scaled copies share the hyperplane signature exactly (sign(⟨v,r⟩)
+    // is scale-invariant), so every true pair is a candidate in every
+    // band and exact-cosine verification admits exactly the clusters.
+    val emb = Seq(
+      (0L, Array(1f, 2f, 3f, 4f), 0), (1L, Array(2f, 4f, 6f, 8f), 1),
+      (2L, Array(3f, 6f, 9f, 12f), 0),                       // cluster A: 0,1,2
+      (3L, Array(-5f, 1f, 0f, 2f), 1), (4L, Array(-10f, 2f, 0f, 4f), 0), // cluster B: 3,4
+      (5L, Array(0f, 0f, 1f, -9f), 1)                        // singleton
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearDupPairsLsh(emb, minCosine = 0.999)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(out == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+  }
+
+  test("banded LSH near-dup pairs: no label quadratics, recall floor vs all-pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.lit
+    // Ground truth: the label-bucketed emitter with ONE shared bucket =
+    // exact all-pairs at the threshold.
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val exact = pairs(Similarity.nearDupPairs(
+      emb.withColumn("label", lit(0)), minCosine = 0.55))
+    // Recall-sized banding (r=4 → wider buckets, L=7 probes): the knob a
+    // low-threshold mining run would pick; defaults are selectivity-sized.
+    val lsh = pairs(Similarity.nearDupPairsLsh(emb, minCosine = 0.55,
+      planesPerBand = 4, bands = 7))
+    assert(lsh.subsetOf(exact), "exact-cosine verify must kill false positives")
+    val recall = if (exact.isEmpty) 1.0 else (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"banded recall too low: $recall over ${exact.size} pairs")
+    // Deterministic hyperplanes: same input, same pairs.
+    assert(pairs(Similarity.nearDupPairsLsh(emb, minCosine = 0.55,
+      planesPerBand = 4, bands = 7)) == lsh)
+  }
+
   test("text quality: ratios and score on a crafted doc") {
     val out = TextAnalysis.textQuality(docs(1L -> "The cat, the hat!")).collect().head
     assert(out.getAs[Int]("n_words") == 4)
