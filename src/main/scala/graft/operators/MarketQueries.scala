@@ -24,6 +24,11 @@ object MarketQueries {
     "clean_events" -> ((s, d) =>
       Cleaning.cleanEvents(Tables.events(s, d)).orderBy(col("user_id"), col("ts"))),
 
+    "ticker_universe" -> ((s, d) =>
+      Scope.tickerUniverse(Tables.customer(s, d), Tables.nation(s, d),
+          exchanges = Seq("NATION_1", "nation_2 ", "NATION_3", "hsx"))
+        .orderBy(col("symbol"))),
+
     "bars_daily" -> ((s, d) =>
       ordered(roundCols(bars(s, d), Seq("vwap")))),
 
@@ -123,6 +128,20 @@ object MarketQueries {
       s"""$BarsCte
          |SELECT event_id, ts, user_id, event_type, value, props, date
          |FROM clean ORDER BY user_id, ts""".stripMargin,
+
+    // 'nation_2 ' exercises trim+upper normalization; 'hsx' the alias
+    // map (→HOSE, no such exchange — filters nothing extra).
+    "ticker_universe" ->
+      """SELECT DISTINCT c_custkey AS entity_id,
+        |  upper(trim(c_name)) AS symbol,
+        |  upper(trim(n_name)) AS exchange
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE upper(trim(n_name)) IN ('NATION_1', 'NATION_2', 'NATION_3', 'HOSE')
+        |  AND NOT (upper(trim(c_name)) LIKE 'VF%'
+        |    OR upper(trim(c_name)) LIKE 'FUE%'
+        |    OR upper(trim(c_name)) LIKE 'E1VF%'
+        |    OR upper(trim(c_name)) LIKE 'SSV%')
+        |ORDER BY symbol""".stripMargin,
 
     "bars_daily" ->
       s"""$BarsCte

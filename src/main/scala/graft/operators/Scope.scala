@@ -48,4 +48,48 @@ object Scope {
     * re-exported next to the scope ops for discoverability).
     */
   def validSymbol(c: Column): Column = Cleaning.isValidSymbol(c)
+
+  /** The reference's exchange alias table (market_scanner.py:325
+    * `_normalize_exchanges` — HSX→HOSE, UPCOM typo variants).
+    */
+  val DefaultExchangeAliases: Map[String, String] =
+    Map("HSX" -> "HOSE", "UPCOM." -> "UPCOM", "UPCOMM" -> "UPCOM")
+
+  /** Normalize an exchange tag: trim + uppercase, then alias-map
+    * (market_scanner.py:325). Pure Catalyst conditionals — no UDF.
+    */
+  def normalizeExchange(c: Column,
+                        aliases: Map[String, String] = DefaultExchangeAliases): Column =
+    aliases.foldLeft(upper(trim(c))) { case (acc, (k, v)) =>
+      when(acc === k, lit(v)).otherwise(acc)
+    }
+
+  /** Ticker universe with exchange-membership filtering — the engine
+    * counterpart of `get_all_tickers` (market_scanner.py:38: fetch →
+    * `_filter_tickers`:241 prefix/status exclusions + exchange filter →
+    * unique sorted). The cache layer is API-client plumbing with no
+    * engine role; the semantics that survive are: per-entity exchange
+    * tag (nation dim plays the exchange, broadcast), alias-normalized
+    * membership filter, ETF-style symbol-prefix exclusions, distinct
+    * sorted output. One broadcast join + a filter — entity-dim-grain.
+    */
+  def tickerUniverse(customer: DataFrame, nation: DataFrame,
+                     exchanges: Seq[String] = Nil,
+                     excludePrefixes: Seq[String] = Seq("VF", "FUE", "E1VF", "SSV"),
+                     aliases: Map[String, String] = DefaultExchangeAliases): DataFrame = {
+    val tagged = customer
+      .select(col("c_custkey").as("entity_id"),
+        upper(trim(col("c_name"))).as("symbol"), col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("exchange_raw"))), Seq("c_nationkey"))
+      .withColumn("exchange", normalizeExchange(col("exchange_raw"), aliases))
+      .drop("c_nationkey", "exchange_raw")
+    val wanted = exchanges.map(e => aliases.getOrElse(e.trim.toUpperCase,
+      e.trim.toUpperCase)).distinct
+    val member = if (wanted.isEmpty) tagged
+                 else tagged.filter(col("exchange").isin(wanted: _*))
+    excludePrefixes.foldLeft(member)((acc, p) =>
+        acc.filter(!col("symbol").startsWith(p)))
+      .distinct()
+  }
 }
