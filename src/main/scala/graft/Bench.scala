@@ -75,7 +75,13 @@ object Bench {
           failures += 1
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
-      }
+      } finally
+        // Several operators persist() intermediates they cannot safely
+        // unpersist themselves (the caller owns the returned frame's
+        // lifetime). In a 60+ query shared JVM those leak and one query's
+        // cache pressure degrades another's timing — drop them between
+        // measurements so every query starts from the same storage state.
+        spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map(_ => timeOnce(name, fn))
@@ -88,12 +94,34 @@ object Bench {
     val ratios = results.collect {
       case (n, t) if t >= 0 && baseline.contains(n) => t / baseline(n)
     }.sorted
-    val drift = if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    // Clamp [1, 1.5]: a fast environment never tightens the gate, and a
+    // genuine run-wide regression (shared helper / session config / table
+    // loader touching every query) must not inflate drift without bound
+    // and gate-proof itself — past 1.5× the slowdown is treated as code.
+    val rawDrift = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val drift = math.min(1.5, math.max(1.0, rawDrift))
+    if (rawDrift > 1.5)
+      System.err.println(
+        f"[bench] WARNING run-wide drift $rawDrift%.2f exceeds the 1.5 cap — " +
+          "either the machine is badly loaded or a shared-path change slowed everything")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"drift":$drift%.3f,"sf":"$sfDir"}""")
-    if (failures > 0) { spark.stop(); sys.exit(1) }
+    val jsonLine =
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"drift":$drift%.3f,"raw_drift":$rawDrift%.3f,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // The driver's capture lost the JSON line on both gated rounds (r3,
+    // r4 record `parsed: null`) — persist it to a file too, and re-print
+    // it as the very last stdout line after the gate decides, so a rc!=0
+    // exit still leaves parseable numbers.
+    try {
+      val w = new java.io.PrintWriter("bench_result.json", "UTF-8")
+      try w.println(jsonLine) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_result.json: ${e.getMessage}")
+    }
+    def finalReport(): Unit = println(jsonLine)
+    if (failures > 0) { finalReport(); spark.stop(); sys.exit(1) }
     val gateArmed = sfDir.contains("sf0.1") &&
       !sys.env.get("SPARK_GRAFT_BASELINE").contains("off")
     if (gateArmed) {
@@ -116,8 +144,10 @@ object Bench {
       spark.stop()
       if (confirmed.nonEmpty) {
         confirmed.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
+        finalReport()
         sys.exit(2)
       }
-    } else spark.stop()
+      finalReport()
+    } else { spark.stop(); finalReport() }
   }
 }

@@ -50,6 +50,9 @@ object CorpusPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 3. Near-dup resolution: pairs → connected components → drop every
     //    non-canonical cluster member (keep one doc per dup cluster).
+    // pointerJump measured SLOWER here (7.2 s vs 6.4 s at sf0.1): the
+    // ngram pair graph is near-clique, converges in few rounds, and the
+    // extra per-round join costs more than the rounds it saves.
     val drops = Components.dedupClusters(pairsOf(exactDeduped), "id1", "id2")
       .filter(col("is_canonical") === 0)
       .select(col("id").as("doc_id"))

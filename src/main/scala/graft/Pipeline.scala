@@ -21,6 +21,26 @@ import graft.sources.Tables
   */
 object Pipeline {
 
+  /** Severity-tagged run notification (reference `Pipeline._notify`,
+    * /root/reference/src/pipeline.py:408): the reference logs and, when
+    * configured, POSTs to a messaging API. The engine keeps the seam and
+    * not the transport — callers inject the delivery (webhook, queue,
+    * pager); the default logs. Severities follow the reference: "info",
+    * "warning", "error".
+    */
+  type Notifier = (String, String) => Unit
+
+  object Notify {
+    /** Default sink: severity-tagged log line, like the reference's
+      * `logger.info('Notify [%s]: %s', ...)`.
+      */
+    val log: Notifier = (severity, message) =>
+      System.err.println(s"[graft][notify][$severity] $message")
+
+    /** Drop notifications (tests, library embedding). */
+    val silent: Notifier = (_, _) => ()
+  }
+
   final case class Outputs(
     bars: DataFrame,
     enriched: DataFrame,
@@ -67,18 +87,26 @@ object Pipeline {
   /** Run the daily snapshot: parquet every output under
     * `outDir/snapshot=<stamp>`, return the markdown report.
     */
-  def runDaily(spark: SparkSession, dir: String, outDir: String, stamp: String): String = {
-    val o = build(spark, dir)
-    val base = Export.snapshotPath(outDir, stamp)
-    Export.parquet(o.bars, s"$base/bars", partitionCols = Seq("date"))
-    Export.parquet(o.enriched, s"$base/indicators")
-    Export.parquet(o.breadth, s"$base/breadth")
-    Export.parquet(o.health, s"$base/health", maxFiles = 1)
-    Export.parquet(o.movers, s"$base/movers", maxFiles = 1)
-    Export.parquet(o.signals, s"$base/signals")
-    Export.parquet(o.breakouts, s"$base/breakouts")
-    Report.dailyMarkdown(
-      Breadth.marketSummary(o.breadth, o.bars), o.movers,
-      Breadth.marketRegime(o.breadth))
-  }
+  def runDaily(spark: SparkSession, dir: String, outDir: String, stamp: String,
+               notify: Notifier = Notify.log): String =
+    try {
+      val o = build(spark, dir)
+      val base = Export.snapshotPath(outDir, stamp)
+      Export.parquet(o.bars, s"$base/bars", partitionCols = Seq("date"))
+      Export.parquet(o.enriched, s"$base/indicators")
+      Export.parquet(o.breadth, s"$base/breadth")
+      Export.parquet(o.health, s"$base/health", maxFiles = 1)
+      Export.parquet(o.movers, s"$base/movers", maxFiles = 1)
+      Export.parquet(o.signals, s"$base/signals")
+      Export.parquet(o.breakouts, s"$base/breakouts")
+      val md = Report.dailyMarkdown(
+        Breadth.marketSummary(o.breadth, o.bars), o.movers,
+        Breadth.marketRegime(o.breadth))
+      notify("info", s"daily snapshot $stamp complete: $base")
+      md
+    } catch {
+      case e: Throwable =>
+        notify("error", s"daily snapshot $stamp failed: ${e.getMessage}")
+        throw e
+    }
 }

@@ -18,7 +18,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // Operators persist() intermediates whose lifetime the caller
+        // owns; in this 60+ query shared JVM, drop them between queries
+        // so cache pressure never carries across.
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

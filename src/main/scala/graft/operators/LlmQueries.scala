@@ -42,7 +42,8 @@ object LlmQueries {
     // below mirrors it exactly) — kept as the cross-engine-checked row.
     "dedup_clusters" -> ((s, d) =>
       Components.dedupClusters(
-        Similarity.nearDupPairs(emb(s, d), minCosine = 0.3), "id1", "id2")
+        Similarity.nearDupPairs(emb(s, d), minCosine = 0.3), "id1", "id2",
+        pointerJump = true)
         .orderBy(col("cluster_id"), col("id"))),
 
     // The production default: LSH-signature-bucketed emitter — candidate
@@ -50,9 +51,12 @@ object LlmQueries {
     // variant is quadratic in dense labels; SURVEY §5 caveat). Rows-only:
     // seeded-hash signatures aren't cross-engine; the correctness gate is
     // DedupTextSpec's pair-parity-vs-ground-truth fixture.
+    // pointerJump: the banded emitter's recall<1 yields sparse chains
+    // (19 plain hash-min rounds measured); the jump halves the rounds.
     "dedup_clusters_lsh" -> ((s, d) =>
       Components.dedupClusters(
-        Similarity.nearDupPairsLsh(emb(s, d), minCosine = 0.3), "id1", "id2")
+        Similarity.nearDupPairsLsh(emb(s, d), minCosine = 0.3), "id1", "id2",
+        pointerJump = true)
         .orderBy(col("cluster_id"), col("id"))),
 
     "ann_cosine_topk" -> ((s, d) =>

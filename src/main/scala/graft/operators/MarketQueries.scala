@@ -90,6 +90,9 @@ object MarketQueries {
         "obv", "volume_price_trend")))
     }),
 
+    "data_quality" -> ((s, d) =>
+      Quality.dataQuality(Tables.events(s, d)).orderBy(col("user_id"))),
+
     "ind_returns" -> ((s, d) => {
       val df = Indicators.withReturns(bars(s, d), Seq(5, 10))
         .select("user_id", "date", "close", "daily_return_pct",
@@ -339,6 +342,42 @@ object MarketQueries {
          |  round(obv, 6) AS obv,
          |  round(volume * delta, 6) AS volume_price_trend
          |FROM v ORDER BY user_id, date""".stripMargin,
+
+    // isodow <= 5 ≡ Spark's dayofweek ∉ {1=Sun, 7=Sat}: Mon–Fri.
+    "data_quality" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, CAST(ts AS DATE) AS date, value
+        |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |  WHERE ts IS NOT NULL),
+        |g AS (
+        |  SELECT max(date) AS g_max,
+        |    len(list_filter(generate_series(min(date), max(date), INTERVAL 1 DAY),
+        |        d -> isodow(d) <= 5)) AS expected_days
+        |  FROM e),
+        |p AS (
+        |  SELECT user_id,
+        |    count(*) AS n_rows,
+        |    count(DISTINCT date) AS n_days,
+        |    count(*) - count(DISTINCT ts) AS n_dup_ts,
+        |    count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value,
+        |    count(CASE WHEN value <= 0 THEN 1 END) AS n_nonpos_value,
+        |    max(ts) AS last_ts,
+        |    max(date) AS last_date
+        |  FROM e GROUP BY user_id),
+        |q AS (
+        |  SELECT user_id, n_rows, n_days, expected_days,
+        |    greatest(0, expected_days - n_days) AS n_missing_days,
+        |    n_dup_ts, n_null_value, n_nonpos_value, last_ts,
+        |    date_diff('day', last_date, g_max) AS days_stale,
+        |    CAST(expected_days - n_days > 0 AS BIGINT)
+        |      + CAST(n_dup_ts > 0 AS BIGINT)
+        |      + CAST(n_nonpos_value > 0 AS BIGINT)
+        |      + CAST(n_null_value > 0 AS BIGINT) AS n_issues
+        |  FROM p, g)
+        |SELECT user_id, n_rows, n_days, expected_days, n_missing_days,
+        |  n_dup_ts, n_null_value, n_nonpos_value, last_ts, days_stale,
+        |  n_issues, greatest(0, 100 - 10 * n_issues) AS quality_score
+        |FROM q ORDER BY user_id""".stripMargin,
 
     "ind_returns" ->
       s"""$BarsCte,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY §2 #41–43): near-duplicate pair
@@ -115,7 +114,9 @@ object Similarity {
   /** #42 ann_cosine_topk: brute-force exact top-k per query vector. The
     * query side (vec_id < nQueries) is broadcast; ranking is per-query
     * over rounded cosine with id tie-break (deterministic across
-    * engines).
+    * engines) via the bounded [[TopK.groupedWithRank]] aggregate — the
+    * map side truncates to k per query before the shuffle, so the
+    * corpus scan never funnels into nQueries reducer tasks.
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = withNorm(embeddings)
@@ -123,13 +124,12 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
       col("nrm").as("cn"), col("label"))
-    broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+    val cand = broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("label"), col("cos_sim"))
+    TopK.groupedWithRank(cand, Seq(col("query_id")), k,
+        Seq(TopK.descNum(col("cos_sim")), col("neighbor_id")))
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("label"),
         col("cos_sim"))
   }
@@ -152,16 +152,23 @@ object Similarity {
     * loop — the original formulation computed the hash per element per
     * row inside an interpreted HOF lambda (planes × dim × rows string
     * hashes; the profile-dominant cost of every LSH operator at sf0.1).
-    * `maxDim` bounds the shipped literals; vectors longer than it would
-    * silently project onto the first `maxDim` coordinates — raise it for
-    * wider embeddings (cost is plan-size only).
+    * `maxDim` bounds the shipped literals; a vector longer than it
+    * would project onto the first `maxDim` coordinates ONLY — that
+    * silently changes bucketing, so it raises at runtime instead
+    * (raise_error in the signature path): widen `maxDim` for wider
+    * embeddings (cost is plan-size only).
     */
   def lshSignature(v: Column, planes: Int, maxDim: Int = 128): Column = {
     val bits = (0 until planes).map { p =>
       val plane = typedlit(Array.tabulate(maxDim)(i => planeComponent(p, i)))
       when(dot(v, plane) > 0, lit(1 << p)).otherwise(lit(0))
     }
-    bits.reduce(_ + _)
+    when(size(v) > maxDim,
+      raise_error(concat(
+        lit(s"lshSignature: vector wider than maxDim=$maxDim (dim="),
+        size(v).cast("string"),
+        lit(") — signature would silently truncate; raise maxDim"))))
+      .otherwise(bits.reduce(_ + _))
   }
 
   /** #43 ann_lsh_topk: queries probe their signature bucket plus every
@@ -184,16 +191,17 @@ object Similarity {
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), explode(probes).as("sig"))
-    broadcast(queries)
+    val cand = broadcast(queries)
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("nrm").as("cn"), col("sig")), Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .filter(col("rk") <= k)
+      // no dedup needed: probe sigs are pairwise distinct and a neighbor
+      // has exactly one sig, so each (query, neighbor) matches once.
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    TopK.groupedWithRank(cand, Seq(col("query_id")), k,
+        Seq(TopK.descNum(col("cos_sim")), col("neighbor_id")))
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
@@ -225,37 +233,41 @@ object Similarity {
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("features").fit(train)
     val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+      .map { case (c, i) => (i, c.toArray) }
 
     // Nearest cell per corpus vector: |c|² − 2⟨v,c⟩ ranks cells (the
-    // |v|² term is constant per vector), min_by combines map-side.
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("d2", dot(col("centroid"), col("centroid"))
-        - lit(2.0) * dot(col("v"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cell"), col("v"), col("nrm")),
-        struct(col("d2"), col("cell"))).as("m"))
+    // |v|² term is constant per vector). Centroids are DRIVER-known
+    // after the fit, so the argmin is a narrow projection over a
+    // literal (cell, |c|², centroid) table — array_min over per-cell
+    // structs with (d2, cell) lexicographic tie-break. No crossJoin, no
+    // per-vector groupBy: zero Exchange between the corpus scan and its
+    // cell assignment.
+    val cellStructs = cents.map { case (i, c) =>
+      // driver-side |c|²: same left-to-right 0.0-seeded sum as vec_dot
+      val n2 = c.foldLeft(0.0)((s, x) => s + x * x)
+      struct((lit(n2) - lit(2.0) * dot(col("v"), typedlit(c))).as("d2"),
+        lit(i).as("cell"))
+    }
+    val assigned = e
+      .withColumn("m", array_min(array(cellStructs: _*)))
       .select(col("vec_id").as("neighbor_id"), col("m.cell").as("cell"),
-        col("m.v").as("cv"), col("m.nrm").as("cn"))
+        col("v").as("cv"), col("nrm").as("cn"))
 
+    // Query-side probe ranking reuses the same literal structs; the
+    // nProbe smallest cells come from slicing the sorted struct array —
+    // driver-small input (nQueries rows), no window needed.
     val probed = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", dot(col("centroid"), col("centroid"))
-        - lit(2.0) * dot(col("qv"), col("centroid")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(slice(sort_array(array(cellStructs: _*)), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cell").as("cell"))
 
-    broadcast(probed).join(assigned, Seq("cell"))
+    val cand = broadcast(probed).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("cos_sim"))
+    TopK.groupedWithRank(cand, Seq(col("query_id")), k,
+        Seq(TopK.descNum(col("cos_sim")), col("neighbor_id")))
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cell"),
         col("cos_sim"))
   }

@@ -50,4 +50,27 @@ object TopK {
       .select(posexplode(col("__rows")).as(Seq("__pos", "__r")))
       .select((col("__pos") + 1).as(rankCol) +: df.columns.map(c => col(s"__r.__p.$c")): _*)
   }
+
+  /** Per-group top-k with rank — the grouped twin of [[withRank]].
+    *
+    * `row_number().over(partitionBy(g))` ships EVERY candidate row into
+    * the one reducer that owns group g: with a handful of groups (the
+    * ANN rankers have nQueries=10) that collapses a corpus-wide scan
+    * into ≤10 tasks, each holding a corpus-sized slice at 100×. The
+    * bounded [[graft.functions.TopKStruct]] aggregate truncates to k
+    * per group in the PARTIAL (map-side) aggregate, so the shuffle
+    * moves at most k·partitions rows per group and the scan stays fully
+    * parallel. Keys must be total per group (tie-break on a unique
+    * column) for deterministic ranks.
+    */
+  def groupedWithRank(df: DataFrame, groupCols: Seq[Column], k: Int,
+                      ascKeys: Seq[Column], rankCol: String = "rk"): DataFrame = {
+    val keyed = ascKeys.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
+    val payload = struct(df.columns.map(col): _*).as("__p")
+    df.groupBy(groupCols: _*)
+      .agg(graft.functions.TopKStruct.topk_struct(
+        struct(keyed :+ payload: _*), k).as("__rows"))
+      .select(posexplode(col("__rows")).as(Seq("__pos", "__r")))
+      .select((col("__pos") + 1).as(rankCol) +: df.columns.map(c => col(s"__r.__p.$c")): _*)
+  }
 }

@@ -81,9 +81,12 @@ object Sessionize {
             // straggler older than the watermark could re-open state a
             // timeout flush already emitted and produce a second,
             // overlapping session for the same user in append mode. The
-            // watermark is the flush contract — drop sub-watermark events.
+            // watermark is the flush contract — drop only STRICTLY
+            // sub-watermark events (Spark's convention: event-time >=
+            // watermark is on-time; `>` would silently discard boundary
+            // events).
             val wm = state.getCurrentWatermarkMs
-            val sorted = it.toSeq.filter(_.ts.getTime > wm).sortBy(_.ts.getTime)
+            val sorted = it.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
             val (closed, open) = advance(state.getOption, sorted, gap, userId)
             open match {
               case Some(s) =>

@@ -152,6 +152,40 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(pairs(Similarity.ivfTopK(emb, nCells = 8, nProbe = 2)) == narrow)
   }
 
+  test("grouped top-k aggregate matches the window ranking it replaces") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TopK
+    // 3 groups × 40 rows with duplicate scores — big enough to force
+    // buffer compaction (4k bound at k=5) and partial-merge paths.
+    val rows = for (g <- 0 until 3; i <- 0 until 40)
+      yield (g.toLong, i.toLong + 1000 * g, (i * 7919 % 13).toDouble)
+    val df = rows.toDF("g", "id", "score").repartition(8)
+    val viaAgg = TopK.groupedWithRank(df, Seq(col("g")), 5,
+        Seq(TopK.descNum(col("score")), col("id")))
+      .select("g", "rk", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaWindow = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))))
+      .filter(col("rk") <= 5)
+      .select("g", "rk", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("lshSignature refuses vectors wider than maxDim") {
+    import org.apache.spark.sql.functions.col
+    val wide = Seq((0L, Array.fill(200)(1.0))).toDF("vec_id", "v")
+    val ex = intercept[Exception] {
+      wide.select(Similarity.lshSignature(col("v"), planes = 4, maxDim = 128))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("maxDim")),
+      s"expected a maxDim error, got: ${ex.getMessage}")
+  }
+
   test("lang id counts stopword hits and predicts the argmax profile") {
     val out = TextAnalysis.langId(docs(1L -> "the cat and the dog")).collect().head
     assert(out.getAs[Int]("en_hits") == 3) // the ×2 + and

@@ -5,7 +5,7 @@ import java.sql.{Date, Timestamp}
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bars, Cleaning, Indicators}
+import graft.operators.{Bars, Cleaning, Indicators, Quality}
 
 /** Hand-computed fixtures for the cleaning→bars→indicators chain. The EMA
   * fixture recomputes the pandas ewm(adjust=False) recursion in plain
@@ -36,6 +36,38 @@ class MarketSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 2)
     assert(out(0).getAs[Double]("value") == 7.0, "keep-last must pick event_id 2")
     assert(out(1).getAs[Date]("date") == d("2024-01-02"))
+  }
+
+  test("data quality report: gaps, dup timestamps, bad values, freshness, score") {
+    // Corpus span Mon 2024-01-01 .. Fri 2024-01-05 → 5 business days.
+    val events = Seq(
+      // user 1: all 5 days, one duplicated ts, one non-positive value
+      (1L, 1L, ts("2024-01-01 10:00:00"), 5.0),
+      (2L, 1L, ts("2024-01-01 10:00:00"), 6.0),  // dup ts
+      (3L, 1L, ts("2024-01-02 10:00:00"), -1.0), // non-positive
+      (4L, 1L, ts("2024-01-03 10:00:00"), 7.0),
+      (5L, 1L, ts("2024-01-04 10:00:00"), 8.0),
+      (6L, 1L, ts("2024-01-05 10:00:00"), 9.0),
+      // user 2: 2 of 5 days, stale by 3 days, clean values
+      (7L, 2L, ts("2024-01-01 10:00:00"), 1.0),
+      (8L, 2L, ts("2024-01-02 10:00:00"), 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Quality.dataQuality(events).orderBy("user_id").collect()
+    val u1 = out(0)
+    assert(u1.getAs[Long]("n_rows") == 6L && u1.getAs[Long]("n_days") == 5L)
+    assert(u1.getAs[Long]("expected_days") == 5L)
+    assert(u1.getAs[Long]("n_missing_days") == 0L)
+    assert(u1.getAs[Long]("n_dup_ts") == 1L)
+    assert(u1.getAs[Long]("n_nonpos_value") == 1L)
+    assert(u1.getAs[Long]("n_null_value") == 0L)
+    assert(u1.getAs[Long]("days_stale") == 0L)
+    // issues: dup ts + non-positive → score 80
+    assert(u1.getAs[Long]("n_issues") == 2L && u1.getAs[Long]("quality_score") == 80L)
+    val u2 = out(1)
+    assert(u2.getAs[Long]("n_missing_days") == 3L)
+    assert(u2.getAs[Long]("days_stale") == 3L)
+    assert(u2.getAs[Long]("n_issues") == 1L && u2.getAs[Long]("quality_score") == 90L)
+    assert(u2.getAs[Timestamp]("last_ts") == ts("2024-01-02 10:00:00"))
   }
 
   test("daily bars: open/high/low/close/volume/vwap from ticks") {

@@ -89,8 +89,13 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
 
   test("pipeline: daily snapshot writes every output and renders the report") {
     val out = Files.createTempDirectory("graft-pipeline").toString
-    val md = Pipeline.runDaily(spark, "/root/testdata/sf0.001", out, "2024-01-31")
+    val notes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val md = Pipeline.runDaily(spark, "/root/testdata/sf0.001", out, "2024-01-31",
+      notify = (sev, msg) => notes += ((sev, msg)))
     assert(md.contains("# Daily Market Report"))
+    assert(notes.toSeq.map(_._1) == Seq("info"),
+      s"one info notification expected, got $notes")
+    assert(notes.head._2.contains("2024-01-31"))
     val base = s"$out/snapshot=2024-01-31"
     Seq("bars", "indicators", "breadth", "health", "movers", "signals", "breakouts")
       .foreach { name =>
@@ -101,6 +106,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       spark.read.parquet(s"$base/indicators").count(),
       "enrichment preserves bar grain")
     assert(spark.read.parquet(s"$base/health").count() == 1)
+  }
+
+  test("pipeline: a failed run fires an error notification and rethrows") {
+    val notes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    intercept[Exception] {
+      Pipeline.runDaily(spark, "/nonexistent/feed", "/tmp/graft-nowhere", "2024-01-31",
+        notify = (sev, msg) => notes += ((sev, msg)))
+    }
+    assert(notes.toSeq.map(_._1) == Seq("error"), s"error notification expected, got $notes")
   }
 
   test("pipeline: weekly summary writes the performance table and renders") {
