@@ -53,8 +53,16 @@ object Components {
   def connectedComponents(edges: DataFrame, src: String = "a",
                           dst: String = "b", maxIter: Int = 50,
                           pointerJump: Boolean = false): DataFrame = {
+    // Persisted pre-partitioned on the per-round join key `b` (the
+    // GraphX partitioned-edge-RDD idea): at corpus scale the label frame
+    // outgrows the broadcast threshold and the per-round join becomes
+    // shuffle-on-both-sides — hashing the edge list once means only the
+    // (node-sized) label frame moves per round, never the (edge-sized)
+    // graph. At sf0.1 Spark broadcasts the labels and the repartition is
+    // noise-level cost; it is the 100 TB insurance.
     val sym = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .union(edges.select(col(dst).cast("long").as("a"), col(src).cast("long").as("b")))
+      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Seed labels with min(id, min neighbor) — the node-id distinct is a
     // shuffle aggregate anyway, so folding propagation round 1 into it
@@ -65,13 +73,17 @@ object Components {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = sym
+      // Message + combine (the Pregel round as ONE join + ONE aggregate):
+      // each node receives its neighbors' labels through the edge join,
+      // plus one tagged self-message carrying its own label; the combine
+      // takes the min. `prev` rides along on the self rows (every node
+      // sends itself exactly one), so convergence needs no second join.
+      val messages = sym
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("label")).as("nmin"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("a").as("id"), col("label"), lit(null).cast("long").as("prev"))
+        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+      val stepped = messages.groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
       // Optional pointer jump against the PREVIOUS round's (checkpointed)
       // mapping: my label is a node id — that node's own label is at
       // least as small and in the same component, so folding it in is

@@ -84,13 +84,18 @@ object ScaleProbe {
       val tNgram = noopTime(Dedup.ngramJaccardInvertedIndex(docs))
       val tAnnBrute = noopTime(Similarity.cosineTopK(emb))
       val tAnnLsh = noopTime(Similarity.lshTopK(emb))
+      val tAnnIvf = noopTime(Similarity.ivfTopK(emb))
       val tNearDup = noopTime(Similarity.nearDupPairs(emb))
       val tClusters = noopTime(Components.dedupClusters(
-        Similarity.nearDupPairs(emb, minCosine = 0.3), "id1", "id2"))
+        Similarity.nearDupPairs(emb, minCosine = 0.3), "id1", "id2",
+        pointerJump = true))
+      val tClustersLsh = noopTime(Components.dedupClusters(
+        Similarity.nearDupPairsLsh(emb, minCosine = 0.3), "id1", "id2",
+        pointerJump = true))
       println(f"[scale-llm] k=$k docs=${k * docsBaseCount(docsBase)} " +
         f"minhash=$tMinhash%.2f simhash=$tSimhash%.2f ngram=$tNgram%.2f " +
-        f"ann_brute=$tAnnBrute%.2f ann_lsh=$tAnnLsh%.2f near_dup=$tNearDup%.2f " +
-        f"clusters=$tClusters%.2f")
+        f"ann_brute=$tAnnBrute%.2f ann_lsh=$tAnnLsh%.2f ann_ivf=$tAnnIvf%.2f " +
+        f"near_dup=$tNearDup%.2f clusters=$tClusters%.2f clusters_lsh=$tClustersLsh%.2f")
     }
     spark.stop()
   }
