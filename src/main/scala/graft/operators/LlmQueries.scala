@@ -67,8 +67,12 @@ object LlmQueries {
 
     // rows-only: the k-means quantizer is not DuckDB-expressible; the
     // correctness gate is DedupTextSpec's recall-vs-brute-force floor.
+    // sampleFraction 0.2: the quantizer fits on a bounded sample — the
+    // only shape that survives corpus scale (and ~half the query cost
+    // at sf0.1 was full-corpus k-means iterations).
     "ann_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
+      Similarity.ivfTopK(emb(s, d), sampleFraction = 0.2)
+        .orderBy(col("query_id"), col("rk"))),
 
     "lang_id" -> ((s, d) =>
       TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
