@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TextAnalysis, TopK}
+
+/** Plan-shape contracts: the scale properties SURVEY §5 claims, asserted
+  * against the actual physical plans so a refactor cannot silently
+  * reintroduce a corpus-wide window, a lost broadcast, or a pruned-scan
+  * regression. These are the invariants that do not show up at sf0.1
+  * wall-times but decide whether the plan survives 100×.
+  */
+class PlanContractSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("ANN rankers carry no Window operator (bounded top-k aggregate instead)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    Seq(
+      "cosine" -> Similarity.cosineTopK(emb),
+      "lsh" -> Similarity.lshTopK(emb),
+      "ivf" -> Similarity.ivfTopK(emb)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("Window"),
+        s"$name ranker must rank via the bounded aggregate, found Window:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name ranker must use the TopKStruct aggregate")
+      assert(p.contains("BroadcastExchange"),
+        s"$name ranker must broadcast the query side")
+    }
+  }
+
+  test("grouped top-k partial aggregation truncates before the exchange") {
+    // partial ObjectHashAggregate must appear BELOW the Exchange in the
+    // plan tree (map-side truncation) — that ordering is the whole point.
+    val df = (0 until 100).map(i => (i % 3, i)).toDF("g", "x")
+    val p = plan(TopK.groupedWithRank(df, Seq(col("g")), 5, Seq(col("x"))))
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val secondAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && secondAgg > exchange,
+      s"expected final-agg > exchange > partial-agg layering:\n$p")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val df = (0 until 1000).map(i => (i.toLong, (i * 37 % 101).toDouble)).toDF("id", "score")
+    val p = plan(TopK.withRank(df, 5, Seq(TopK.descNum(col("score")), col("id"))))
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(TextAnalysis.tokenCount(docs))
+    // token_count needs doc_id + text; a scan that also reads source/lang
+    // would ship every byte of the corpus metadata for nothing.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      s"scan must read the needed columns: $readSchema")
+    assert(!readSchema.contains("source"),
+      s"scan must prune unused columns: $readSchema")
+  }
+
+  test("IVF cell assignment adds no exchange beyond broadcast + ranker") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = plan(Similarity.ivfTopK(emb))
+    // One shuffle Exchange total (the bounded ranker's); the corpus→cell
+    // argmin is a projection over centroid literals. BroadcastExchanges
+    // (probe side) are fine.
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected at most the ranker's shuffle, got $shuffles:\n$p")
+  }
+}
