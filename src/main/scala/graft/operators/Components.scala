@@ -53,6 +53,12 @@ object Components {
   def connectedComponents(edges: DataFrame, src: String = "a",
                           dst: String = "b", maxIter: Int = 50,
                           pointerJump: Boolean = false): DataFrame = {
+    // Symmetrized in ONE pass over the edge plan: a union of two selects
+    // would evaluate the (possibly expensive — a banded-LSH or ngram
+    // emitter) edge subtree once per branch; explode duplicates each row
+    // inside a single scan instead (measured ~2 s off corpus_pipeline's
+    // resolution stage at sf0.1).
+    //
     // Persisted pre-partitioned on the per-round join key `b` (the
     // GraphX partitioned-edge-RDD idea): at corpus scale the label frame
     // outgrows the broadcast threshold and the per-round join becomes
@@ -60,8 +66,12 @@ object Components {
     // (node-sized) label frame moves per round, never the (edge-sized)
     // graph. At sf0.1 Spark broadcasts the labels and the repartition is
     // noise-level cost; it is the 100 TB insurance.
-    val sym = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
-      .union(edges.select(col(dst).cast("long").as("a"), col(src).cast("long").as("b")))
+    val sym = edges
+      .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+      .select(explode(array(
+        struct(col("s").as("a"), col("d").as("b")),
+        struct(col("d").as("a"), col("s").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Seed labels with min(id, min neighbor) — the node-id distinct is a

@@ -62,6 +62,33 @@ object WindowedAggs {
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("vwap"))
 
+  /** Streaming twin of Quality.dataQuality (reference pipeline.py:377):
+    * continuous per-(user, day) quality counters instead of a nightly
+    * batch sweep — row count, null/non-positive value counts, freshness
+    * (max ts), and a duplicate-timestamp estimate. The exact duplicate
+    * count needs per-window distinct-ts state; streaming uses
+    * `approx_count_distinct` (HLL — deterministic for a given input, ~2%
+    * error) so state stays O(sketch) per open window; the batch operator
+    * reports the exact count. Day-grain gaps/staleness stay batch-side:
+    * they compare across windows, which an incremental per-window
+    * aggregate by design cannot see.
+    */
+  def qualityCounters(events: DataFrame,
+                      windowDur: String = "1 day",
+                      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), windowDur))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, 1)).as("n_null_value"),
+        count(when(col("value") <= 0, 1)).as("n_nonpos_value"),
+        (count(lit(1)) - approx_count_distinct(col("ts"))).as("n_dup_ts_est"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("window.start").as("day"),
+        col("n_rows"), col("n_null_value"), col("n_nonpos_value"),
+        col("n_dup_ts_est"), col("last_ts"))
+
   /** Sliding-window market-wide event rate (window, slide) — the breadth
     * twin: events per type per sliding window.
     */

@@ -40,6 +40,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quality counters match the batch plan once finalized") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = WindowedAggs.qualityCounters(events, "1 day", "1 hour")
+      .writeStream.format("memory").queryName("qual").outputMode("append").start()
+    try {
+      val day1 = Seq(
+        (ts("2024-01-01 10:00:00"), 1L, 5.0),
+        (ts("2024-01-01 10:00:00"), 1L, 6.0),  // dup ts
+        (ts("2024-01-01 11:00:00"), 1L, -1.0), // non-positive
+        (ts("2024-01-01 12:00:00"), 1L, 7.0))
+      input.addData(day1: _*)
+      query.processAllAvailable()
+      // Push the watermark past day 1 (twice: post-batch watermark update).
+      input.addData((ts("2024-01-03 12:00:00"), 1L, 8.0))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-04 12:00:00"), 1L, 9.0))
+      query.processAllAvailable()
+      val out = spark.table("qual").collect()
+        .filter(_.getAs[Timestamp]("day") == ts("2024-01-01 00:00:00"))
+      assert(out.length == 1, s"day-1 window should finalize once, got ${out.length}")
+      val r = out.head
+      assert(r.getAs[Long]("n_rows") == 4L)
+      assert(r.getAs[Long]("n_nonpos_value") == 1L)
+      assert(r.getAs[Long]("n_null_value") == 0L)
+      assert(r.getAs[Long]("n_dup_ts_est") == 1L, "HLL is exact at 3 distinct ts")
+      assert(r.getAs[Timestamp]("last_ts") == ts("2024-01-01 12:00:00"))
+      // Batch parity: the SAME plan on a static frame, same counters.
+      val batch = WindowedAggs.qualityCounters(
+          day1.toDF("ts", "user_id", "value"), "1 day", "1 hour")
+        .collect().head
+      assert(batch.getAs[Long]("n_rows") == 4L &&
+        batch.getAs[Long]("n_dup_ts_est") == 1L &&
+        batch.getAs[Long]("n_nonpos_value") == 1L)
+    } finally query.stop()
+  }
+
   test("streaming OHLCV bars agree with the batch resampler once finalized") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
