@@ -186,6 +186,34 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"expected a maxDim error, got: ${ex.getMessage}")
   }
 
+  test("session extensions register vec_dot and topk_struct for SQL") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate returns the active session and ignores extensions, so
+    // clear the bindings, build a sibling session on the SAME context
+    // (never stop it — the context is the suite-wide fixture), restore.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val dot = s2.sql("SELECT vec_dot(array(1D, 2D), array(3D, 4D))").head.getDouble(0)
+      assert(dot == 11.0)
+      Seq((1, 5), (1, 3), (1, 9), (2, 7)).toDF("g", "x").createOrReplaceTempView("tk")
+      val rows = s2.sql(
+        "SELECT g, topk_struct(struct(x), 2) AS top FROM tk GROUP BY g ORDER BY g")
+        .collect()
+      assert(rows(0).getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0)) == Seq(3, 5))
+      assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0)) == Seq(7))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("lang id counts stopword hits and predicts the argmax profile") {
     val out = TextAnalysis.langId(docs(1L -> "the cat and the dog")).collect().head
     assert(out.getAs[Int]("en_hits") == 3) // the ×2 + and
