@@ -24,6 +24,8 @@ object CcProbe {
     val emb = Tables.embeddings(spark, d)
     emb.count()
     (1 to 2).foreach { pass =>
+      val tEmitLabel = noopTime(Similarity.nearDupPairs(emb, minCosine = 0.3))
+      val tEmitLsh = noopTime(Similarity.nearDupPairsLsh(emb, minCosine = 0.3))
       val tPlain = noopTime(Components.dedupClusters(
         Similarity.nearDupPairs(emb, minCosine = 0.3), "id1", "id2"))
       val tJump = noopTime(Components.dedupClusters(
@@ -34,7 +36,8 @@ object CcProbe {
       val tLshJump = noopTime(Components.dedupClusters(
         Similarity.nearDupPairsLsh(emb, minCosine = 0.3), "id1", "id2",
         pointerJump = true))
-      println(f"[cc-probe] pass=$pass plain=$tPlain%.2f jump=$tJump%.2f " +
+      println(f"[cc-probe] pass=$pass emit_label=$tEmitLabel%.2f " +
+        f"emit_lsh=$tEmitLsh%.2f plain=$tPlain%.2f jump=$tJump%.2f " +
         f"lsh_plain=$tLshPlain%.2f lsh_jump=$tLshJump%.2f")
     }
     spark.stop()

@@ -271,6 +271,14 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (13L, 10L, 5L, 0), (14L, 10L, 5L, 0)))
   }
 
+  test("connected components on an empty pair list returns no rows") {
+    import graft.operators.Components
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Components.dedupClusters(empty, "id1", "id2").collect().isEmpty)
+    assert(Components.dedupClusters(empty, "id1", "id2", pointerJump = true)
+      .collect().isEmpty)
+  }
+
   test("corpus pipeline: every stage gates what it should") {
     val good = ("the cat and the dog sat in the house and it was warm " * 3).trim
     val rows = Seq(

@@ -70,6 +70,12 @@ class MarketSpec extends AnyFunSuite with SparkSpec {
     assert(u2.getAs[Timestamp]("last_ts") == ts("2024-01-02 10:00:00"))
   }
 
+  test("data quality report on an empty feed returns no rows, no error") {
+    val empty = Seq.empty[(Long, Long, Timestamp, Double)]
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(Quality.dataQuality(empty).collect().isEmpty)
+  }
+
   test("daily bars: open/high/low/close/volume/vwap from ticks") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 09:00:00"), 10.0),
