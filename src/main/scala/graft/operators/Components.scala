@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -125,13 +124,21 @@ object Components {
     * (deterministic); the canonical member is the cluster id itself —
     * the keep-one-drop-rest verdict a dedup pass applies. Only clustered
     * ids appear; everything else in the corpus is implicitly kept.
+    *
+    * cluster_size is an aggregate + join on cluster_id rather than
+    * `count().over(partitionBy(cluster_id))`: a pathological dup corpus
+    * (everything identical) is ONE giant cluster, and a window pins all
+    * its members to a single task while a join lets AQE skew-split the
+    * probe side. The aggregate combines map-side either way.
     */
   def dedupClusters(pairs: DataFrame, src: String, dst: String,
-                    pointerJump: Boolean = false): DataFrame =
-    connectedComponents(pairs, src, dst, pointerJump = pointerJump)
+                    pointerJump: Boolean = false): DataFrame = {
+    val labels = connectedComponents(pairs, src, dst, pointerJump = pointerJump)
       .select(col("id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .withColumn("is_canonical",
-        (col("id") === col("cluster_id")).cast("int"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).cast("int").as("is_canonical"))
+  }
 }

@@ -271,6 +271,15 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (13L, 10L, 5L, 0), (14L, 10L, 5L, 0)))
   }
 
+  test("connected components throws rather than truncate an unconverged run") {
+    import graft.operators.Components
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponents(chain, "id1", "id2", maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("connected components on an empty pair list returns no rows") {
     import graft.operators.Components
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
