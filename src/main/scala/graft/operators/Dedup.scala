@@ -124,6 +124,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Row-form n-gram postings: one DISTINCT (doc_id, gram-hash) row per
+    * word n-gram, same posexplode + lead() plan as [[shinglePostings]]
+    * generalized to width `n` (the n−1 leads share one Window spec, so
+    * Catalyst plans a single sort per document). Used by
+    * [[decontaminate]], which wants wider grams than the bigram dedup
+    * shingles — contamination is a verbatim-overlap test, not a
+    * similarity estimate.
+    */
+  def ngramPostings(documents: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "n-gram width must be at least 2")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w0")))
+    val withLeads = (1 until n).foldLeft(base) { (df, i) =>
+      df.withColumn(s"w$i", lead(col("w0"), i).over(byDoc))
+    }
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*)).as("g"))
+      .distinct()
+  }
+
+  /** #40d decontaminate: benchmark decontamination — flag every corpus
+    * document sharing a verbatim word n-gram with a held-out benchmark
+    * set (the standard eval-leakage guard an LLM training pipeline runs
+    * before export; production corpora use n≈8–13, the synthetic table's
+    * ~30-word vocabulary plays that role at n=4). The benchmark here is
+    * carved from the same table deterministically (doc_id ≡ 0 mod
+    * `benchMod`) so the oracle can reproduce it.
+    *
+    * Scale shape: benchmark suites are small and fixed-size, so their
+    * distinct gram set BROADCASTS — the corpus side is one posting scan +
+    * a broadcast-hash semi-side join + a map-side-combinable per-doc
+    * count. No shuffle of corpus grams, no pairwise doc comparison;
+    * contaminated docs fall out of one pass regardless of corpus size.
+    */
+  def decontaminate(documents: DataFrame, n: Int = 4, benchMod: Int = 20): DataFrame = {
+    val posts = ngramPostings(documents, n)
+    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === 0
+    val bench = posts.filter(isBench).select(col("g")).distinct()
+    val hits = posts.filter(!isBench)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    documents.filter(!isBench)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+  }
+
   /** Signature table (doc_id, mh_0..mh_{Perms−1}) via codegen'd min
     * aggregates over the posting rows — one shuffle on doc_id carrying
     * fixed-width partial minima (map-side combined).

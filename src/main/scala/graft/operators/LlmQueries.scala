@@ -74,6 +74,12 @@ object LlmQueries {
       Similarity.ivfTopK(emb(s, d), sampleFraction = 0.2)
         .orderBy(col("query_id"), col("rk"))),
 
+    "decontaminate" -> ((s, d) =>
+      Dedup.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
+
+    "shard_pack" -> ((s, d) =>
+      Shard.shardPack(docs(s, d)).orderBy(col("doc_id"))),
+
     "lang_id" -> ((s, d) =>
       TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -210,6 +216,43 @@ object LlmQueries {
          |  FROM j)
          |SELECT query_id, rk, neighbor_id, label, cos_sim
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(toks) >= 4
+        |      THEN list_distinct(list_transform(range(len(toks) - 3),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))
+        |      ELSE [] END AS gs
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(gs) AS g FROM d WHERE doc_id % 20 = 0),
+        |corp AS (SELECT doc_id, unnest(gs) AS g FROM d WHERE doc_id % 20 <> 0),
+        |h AS (SELECT doc_id, count(*) AS n_hits FROM corp JOIN bench USING (g)
+        |      GROUP BY doc_id)
+        |SELECT d.doc_id, lang, source,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS is_contaminated
+        |FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 20 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""WITH t AS (

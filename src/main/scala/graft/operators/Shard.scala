@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing for training-data export: assign each
+  * document (in doc_id order) to the shard whose running token total it
+  * falls in — the layout step that turns a curated corpus into
+  * fixed-size training shards.
+  *
+  * Scale design: a running total over a global ORDER BY is the textbook
+  * way to collapse a job to one task (`Window.orderBy` with no
+  * partitionBy = Exchange SinglePartition over the full corpus). This
+  * implementation is the two-phase distributed prefix sum instead:
+  *
+  *  1. range-partition by doc_id (contiguous, ordered ranges),
+  *  2. per-partition running totals — a window PARTITIONED by the range
+  *     id, so every task sums only its own slice,
+  *  3. per-partition totals (one row per range) prefix-summed into
+  *     exclusive offsets — the only single-partition window runs over
+  *     ≤ `parts` metadata rows, never corpus rows,
+  *  4. offsets broadcast back; global running total = offset + local.
+  *
+  * The result is partitioning-invariant: any contiguous ordered ranges
+  * give the same global totals, so range-boundary sampling does not
+  * affect values. Per-partition work is bounded by the range size; the
+  * driver never sees a row.
+  */
+object Shard {
+
+  /** doc_id → (n_tokens, cum_tokens, shard_id) with shards cut every
+    * `budgetTokens` whitespace tokens (a document lands in the shard its
+    * PRECEDING running total falls in, so documents are never split).
+    * Token convention matches `token_count`'s ws_tokens.
+    */
+  def shardPack(documents: DataFrame, budgetTokens: Long = 2000L,
+                parts: Int = 32): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val toks = documents.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    val ranged = toks.repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val byPid = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val local = ranged.withColumn("local_cum", sum(col("n_tokens")).over(byPid))
+    // Exclusive prefix offsets over the per-range totals: ≤ `parts` rows,
+    // so the unpartitioned window is metadata-sized by construction.
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("offset", coalesce(
+        sum(col("ptot")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_tokens", (col("offset") + col("local_cum")).cast("bigint"))
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / budgetTokens)
+          .cast("bigint"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard_id"))
+  }
+}

@@ -271,6 +271,60 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (13L, 10L, 5L, 0), (14L, 10L, 5L, 0)))
   }
 
+  test("ngram postings generalize the bigram shingle plan") {
+    val d = docs(1L -> "a b c d e", 2L -> "x y")
+    val grams = Dedup.ngramPostings(d, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 has 4-grams {a b c d, b c d e}; doc 2 is too short.
+    assert(grams.count(_._1 == 1L) == 2)
+    assert(!grams.exists(_._1 == 2L))
+    // n=2 must agree with the bigram postings used everywhere else.
+    val bi = Dedup.ngramPostings(d, 2).collect().map(_.getLong(1)).toSet
+    val sh = Dedup.shinglePostings(d).collect()
+      .map(_.getAs[Long]("h")).toSet
+    assert(bi == sh)
+  }
+
+  test("decontaminate flags benchmark 4-gram overlap and spares clean docs") {
+    // doc 0 is the held-out benchmark (0 mod 20); doc 1 embeds one of its
+    // verbatim 4-grams; doc 2 shares no 4-gram.
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon",
+      1L -> "x1 x2 alpha beta gamma delta x3",
+      2L -> "p q r s t u")
+    val out = Dedup.decontaminate(d).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "benchmark docs excluded")
+    assert(out(0).getAs[Long]("n_hits") == 1L &&
+      out(0).getAs[Int]("is_contaminated") == 1)
+    assert(out(1).getAs[Long]("n_hits") == 0L &&
+      out(1).getAs[Int]("is_contaminated") == 0)
+    // Scale contract: the benchmark gram set joins as the BROADCAST side.
+    val plan = Dedup.decontaminate(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram join must broadcast:\n$plan")
+  }
+
+  test("shard_pack: hand-computed running totals and shard cuts") {
+    import graft.operators.Shard
+    val d = docs(1L -> "a b c", 2L -> "d e", 3L -> "f", 4L -> "g h i j")
+    val out = Shard.shardPack(d, budgetTokens = 4L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 0L), (2L, 2L, 5L, 0L), (3L, 1L, 6L, 1L), (4L, 4L, 10L, 1L)))
+  }
+
+  test("shard_pack is partitioning-invariant (two-phase prefix sum is exact)") {
+    import graft.operators.Shard
+    val d = docs((1L to 100L).map(i =>
+      i -> (1 to (i % 7 + 1).toInt).map(j => s"t$j").mkString(" ")): _*)
+    def run(parts: Int) = Shard.shardPack(d, budgetTokens = 10L, parts = parts)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val one = run(1)   // single range = the naive global cumsum
+    assert(run(8) == one && run(64) == one)
+    assert(one.last._3 == one.map(_._2).sum, "final total equals corpus tokens")
+  }
+
   test("connected components throws rather than truncate an unconverged run") {
     import graft.operators.Components
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
