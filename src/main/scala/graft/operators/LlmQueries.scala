@@ -90,6 +90,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "doc_repetition" -> ((s, d) =>
+      TextAnalysis.docRepetition(docs(s, d)).orderBy(col("doc_id"))),
+
+    "stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(docs(s, d))
+        .select(col("doc_id"), col("lang"), col("n_stratum"), col("keep_thr"))
+        .orderBy(col("doc_id"))),
+
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCount(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -300,6 +308,41 @@ object LlmQueries {
          |    + (1.0 - punct_ratio) * 0.3
          |    + least(1.0, stop_ratio * 5) * 0.3, 6) AS quality_score
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS uniq_token_ratio,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(len(toks) - 1),
+        |        i -> toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [] END AS gs
+        |  FROM t),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM tok),
+        |pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |r AS (SELECT doc_id, sum(c) AS nb, max(c) AS tb FROM pg GROUP BY doc_id)
+        |SELECT tok.doc_id, n_tokens, uniq_token_ratio,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(tb, 0) AS BIGINT) AS top_bigram_n,
+        |  round(CAST(tb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0.0), 6) AS rep_ratio
+        |FROM tok LEFT JOIN r ON tok.doc_id = r.doc_id
+        |ORDER BY tok.doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_stratum) AS target FROM c),
+        |thr AS (
+        |  SELECT lang, n_stratum,
+        |    CAST(floor(1000.0 * CAST(target AS DOUBLE) / CAST(n_stratum AS DOUBLE)) AS BIGINT) AS keep_thr
+        |  FROM c, m)
+        |SELECT doc_id, d.lang, n_stratum, keep_thr
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE ((doc_id % 99991) * 2654435761) % 1000 < keep_thr
+        |ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -112,6 +112,72 @@ object TextAnalysis {
     df.filter(pmod(xxhash64(col(keyCol), lit("sample")), lit(10000L)) <
       (rate * 10000).toLong)
 
+  /** #45b doc_repetition: boilerplate detection in the spirit of the
+    * Gopher repetition filters — per document, the share of bigram
+    * occurrences taken by the single most frequent bigram (`rep_ratio`,
+    * high for templated/repeated text) and lexical diversity
+    * (`uniq_token_ratio`). Token diversity is pure array algebra in one
+    * projection; bigram concentration runs on NON-distinct posting rows
+    * (posexplode + lead, the [[Dedup.shinglePostings]] plan without the
+    * distinct) through two per-doc-bounded, map-side-combinable
+    * aggregations — no per-row arrays of counts, no window over corpus
+    * rows.
+    */
+  def docRepetition(documents: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = documents
+      .select(col("doc_id"), posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), xxhash64(concat_ws(" ", col("w"), col("w2"))).as("h"))
+    val rep = grams.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("nb"), max(col("c")).as("tb"))
+    val toks = Dedup.tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        round(size(array_distinct(col("__toks"))).cast("double") /
+          nullif(size(col("__toks")).cast("double"), lit(0.0)), 6)
+          .as("uniq_token_ratio"))
+      .join(rep, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("uniq_token_ratio"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("tb"), lit(0L)).as("top_bigram_n"),
+        round(col("tb").cast("double") /
+          nullif(col("nb").cast("double"), lit(0.0)), 6).as("rep_ratio"))
+  }
+
+  /** #47e stratified_sample: deterministic corpus rebalancing — every
+    * stratum (language here) is downsampled to ≈ the smallest stratum's
+    * size, the standard anti-dominance step before training-mix export.
+    * Membership is a pure-arithmetic multiplicative hash of doc_id
+    * (engine-portable, no RNG state): a document's fate never changes
+    * with cluster size, partitioning, or corpus growth within its
+    * stratum threshold.
+    *
+    * Scale shape: stratum counts are a tiny aggregate joined back by
+    * BROADCAST; the corpus side is one scan + filter — no shuffle, no
+    * sort, no window.
+    */
+  def stratifiedSample(documents: DataFrame, stratumCol: String = "lang",
+                       buckets: Int = 1000): DataFrame = {
+    val counts = documents.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_stratum"))
+    val target = counts.agg(min(col("n_stratum")).as("target"))
+    val thr = counts.crossJoin(broadcast(target))
+      .select(col(stratumCol), col("n_stratum"),
+        floor(lit(buckets.toDouble) * col("target").cast("double") /
+          col("n_stratum").cast("double")).cast("bigint").as("keep_thr"))
+    documents
+      .select(col("doc_id"), col(stratumCol))
+      .join(broadcast(thr), Seq(stratumCol))
+      .filter(pmod(pmod(col("doc_id"), lit(99991L)) * lit(2654435761L),
+        lit(buckets.toLong)) < col("keep_thr"))
+      .select(col("doc_id"), col(stratumCol), col("n_stratum"), col("keep_thr"))
+  }
+
   /** Corpus composition report: per-language document counts, size and
     * quality aggregates — what a training-data pipeline publishes with
     * every corpus snapshot.

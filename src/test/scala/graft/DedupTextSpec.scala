@@ -325,6 +325,35 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(one.last._3 == one.map(_._2).sum, "final total equals corpus tokens")
   }
 
+  test("doc repetition: top-bigram concentration and lexical diversity") {
+    val out = TextAnalysis.docRepetition(docs(1L -> "a b a b a", 2L -> "x"))
+      .orderBy("doc_id").collect()
+    // doc 1: tokens [a b a b a] → uniq 2/5; bigrams {a b:2, b a:2} → 4
+    // occurrences, top 2, rep 0.5. doc 2: single token, no bigrams.
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_tokens") == 5L)
+    assert(r1.getAs[Double]("uniq_token_ratio") == 0.4)
+    assert(r1.getAs[Long]("n_bigrams") == 4L && r1.getAs[Long]("top_bigram_n") == 2L)
+    assert(r1.getAs[Double]("rep_ratio") == 0.5)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_bigrams") == 0L && r2.isNullAt(r2.fieldIndex("rep_ratio")))
+  }
+
+  test("stratified sample balances strata to the smallest one") {
+    val rows = (1L to 40L).map(i => (i, s"doc $i", if (i <= 32) "en" else "fr", "s", 1L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.stratifiedSample(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("keep_thr")))
+    // fr is the smallest stratum (8 docs): threshold 1000 keeps all of it.
+    assert(out.count(_._2 == "fr") == 8)
+    assert(out.filter(_._2 == "fr").forall(_._3 == 1000L))
+    // en (32 docs) downsamples at threshold 250; membership must match the
+    // portable arithmetic hash exactly.
+    val expectEn = (1L to 32L).filter(i => ((i % 99991L) * 2654435761L) % 1000L < 250L)
+    assert(out.filter(_._2 == "en").map(_._1).sorted.toSeq == expectEn)
+  }
+
   test("connected components throws rather than truncate an unconverged run") {
     import graft.operators.Components
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
