@@ -96,6 +96,16 @@ object ScaleProbe {
         f"minhash=$tMinhash%.2f simhash=$tSimhash%.2f ngram=$tNgram%.2f " +
         f"ann_brute=$tAnnBrute%.2f ann_lsh=$tAnnLsh%.2f ann_ivf=$tAnnIvf%.2f " +
         f"near_dup=$tNearDup%.2f clusters=$tClusters%.2f clusters_lsh=$tClustersLsh%.2f")
+      // Curation/export ops (round 5): the benchMod carve keeps doc_id ≡ 0
+      // (mod 20) docs benchmark-side in every copy (10000000 % 20 = 0), so
+      // the decontamination broadcast grows with k too — linearity here is
+      // the conservative read.
+      val tDecon = noopTime(Dedup.decontaminate(docs))
+      val tShard = noopTime(Shard.shardPack(docs))
+      val tRep = noopTime(TextAnalysis.docRepetition(docs))
+      val tStrat = noopTime(TextAnalysis.stratifiedSample(docs))
+      println(f"[scale-curate] k=$k decontaminate=$tDecon%.2f shard_pack=$tShard%.2f " +
+        f"doc_repetition=$tRep%.2f stratified_sample=$tStrat%.2f")
     }
     spark.stop()
   }
