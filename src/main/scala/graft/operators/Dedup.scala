@@ -177,6 +177,83 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("is_contaminated"))
   }
 
+  /** #40e chunk_dedup: exact substring-duplication profile — the
+    * Spark-practical approximation of suffix-array span dedup ("deduplicating
+    * training data" à la Lee et al. 2022): the token stream is cut into
+    * fixed-width non-overlapping chunks, each chunk's first corpus
+    * occurrence (lowest doc_id) is the keeper, and every later occurrence
+    * counts as removable boilerplate. Per document: chunk counts, the
+    * duplicated share, and the token count a span-dedup pass would strip.
+    * Finer-grained than whole-document dedup (#37): it sees the license
+    * header pasted into a thousand otherwise-distinct files.
+    *
+    * Scale shape: chunks shuffle as 8-byte xxhash64 keys, never strings —
+    * at corpus scale a chunk is ~50 bytes of text, so hashing before the
+    * group-by cuts shuffle bytes ~6× and keeps the aggregate fixed-width
+    * (collisions ~n²/2⁶⁴, negligible). First-occurrence is an aggregate +
+    * join (min(doc_id) per chunk hash), not a corpus-wide window: the min
+    * combines map-side, and a pathological chunk repeated millions of
+    * times skew-splits under AQE on the probe join instead of pinning one
+    * window task.
+    */
+  def chunkDedup(documents: DataFrame, chunkTokens: Int = 8): DataFrame = {
+    val nFull = floor(size(col("__toks")) / chunkTokens).cast("int")
+    val occ = documents
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("__toks")) >= chunkTokens,
+          transform(sequence(lit(0), nFull - 1),
+            i => concat_ws(" ", slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)))))
+          .otherwise(array().cast("array<string>"))).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+    val firstSeen = occ.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val per = occ.join(firstSeen, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("first_doc") < col("doc_id")).cast("long")).as("n_dup"))
+    documents.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_chunks"),
+        round(col("n_dup").cast("double") /
+          nullif(col("n_chunks").cast("double"), lit(0.0)), 6).as("dup_chunk_ratio"),
+        (coalesce(col("n_dup"), lit(0L)) * chunkTokens).as("n_tokens_dropped"))
+  }
+
+  /** #37c dedup_keep_best: quality-aware canonical selection — resolve
+    * near-dup pairs to clusters ([[Components.connectedComponents]]) and
+    * keep each cluster's highest-[[TextAnalysis.withQuality]] member
+    * (ties: lowest doc_id) instead of blindly min-id. Near-dup members
+    * differ slightly, so min-id keeps an arbitrary variant; real curation
+    * keeps the cleanest one. Comparison runs on the score ROUNDED to 6
+    * decimals (the precision the score is published at), so the verdict
+    * is stable across engines and evaluation orders; structurally equal
+    * docs tie exactly and fall to the id.
+    *
+    * Max-of-struct aggregate + join back, NOT row_number over a window
+    * partitioned by cluster: an everything-is-one-cluster corpus pins a
+    * window to a single task, while the aggregate combines map-side and
+    * the join skew-splits under AQE.
+    */
+  def keepBest(documents: DataFrame, pairs: DataFrame,
+               src: String = "id1", dst: String = "id2"): DataFrame = {
+    val clusters = Components.connectedComponents(pairs, src, dst)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val scored = clusters.join(
+      TextAnalysis.withQuality(documents).select(col("doc_id"), col("quality_score")),
+      Seq("doc_id"))
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.neg_id")).as("keep_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("int").as("is_kept"))
+  }
+
   /** Signature table (doc_id, mh_0..mh_{Perms−1}) via codegen'd min
     * aggregates over the posting rows — one shuffle on doc_id carrying
     * fixed-width partial minima (map-side combined).

@@ -77,6 +77,19 @@ object LlmQueries {
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
 
+    "chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedup(docs(s, d)).orderBy(col("doc_id"))),
+
+    // Quality-aware canonical selection over the oracle-friendly ngram
+    // emitter (same pair source as corpus_pipeline's dedup stage).
+    "dedup_keep_best" -> ((s, d) =>
+      Dedup.keepBest(docs(s, d),
+          Dedup.ngramJaccardInvertedIndex(docs(s, d), minJaccard = 0.5))
+        .orderBy(col("cluster_id"), col("doc_id"))),
+
+    "corpus_mix" -> ((s, d) =>
+      TextAnalysis.corpusMix(docs(s, d)).orderBy(col("doc_id"))),
+
     "shard_pack" -> ((s, d) =>
       Shard.shardPack(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -247,6 +260,101 @@ object LlmQueries {
         |FROM d LEFT JOIN h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 20 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    "chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 8
+        |      THEN list_transform(range(CAST(floor(len(toks) / 8.0) AS BIGINT)),
+        |        i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' '))
+        |      ELSE [] END AS chunks
+        |  FROM t),
+        |occ AS (SELECT doc_id, unnest(chunks) AS ch FROM d),
+        |g AS (SELECT ch, min(doc_id) AS first_doc FROM occ GROUP BY ch),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_chunks,
+        |    sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS n_dup
+        |  FROM occ JOIN g USING (ch) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+        |  round(CAST(n_dup AS DOUBLE) / nullif(CAST(n_chunks AS DOUBLE), 0.0), 6)
+        |    AS dup_chunk_ratio,
+        |  CAST(coalesce(n_dup, 0) * 8 AS BIGINT) AS n_tokens_dropped
+        |FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id, text,
+         |    length(text) AS n_chars,
+         |    len(string_split_regex(text, '\\s+')) AS n_words,
+         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |      w -> list_contains([$EnStops], w))) AS n_stops
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(1.0, CAST(n_words AS DOUBLE) / 50) * 0.4
+         |      + (1.0 - CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 0.3
+         |      + least(1.0, CAST(n_stops AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0) * 5) * 0.3, 6) AS quality_score
+         |  FROM b),
+         |t AS (
+         |  SELECT doc_id, source, lang,
+         |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+         |  FROM documents),
+         |dsh AS (
+         |  SELECT doc_id, source, lang,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_distinct(list_transform(range(len(toks) - 1),
+         |        i -> toks[i+1] || ' ' || toks[i+2]))
+         |      ELSE [] END AS sh
+         |  FROM t),
+         |p AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
+         |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
+         |    len(a.sh) AS la, len(b2.sh) AS lb
+         |  FROM dsh a JOIN dsh b2
+         |    ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id),
+         |pairs AS (
+         |  SELECT id1, id2 FROM p
+         |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS bb FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.bb FROM reach r JOIN edges e2 ON r.dst = e2.a),
+         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |sc AS (
+         |  SELECT l.id AS doc_id, cluster_id, quality_score
+         |  FROM labels l JOIN q ON l.id = q.doc_id),
+         |rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn
+         |  FROM sc),
+         |best AS (SELECT cluster_id, doc_id AS keep_id FROM rk WHERE rn = 1),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM sc GROUP BY cluster_id)
+         |SELECT sc.doc_id, cluster_id, cluster_size, quality_score, keep_id,
+         |  CAST(sc.doc_id = keep_id AS INT) AS is_kept
+         |FROM sc JOIN best USING (cluster_id) JOIN sz USING (cluster_id)
+         |ORDER BY cluster_id, sc.doc_id""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_stratum) AS n_min FROM c),
+        |thr AS (
+        |  SELECT lang, n_stratum,
+        |    CAST(floor(1000.0 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE))) AS BIGINT) AS keep_thr
+        |  FROM c, m)
+        |SELECT doc_id, d.lang, n_stratum, keep_thr
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE ((doc_id % 99991) * 2654435761) % 1000 < keep_thr
+        |ORDER BY doc_id""".stripMargin,
 
     "shard_pack" ->
       """WITH t AS (

@@ -178,6 +178,40 @@ object TextAnalysis {
       .select(col("doc_id"), col(stratumCol), col("n_stratum"), col("keep_thr"))
   }
 
+  /** #47f corpus_mix: temperature-based rebalancing — the multinomial
+    * α-smoothing used to set multilingual pretraining mixes (α = 0.5
+    * here, i.e. T = 2): post-sample stratum sizes follow n_s^α instead
+    * of [[stratifiedSample]]'s hard floor at the smallest stratum.
+    * Keep rate per stratum is (n_min/n_s)^(1−α) = sqrt(n_min/n_s) — the
+    * smallest stratum is kept whole and larger ones shrink toward (not
+    * to) it. The formula is deliberately a pairwise ratio, never a
+    * cross-stratum Σw^α normalizer: divide, sqrt and multiply are all
+    * IEEE-754 correctly-rounded, so the threshold is bit-identical on
+    * any engine, while a floating SUM over strata would depend on
+    * aggregation order. Membership reuses the multiplicative doc_id
+    * hash (engine-portable, growth-stable).
+    *
+    * Scale shape: identical to stratifiedSample — a tiny broadcast
+    * threshold table against one corpus scan + filter; no shuffle of
+    * corpus rows.
+    */
+  def corpusMix(documents: DataFrame, stratumCol: String = "lang",
+                buckets: Int = 1000): DataFrame = {
+    val counts = documents.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_stratum"))
+    val minC = counts.agg(min(col("n_stratum")).as("n_min"))
+    val thr = counts.crossJoin(broadcast(minC))
+      .select(col(stratumCol), col("n_stratum"),
+        floor(lit(buckets.toDouble) *
+          sqrt(col("n_min").cast("double") / col("n_stratum").cast("double")))
+          .cast("bigint").as("keep_thr"))
+    documents
+      .select(col("doc_id"), col(stratumCol))
+      .join(broadcast(thr), Seq(stratumCol))
+      .filter(pmod(pmod(col("doc_id"), lit(99991L)) * lit(2654435761L),
+        lit(buckets.toLong)) < col("keep_thr"))
+      .select(col("doc_id"), col(stratumCol), col("n_stratum"), col("keep_thr"))
+  }
+
   /** Corpus composition report: per-language document counts, size and
     * quality aggregates — what a training-data pipeline publishes with
     * every corpus snapshot.

@@ -354,6 +354,64 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(_._2 == "en").map(_._1).sorted.toSeq == expectEn)
   }
 
+  test("chunk dedup: first occurrence keeps, later chunk copies count as dropped") {
+    val chunkA = "a b c d e f g h"
+    val d = docs(
+      1L -> (chunkA + " i j k l m n o p"),   // chunks A, B — both first
+      2L -> (chunkA + " q r s t u v w x"),   // chunk A dup of doc 1, C first
+      3L -> "z z z")                          // < 8 tokens → no chunks
+    val out = Dedup.chunkDedup(d).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_chunks") == 2L && r1.getAs[Long]("n_dup_chunks") == 0L)
+    assert(r1.getAs[Double]("dup_chunk_ratio") == 0.0)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_chunks") == 2L && r2.getAs[Long]("n_dup_chunks") == 1L)
+    assert(r2.getAs[Double]("dup_chunk_ratio") == 0.5)
+    assert(r2.getAs[Long]("n_tokens_dropped") == 8L)
+    val r3 = out(2)
+    assert(r3.getAs[Long]("n_chunks") == 0L &&
+      r3.isNullAt(r3.fieldIndex("dup_chunk_ratio")))
+    // A within-doc repeat of a chunk dups against itself only when a
+    // LOWER doc holds it first — doc 1's own duplicate stays kept.
+    val rep = Dedup.chunkDedup(docs(1L -> (chunkA + " " + chunkA)))
+      .collect().head
+    assert(rep.getAs[Long]("n_chunks") == 2L && rep.getAs[Long]("n_dup_chunks") == 0L)
+  }
+
+  test("dedup keep-best selects the highest-quality cluster member") {
+    // Cluster {1,2}: doc 2 has more words and stopword mass → higher
+    // quality score. Cluster {3,4}: identical texts tie → min id keeps.
+    val d = docs(
+      1L -> "the cat sat",
+      2L -> "the cat sat on the mat and it is a fine mat",
+      3L -> "same words here", 4L -> "same words here")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val out = Dedup.keepBest(d, pairs).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("keep_id"), r.getAs[Int]("is_kept")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 0), (2L, 1L, 2L, 1), (3L, 3L, 3L, 1), (4L, 3L, 3L, 0)))
+  }
+
+  test("corpus mix: sqrt-temperature thresholds, smallest stratum kept whole") {
+    val rows = (1L to 50L).map(i => (i, s"doc $i", if (i <= 40) "en" else "fr", "s", 1L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.corpusMix(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("keep_thr")))
+    // fr (10 docs) is the floor stratum: sqrt(10/10)=1 → threshold 1000,
+    // all kept. en (40): floor(1000·sqrt(10/40)) = 500.
+    assert(out.count(_._2 == "fr") == 10)
+    assert(out.filter(_._2 == "fr").forall(_._3 == 1000L))
+    assert(out.filter(_._2 == "en").forall(_._3 == 500L))
+    val expectEn = (1L to 40L).filter(i => ((i % 99991L) * 2654435761L) % 1000L < 500L)
+    assert(out.filter(_._2 == "en").map(_._1).sorted.toSeq == expectEn)
+    // Softer than the hard-min stratified sample: en keeps MORE here.
+    val hard = TextAnalysis.stratifiedSample(d).collect()
+      .count(_.getAs[String]("lang") == "en")
+    assert(out.count(_._2 == "en") >= hard)
+  }
+
   test("connected components throws rather than truncate an unconverged run") {
     import graft.operators.Components
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
