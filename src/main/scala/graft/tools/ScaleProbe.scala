@@ -104,8 +104,13 @@ object ScaleProbe {
       val tShard = noopTime(Shard.shardPack(docs))
       val tRep = noopTime(TextAnalysis.docRepetition(docs))
       val tStrat = noopTime(TextAnalysis.stratifiedSample(docs))
+      val tChunk = noopTime(Dedup.chunkDedup(docs))
+      val tKeepBest = noopTime(Dedup.keepBest(docs,
+        Dedup.ngramJaccardInvertedIndex(docs, minJaccard = 0.5)))
+      val tMix = noopTime(TextAnalysis.corpusMix(docs))
       println(f"[scale-curate] k=$k decontaminate=$tDecon%.2f shard_pack=$tShard%.2f " +
-        f"doc_repetition=$tRep%.2f stratified_sample=$tStrat%.2f")
+        f"doc_repetition=$tRep%.2f stratified_sample=$tStrat%.2f " +
+        f"chunk_dedup=$tChunk%.2f keep_best=$tKeepBest%.2f corpus_mix=$tMix%.2f")
     }
     spark.stop()
   }

@@ -67,6 +67,34 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       s"scan must prune unused columns: $readSchema")
   }
 
+  test("corpus mix and stratified sample: broadcast threshold, no corpus shuffle") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    Seq(
+      "corpus_mix" -> TextAnalysis.corpusMix(docs),
+      "stratified_sample" -> TextAnalysis.stratifiedSample(docs)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name must join the threshold table by broadcast:\n$p")
+      assert(!p.contains("Window"), s"$name must not window the corpus:\n$p")
+      // The corpus side must not shuffle: the only shuffle Exchanges
+      // allowed are inside the tiny stratum-count aggregate.
+      assert(!p.contains("SortMergeJoin"),
+        s"$name corpus join must not sort-merge (shuffles the corpus):\n$p")
+    }
+  }
+
+  test("chunk dedup and keep-best rank via aggregates, never a corpus window") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val chunk = plan(graft.operators.Dedup.chunkDedup(docs))
+    assert(!chunk.contains("Window"),
+      s"chunk_dedup first-occurrence must be agg+join, found Window:\n$chunk")
+    val keep = plan(graft.operators.Dedup.keepBest(docs,
+      Seq((1L, 2L)).toDF("id1", "id2")))
+    assert(!keep.contains("Window"),
+      s"keepBest canonical selection must be agg+join, found Window:\n$keep")
+  }
+
   test("IVF cell assignment adds no exchange beyond broadcast + ranker") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val p = plan(Similarity.ivfTopK(emb))
