@@ -117,6 +117,9 @@ object LlmQueries {
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.docFingerprint(docs(s, d)).orderBy(col("doc_id"))),
 
+    "vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabTopK(docs(s, d)).orderBy(col("lang"), col("rk"))),
+
     "corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d))
         .withColumn("avg_words", round(col("avg_words"), 6))
@@ -459,6 +462,20 @@ object LlmQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, token, count(*) AS n_occurrences
+        |  FROM t WHERE token <> '' GROUP BY lang, token),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_occurrences DESC, token) AS rk
+        |  FROM c)
+        |SELECT lang, rk, token, CAST(n_occurrences AS BIGINT) AS n_occurrences
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
     "corpus_stats" ->
       """SELECT lang,

@@ -212,6 +212,28 @@ object TextAnalysis {
       .select(col("doc_id"), col(stratumCol), col("n_stratum"), col("keep_thr"))
   }
 
+  /** #47g vocab_topk: per-language top-k token frequencies — the
+    * vocabulary-coverage diagnostic published with a corpus snapshot
+    * (tokenizer fit, stopword drift, boilerplate tokens surface here).
+    *
+    * Scale shape: one posting explode → (lang, token) count with map-side
+    * combine, then the bounded [[TopK.groupedWithRank]] aggregate — the
+    * partial aggregate truncates to k per language BEFORE the shuffle,
+    * so the final exchange moves ≤ k·partitions rows per language
+    * instead of the whole vocabulary, and there is no per-language
+    * window pinning a vocabulary-sized slice to one task.
+    */
+  def vocabTopK(documents: DataFrame, k: Int = 20): DataFrame = {
+    val counts = documents
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    TopK.groupedWithRank(counts, Seq(col("lang")), k,
+      Seq(TopK.descNum(col("n_occurrences")), col("token")))
+      .select(col("lang"), col("rk"), col("token"), col("n_occurrences"))
+  }
+
   /** Corpus composition report: per-language document counts, size and
     * quality aggregates — what a training-data pipeline publishes with
     * every corpus snapshot.

@@ -412,6 +412,19 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.count(_._2 == "en") >= hard)
   }
 
+  test("vocab top-k: per-language frequency ranks with count-desc, token-asc order") {
+    val d = Seq(
+      (1L, "a a a b b c", "en", "s", 11L),
+      (2L, "x x y", "fr", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.vocabTopK(d, k = 2).orderBy("lang", "rk").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rk"),
+        r.getAs[String]("token"), r.getAs[Long]("n_occurrences")))
+    assert(out.toSeq == Seq(
+      ("en", 1, "a", 3L), ("en", 2, "b", 2L),
+      ("fr", 1, "x", 2L), ("fr", 2, "y", 1L)))
+  }
+
   test("connected components throws rather than truncate an unconverged run") {
     import graft.operators.Components
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
