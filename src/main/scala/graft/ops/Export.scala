@@ -35,6 +35,29 @@ object Export {
     */
   def snapshotPath(base: String, stamp: String): String = s"$base/snapshot=$stamp"
 
+  /** Training-corpus release: token-budget shards as directory-
+    * partitioned JSON-lines — the wire format corpus snapshots ship in.
+    * [[graft.operators.Shard.shardPack]] assigns `shard_id` by a global
+    * running token total (two-phase prefix sum, no corpus-wide window);
+    * `partitionBy(shard_id)` turns each budget bucket into its own
+    * directory so a trainer streams shard-by-shard without a planner.
+    * One `repartition(shard_id)` before the write: without it every
+    * task holds a sliver of every shard and the sink fans out
+    * tasks × shards small files; with it each shard is one writer task
+    * → one file, which is exactly the shard-sized object a data loader
+    * wants.
+    */
+  def jsonlShards(documents: DataFrame, path: String,
+                  budgetTokens: Long = 2000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val packed = graft.operators.Shard.shardPack(documents, budgetTokens)
+      .select(col("doc_id"), col("shard_id"))
+    documents.join(packed, Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard_id").json(path)
+  }
+
   /** Bucketed managed table: pre-shuffles once at write so every later
     * join/aggregation on `bucketCols` is exchange-free (co-located).
     * The 100 TB pattern for a fact table joined on the same key by many

@@ -45,6 +45,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(csv.count() == 2)
   }
 
+  test("export: jsonl shards partition by token budget and round-trip") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    // 4 docs × 3 tokens at budget 5 → shards 0,0,1,1 (cum 3,6,9,12).
+    val docs = (1L to 4L).map(i => (i, "w w w", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Export.jsonlShards(docs, s"$dir/corpus", budgetTokens = 5L)
+    val back = spark.read.json(s"$dir/corpus")
+    assert(back.count() == 4)
+    assert(back.select($"shard_id").distinct().count() == 2)
+    // Partition directories carry the shard layout (prunable reads).
+    assert(back.filter($"shard_id" === 1).count() == 2)
+    val shardDirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard_id=0", "shard_id=1"))
+  }
+
   test("salted join: identical result set, shuffle key carries the salt") {
     val fact = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i.toDouble))
       .toDF("user_id", "value") // key 1 carries 90% of rows
