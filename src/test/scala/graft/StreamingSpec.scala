@@ -209,6 +209,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming indicators: EMA/SMA recursion across batches, stragglers dropped") {
+    import graft.streaming.StreamIndicators
+    import graft.streaming.StreamIndicators.Bar
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Bar]
+    val query = StreamIndicators.smaEma(input.toDS(), p = 3, span = 3)
+      .writeStream.format("memory").queryName("sind").outputMode("append").start()
+    try {
+      // α = 0.5; closes exact in binary so SMA sum order cannot matter.
+      input.addData(Bar(1L, ts("2024-01-01 00:00:00"), 10.0),
+        Bar(1L, ts("2024-01-02 00:00:00"), 20.0))
+      query.processAllAvailable()
+      input.addData(Bar(1L, ts("2024-01-03 00:00:00"), 30.0),
+        Bar(1L, ts("2024-01-04 00:00:00"), 28.0))
+      query.processAllAvailable()
+      // Straggler BEHIND folded state: must be dropped, not retro-fitted.
+      input.addData(Bar(1L, ts("2024-01-02 12:00:00"), 999.0))
+      query.processAllAvailable()
+      input.addData(Bar(1L, ts("2024-01-05 00:00:00"), 17.0))
+      query.processAllAvailable()
+      val out = spark.table("sind").collect()
+        .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Double]("close"),
+          Option(r.getAs[java.lang.Double]("sma")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("ema")).map(_.doubleValue)))
+        .sortBy(_._1.getTime)
+      assert(!out.exists(_._2 == 999.0), "sub-state straggler must be dropped")
+      assert(out.map(t => (t._3, t._4)).toSeq == Seq(
+        (None, None), (None, None),
+        (Some(20.0), Some(22.5)),             // e3 = .5·30 + .5·15
+        (Some(26.0), Some(25.25)),
+        (Some(25.0), Some(21.125))))          // window (30,28,17); recursion intact
+      // Batch parity: the identical recursion via the fold/window plan.
+      import spark.implicits._
+      val bars = Seq(("2024-01-01", 10.0), ("2024-01-02", 20.0),
+        ("2024-01-03", 30.0), ("2024-01-04", 28.0), ("2024-01-05", 17.0))
+        .map { case (d, c) => (1L, java.sql.Date.valueOf(d), c) }
+        .toDF("user_id", "date", "close")
+      val batch = graft.operators.Indicators.withEma(
+          graft.operators.Indicators.withSma(bars, Seq(3)), Seq(3))
+        .orderBy("date").collect()
+        .map(r => (Option(r.getAs[java.lang.Double]("ma_3")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("ema_3")).map(_.doubleValue)))
+      assert(out.map(t => (t._3, t._4)).toSeq == batch.toSeq,
+        "streaming recursion must equal the batch fold/window plan")
+    } finally query.stop()
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     import spark.implicits._
     val sqlCtx = spark.sqlContext
