@@ -48,6 +48,88 @@ object StreamIndicators {
   case class IndRow(user_id: Long, ts: Timestamp, close: Double,
                     sma: Option[Double], ema: Option[Double])
 
+  /** Per-symbol MACD/RSI recursion state: EMA fast/slow from bar 1,
+    * signal EMA seeded at bar `slow` (the first non-null MACD, matching
+    * the batch fold's seed), previous close for deltas, trailing
+    * gain/loss windows (≤ rsiP each).
+    */
+  case class MacdRsiState(nSeen: Long, emaFast: Double, emaSlow: Double,
+                          emaSig: Double, prevClose: Double, lastMs: Long,
+                          gains: List[Double], losses: List[Double])
+
+  /** One MACD/RSI row: macd null before `slow` bars, signal before
+    * `slow + sig − 1`, rsi before `rsiP + 1` (p deltas need p+1 bars) or
+    * on zero average loss — all matching the batch plan; `rsi_signal`
+    * degrades to "neutral" on null rsi exactly as the batch `otherwise`.
+    */
+  case class MacdRsiRow(user_id: Long, ts: Timestamp, close: Double,
+                        macd: Option[Double], macd_signal: Option[Double],
+                        macd_hist: Option[Double], rsi: Option[Double],
+                        rsi_signal: String)
+
+  /** Streaming MACD(fast, slow, sig) + RSI(rsiP) per symbol — the rest
+    * of the live indicator battery (reference technical_indicators.py:62
+    * add_rsi, :83 add_macd). Same state/ordering contract as [[smaEma]]:
+    * O(rsiP) state per symbol, sub-state stragglers dropped. The three
+    * EMA recursions use the identical operation order as the batch
+    * folds, so finalized values are bit-equal to the batch plan; RSI
+    * averages sum a bounded window whose members are price deltas —
+    * order-insensitive whenever deltas are exactly representable, and
+    * within double rounding otherwise.
+    */
+  def macdRsi(bars: Dataset[Bar], fast: Int = 12, slow: Int = 26,
+              sig: Int = 9, rsiP: Int = 14): Dataset[MacdRsiRow] = {
+    val (aF, aS, aG) = (2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (sig + 1))
+    implicit val rowEnc = Encoders.product[MacdRsiRow]
+    implicit val stateEnc = Encoders.product[MacdRsiState]
+    implicit val longEnc = Encoders.scalaLong
+    bars
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Bar], state: GroupState[MacdRsiState]) =>
+          var st = state.getOption.getOrElse(
+            MacdRsiState(0L, 0.0, 0.0, 0.0, 0.0, Long.MinValue, Nil, Nil))
+          val out = Seq.newBuilder[MacdRsiRow]
+          it.toSeq.sortBy(_.ts.getTime).foreach { b =>
+            if (b.ts.getTime > st.lastMs) {
+              val n = st.nSeen + 1
+              val first = st.nSeen == 0L
+              val emaF = if (first) b.close else aF * b.close + (1 - aF) * st.emaFast
+              val emaS = if (first) b.close else aS * b.close + (1 - aS) * st.emaSlow
+              val macdVal = emaF - emaS
+              val emaSig = if (n == slow) macdVal
+                           else if (n > slow) aG * macdVal + (1 - aG) * st.emaSig
+                           else 0.0
+              val (gains, losses) =
+                if (first) (Nil, Nil)
+                else {
+                  val d = b.close - st.prevClose
+                  ((math.max(d, 0.0) :: st.gains).take(rsiP),
+                   (math.max(-d, 0.0) :: st.losses).take(rsiP))
+                }
+              val rsi =
+                if (gains.length < rsiP) None
+                else {
+                  val al = losses.sum / rsiP
+                  if (al == 0.0) None
+                  else Some(100.0 - 100.0 / (1.0 + (gains.sum / rsiP) / al))
+                }
+              val macd = if (n >= slow) Some(macdVal) else None
+              val signal = if (n >= slow + sig - 1) Some(emaSig) else None
+              st = MacdRsiState(n, emaF, emaS, emaSig, b.close, b.ts.getTime,
+                gains, losses)
+              out += MacdRsiRow(uid, b.ts, b.close, macd, signal,
+                for (m <- macd; s <- signal) yield m - s, rsi,
+                rsi.map(r => if (r > 70) "overbought"
+                             else if (r < 30) "oversold"
+                             else "neutral").getOrElse("neutral"))
+            }
+          }
+          if (st.nSeen > 0L) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming SMA(p) + EMA(span) per symbol, append mode. EMA seeds at
     * the first bar and folds αx + (1−α)prev with α = 2/(span+1) — the
     * identical recursion (same operation order, bit-identical doubles)

@@ -258,6 +258,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming MACD/RSI equal the batch plan row-for-row") {
+    import graft.streaming.StreamIndicators
+    import graft.streaming.StreamIndicators.Bar
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val closes = Seq(10.0, 20.0, 30.0, 28.0, 17.0, 24.0, 16.0, 20.0)
+    val input = MemoryStream[Bar]
+    val query = StreamIndicators.macdRsi(input.toDS(),
+        fast = 2, slow = 3, sig = 2, rsiP = 3)
+      .writeStream.format("memory").queryName("smacd").outputMode("append").start()
+    try {
+      val bars = closes.zipWithIndex.map { case (c, i) =>
+        Bar(1L, ts(f"2024-01-${i + 1}%02d 00:00:00"), c) }
+      // Two chronological chunks — state must carry across batches.
+      input.addData(bars.take(3))
+      query.processAllAvailable()
+      input.addData(bars.drop(3))
+      query.processAllAvailable()
+      val streamed = spark.table("smacd").collect()
+        .map(r => (r.getAs[Timestamp]("ts").getTime,
+          (Option(r.getAs[java.lang.Double]("macd")).map(_.doubleValue),
+           Option(r.getAs[java.lang.Double]("macd_signal")).map(_.doubleValue),
+           Option(r.getAs[java.lang.Double]("macd_hist")).map(_.doubleValue),
+           Option(r.getAs[java.lang.Double]("rsi")).map(_.doubleValue),
+           r.getAs[String]("rsi_signal"))))
+        .sortBy(_._1).map(_._2)
+      val batchDf = closes.zipWithIndex.map { case (c, i) =>
+        (1L, java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), c) }
+        .toDF("user_id", "date", "close")
+      val batch = graft.operators.Indicators.withRsi(
+          graft.operators.Indicators.withMacd(batchDf, 2, 3, 2), 3)
+        .orderBy("date").collect()
+        .map(r => (Option(r.getAs[java.lang.Double]("macd")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("macd_signal")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("macd_hist")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("rsi")).map(_.doubleValue),
+          r.getAs[String]("rsi_signal")))
+      assert(streamed.toSeq == batch.toSeq,
+        s"streamed=${streamed.toSeq}\nbatch=${batch.toSeq}")
+      // Nullability contract: macd from bar 3, signal from bar 4, rsi
+      // from bar 4 (3 deltas).
+      assert(streamed(1)._1.isEmpty && streamed(2)._1.isDefined)
+      assert(streamed(2)._2.isEmpty && streamed(3)._2.isDefined)
+      assert(streamed(2)._4.isEmpty && streamed(3)._4.isDefined)
+    } finally query.stop()
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     import spark.implicits._
     val sqlCtx = spark.sqlContext
