@@ -306,6 +306,67 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming breadth finalizes windows matching the batch daily counts") {
+    import graft.streaming.StreamBreadth
+    import graft.streaming.StreamIndicators.Bar
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Bar]
+    val query = StreamBreadth.breadth(input.toDS(), "1 day", "10 minutes")
+      .writeStream.format("memory").queryName("sbreadth").outputMode("append").start()
+    try {
+      input.addData(                                   // day 1: first bars only
+        Bar(1L, ts("2024-01-01 12:00:00"), 10.0),
+        Bar(2L, ts("2024-01-01 12:00:00"), 20.0),
+        Bar(3L, ts("2024-01-01 12:00:00"), 30.0))
+      query.processAllAvailable()
+      input.addData(                                   // day 2: +, −, 0
+        Bar(1L, ts("2024-01-02 12:00:00"), 11.0),
+        Bar(2L, ts("2024-01-02 12:00:00"), 19.0),
+        Bar(3L, ts("2024-01-02 12:00:00"), 30.0))
+      query.processAllAvailable()
+      input.addData(                                   // day 3: +, +, −
+        Bar(1L, ts("2024-01-03 12:00:00"), 12.0),
+        Bar(2L, ts("2024-01-03 12:00:00"), 21.0),
+        Bar(3L, ts("2024-01-03 12:00:00"), 29.0))
+      query.processAllAvailable()
+      // Far-future bars advance the watermark past days 2–3; twice so
+      // the post-batch watermark update finalizes them.
+      input.addData(Bar(1L, ts("2024-01-10 00:00:00"), 1.0))
+      query.processAllAvailable()
+      input.addData(Bar(1L, ts("2024-01-11 00:00:00"), 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sbreadth").collect()
+        .map(r => r.getAs[Timestamp]("bucket_start") ->
+          (r.getAs[Long]("advancers"), r.getAs[Long]("decliners"),
+           r.getAs[Long]("unchanged"), r.getAs[Long]("total_issues"),
+           r.getAs[Double]("breadth_percent"), r.getAs[Double]("adv_dec_ratio")))
+        .toMap
+      assert(!rows.contains(ts("2024-01-01 00:00:00")),
+        "first bars carry no direction — no day-1 window")
+      assert(rows(ts("2024-01-02 00:00:00")) == ((1L, 1L, 1L, 3L, 0.0, 1.0)))
+      val d3 = rows(ts("2024-01-03 00:00:00"))
+      assert((d3._1, d3._2, d3._3, d3._4, d3._6) == ((2L, 1L, 0L, 3L, 2.0)))
+      // Batch parity on the shared columns for day 2 and 3.
+      val bars = Seq(
+        (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0), (3L, "2024-01-01", 30.0),
+        (1L, "2024-01-02", 11.0), (2L, "2024-01-02", 19.0), (3L, "2024-01-02", 30.0),
+        (1L, "2024-01-03", 12.0), (2L, "2024-01-03", 21.0), (3L, "2024-01-03", 29.0))
+        .map { case (u, d, c) => (u, java.sql.Date.valueOf(d), c) }
+        .toDF("user_id", "date", "close")
+      val batch = graft.operators.Breadth.breadthDaily(bars)
+        .filter($"date" > java.sql.Date.valueOf("2024-01-01"))
+        .orderBy("date").collect()
+        .map(r => (r.getAs[Long]("advancers"), r.getAs[Long]("decliners"),
+          r.getAs[Long]("unchanged"), r.getAs[Long]("total_issues"),
+          r.getAs[Double]("breadth_percent"), r.getAs[Double]("adv_dec_ratio")))
+      val streamed = Seq(rows(ts("2024-01-02 00:00:00")), rows(ts("2024-01-03 00:00:00")))
+      assert(streamed == batch.toSeq,
+        s"streamed=$streamed batch=${batch.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     import spark.implicits._
     val sqlCtx = spark.sqlContext
