@@ -434,6 +434,22 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("new curation ops on degenerate inputs: empty corpus, single stratum") {
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.chunkDedup(empty).collect().isEmpty)
+    assert(TextAnalysis.corpusMix(empty).collect().isEmpty)
+    assert(TextAnalysis.vocabTopK(empty).collect().isEmpty)
+    assert(Dedup.keepBest(empty,
+      Seq.empty[(Long, Long)].toDF("id1", "id2")).collect().isEmpty)
+    // Single stratum: it IS the floor — threshold 1000 keeps everything.
+    val one = docs(1L -> "a b", 2L -> "c d")
+    val mixed = TextAnalysis.corpusMix(one).collect()
+    assert(mixed.length == 2 && mixed.forall(_.getAs[Long]("keep_thr") == 1000L))
+    // k larger than the vocabulary: every token ranks, none invented.
+    assert(TextAnalysis.vocabTopK(one, k = 100).count() == 4)
+  }
+
   test("connected components on an empty pair list returns no rows") {
     import graft.operators.Components
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
