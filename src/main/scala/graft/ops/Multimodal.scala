@@ -88,4 +88,81 @@ object Multimodal {
   /** End-to-end: documents → media records → features. */
   def featurize(documents: DataFrame): Dataset[MediaFeatures] =
     extractFeatures(asMedia(documents))
+
+  /** STUB resize: nearest-neighbor subsample over the meta-declared
+    * width×height byte grid to target dimensions — the deterministic
+    * stand-in for a real `imageops.resize(pixels, w, h)`. Index
+    * arithmetic only; payload truncated to the grid (a short final row
+    * maps to the last available byte).
+    */
+  def resizeStub(payload: Array[Byte], meta: MediaMeta,
+                 targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new Array[Byte](targetW * targetH)
+    if (payload.nonEmpty) {
+      var y = 0
+      while (y < targetH) {
+        val srcY = y * meta.height / targetH
+        var x = 0
+        while (x < targetW) {
+          val srcX = x * meta.width / targetW
+          out(y * targetW + x) =
+            payload(math.min(srcY * meta.width + srcX, payload.length - 1))
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** Resize every media record in place (payload + meta rewritten to the
+    * target dimensions) — same mapPartitions shape as
+    * [[extractFeatures]]: payload bytes never shuffle, each partition's
+    * records transform where they were read.
+    */
+  def resize(media: Dataset[MediaRecord], targetW: Int,
+             targetH: Int): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    media.mapPartitions { it =>
+      it.map { r =>
+        MediaRecord(r.doc_id,
+          MediaMeta(r.meta.kind, r.meta.format, targetW, targetH),
+          resizeStub(r.payload, r.meta, targetW, targetH))
+      }
+    }
+  }
+
+  /** One sampled frame of a media record: `frame_idx` is the position in
+    * the SAMPLED sequence, `src_row` the row of the original grid it was
+    * cut from.
+    */
+  case class Frame(doc_id: Long, frame_idx: Int, src_row: Int,
+                   meta: MediaMeta, payload: Array[Byte])
+
+  /** STUB frame sampling: treat the byte grid as `height` frames of
+    * `width` bytes (a fake video) and emit `n` evenly-spaced frames —
+    * frame i comes from source row floor(i·height/n), the deterministic
+    * stand-in for a real `video.decode_frames(t)` at evenly-spaced
+    * timestamps. One record fans out to ≤ n rows INSIDE the partition
+    * iterator (flatMap — the explode never materializes per-record
+    * collections), so downstream stages see frame-sized rows, not
+    * video-sized ones: the only fan-out shape that survives 100 TB of
+    * video.
+    */
+  def frameSample(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val frames = math.min(n, r.meta.height)
+        (0 until frames).iterator.map { i =>
+          val srcRow = i * r.meta.height / frames
+          val from = math.min(srcRow * r.meta.width, r.payload.length)
+          val until = math.min(from + r.meta.width, r.payload.length)
+          Frame(r.doc_id, i, srcRow,
+            MediaMeta(r.meta.kind, r.meta.format, r.meta.width, 1),
+            java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+    }
+  }
 }

@@ -40,4 +40,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(f0.histogram.sameElements(h0) && f0.mean_byte == m0 &&
       f0.embedding.sameElements(e0))
   }
+
+  test("resize: nearest-neighbor grid subsample, meta rewritten, deterministic") {
+    import spark.implicits._
+    import Multimodal.{MediaMeta, MediaRecord}
+    // 4×4 grid of bytes 0..15 → 2×2 picks rows {0,2} × cols {0,2}.
+    val grid = Array.tabulate(16)(_.toByte)
+    val rec = MediaRecord(1L, MediaMeta("image", "fake/raw", 4, 4), grid)
+    val out = Multimodal.resize(Seq(rec).toDS(), 2, 2).collect().head
+    assert(out.meta.width == 2 && out.meta.height == 2)
+    assert(out.payload.toSeq == Seq[Byte](0, 2, 8, 10))
+    // Upscale repeats source pixels, never reads out of bounds.
+    val up = Multimodal.resize(Seq(rec).toDS(), 8, 8).collect().head
+    assert(up.payload.length == 64)
+    assert(up.payload.toSet.subsetOf(grid.toSet))
+  }
+
+  test("frame sample: evenly-spaced rows, bounded fan-out, width-sized payloads") {
+    import spark.implicits._
+    import Multimodal.{MediaMeta, MediaRecord}
+    // "Video": 6 frames of 3 bytes each.
+    val payload = Array.tabulate(18)(_.toByte)
+    val rec = MediaRecord(7L, MediaMeta("video", "fake/raw", 3, 6), payload)
+    val frames = Multimodal.frameSample(Seq(rec).toDS(), 3).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    assert(frames.map(_.src_row).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(f => f.payload.length == 3 && f.meta.height == 1))
+    assert(frames(1).payload.toSeq == Seq[Byte](6, 7, 8))
+    // n beyond the frame count: every frame once, none invented.
+    assert(Multimodal.frameSample(Seq(rec).toDS(), 100).collect().length == 6)
+  }
 }
