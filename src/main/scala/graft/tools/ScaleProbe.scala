@@ -108,9 +108,11 @@ object ScaleProbe {
       val tKeepBest = noopTime(Dedup.keepBest(docs,
         Dedup.ngramJaccardInvertedIndex(docs, minJaccard = 0.5)))
       val tMix = noopTime(TextAnalysis.corpusMix(docs))
+      val tVocab = noopTime(TextAnalysis.vocabTopK(docs))
       println(f"[scale-curate] k=$k decontaminate=$tDecon%.2f shard_pack=$tShard%.2f " +
         f"doc_repetition=$tRep%.2f stratified_sample=$tStrat%.2f " +
-        f"chunk_dedup=$tChunk%.2f keep_best=$tKeepBest%.2f corpus_mix=$tMix%.2f")
+        f"chunk_dedup=$tChunk%.2f keep_best=$tKeepBest%.2f corpus_mix=$tMix%.2f " +
+        f"vocab_topk=$tVocab%.2f")
     }
     spark.stop()
   }

@@ -215,4 +215,14 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val missing = SparkEntry.queries.keySet -- baseline.keySet
     assert(missing.isEmpty, s"queries without a baseline row: $missing")
   }
+
+  test("driver contract: every oracle belongs to a query, entry smoke-runs") {
+    // A dangling oracle key would silently never be compared — the
+    // driver only checks oracles for names it has results for.
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without a query: $dangling")
+    assert(SparkEntry.oracleSql.size >= 71, "oracle coverage must not shrink")
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L,
+      "flagship entry query must return rows at sf0.001")
+  }
 }
