@@ -25,14 +25,18 @@ object CorpusPipeline {
 
   /** Curate a raw document corpus. `pairsOf` picks the near-dup pair
     * emitter (minhash by default; ngram-Jaccard for an oracle-friendly
-    * run — both emit (id1, id2) pairs).
+    * run — both emit (id1, id2) pairs). `keepBestQuality` switches the
+    * cluster survivor from lowest-id to highest-quality-score
+    * ([[Dedup.keepBest]]) — near-dup members differ, and real curation
+    * keeps the cleanest variant, not an arbitrary one.
     */
   def curate(documents: DataFrame,
              minQuality: Double = 0.55,
              langs: Seq[String] = Seq("en", "de", "es", "fr"),
              pairsOf: DataFrame => DataFrame = d => Dedup.minhashPairs(d),
              valFrac: Double = 0.05,
-             testFrac: Double = 0.05): DataFrame = {
+             testFrac: Double = 0.05,
+             keepBestQuality: Boolean = false): DataFrame = {
     // 1. Annotate + gate: one projection, both predicates in one pass.
     val gated = TextAnalysis.withQuality(documents)
       .filter(col("lang").isin(langs: _*) && col("quality_score") >= minQuality)
@@ -53,9 +57,15 @@ object CorpusPipeline {
     // pointerJump measured SLOWER here (7.2 s vs 6.4 s at sf0.1): the
     // ngram pair graph is near-clique, converges in few rounds, and the
     // extra per-round join costs more than the rounds it saves.
-    val drops = Components.dedupClusters(pairsOf(exactDeduped), "id1", "id2")
-      .filter(col("is_canonical") === 0)
-      .select(col("id").as("doc_id"))
+    val drops =
+      if (keepBestQuality)
+        Dedup.keepBest(exactDeduped, pairsOf(exactDeduped))
+          .filter(col("is_kept") === 0)
+          .select(col("doc_id"))
+      else
+        Components.dedupClusters(pairsOf(exactDeduped), "id1", "id2")
+          .filter(col("is_canonical") === 0)
+          .select(col("id").as("doc_id"))
     val resolved = exactDeduped.join(drops, Seq("doc_id"), "left_anti")
     // 4. Deterministic split — stable under corpus growth.
     TextAnalysis.splitByHash(resolved, "doc_id", valFrac, testFrac)

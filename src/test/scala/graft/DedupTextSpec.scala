@@ -480,6 +480,19 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
         pairsOf = d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.5))
       .orderBy("doc_id").collect().map(r => r.getAs[String]("split")).toSeq
     assert(again == out.map(_.getAs[String]("split")).toSeq)
+    // keepBestQuality: the near-dup cluster {1,3} keeps its
+    // highest-scoring member instead of the lowest id.
+    val q = TextAnalysis.withQuality(rows)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(1L, 3L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    val bestOf13 = Seq(1L, 3L).maxBy(id => (q(id), -id.toDouble))
+    val best = CorpusPipeline.curate(rows,
+        pairsOf = d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.5),
+        keepBestQuality = true)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(best == Seq(bestOf13, 6L).sorted,
+      s"expected best-quality survivor $bestOf13 and 6, got $best")
   }
 
   test("banded LSH near-dup pairs: exact parity on identical-direction clusters") {
