@@ -240,9 +240,14 @@ object Dedup {
                src: String = "id1", dst: String = "id2"): DataFrame = {
     val clusters = Components.connectedComponents(pairs, src, dst)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // Reuse an already-computed score: a pipeline frame that went
+    // through the quality gate carries quality_score, and re-running
+    // withQuality's regex battery over it would double the scan cost.
+    val quality =
+      if (documents.columns.contains("quality_score")) documents
+      else TextAnalysis.withQuality(documents)
     val scored = clusters.join(
-      TextAnalysis.withQuality(documents).select(col("doc_id"), col("quality_score")),
-      Seq("doc_id"))
+      quality.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
     val best = scored.groupBy(col("cluster_id"))
       .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("best"),
         count(lit(1)).as("cluster_size"))

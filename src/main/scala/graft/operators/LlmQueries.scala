@@ -151,6 +151,25 @@ object LlmQueries {
 
   private val EnStops = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
 
+  /** Quality-score SQL, shared by every oracle that scores documents —
+    * one definition so the DuckDB side cannot drift from
+    * [[TextAnalysis.withQuality]] copy-by-copy. `QualityFieldsSql` is
+    * the select-list computing the raw counts; `QualityScoreSql` the
+    * weighted formula over them. (text_quality's oracle keeps its own
+    * ratio-aliased form because it also publishes the ratio columns.)
+    */
+  private val QualityFieldsSql: String =
+    s"""length(text) AS n_chars,
+       |    len(string_split_regex(text, '\\s+')) AS n_words,
+       |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      w -> list_contains([$EnStops], w))) AS n_stops""".stripMargin
+
+  private val QualityScoreSql: String =
+    """round(least(1.0, CAST(n_words AS DOUBLE) / 50) * 0.4
+      |      + (1.0 - CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 0.3
+      |      + least(1.0, CAST(n_stops AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0) * 5) * 0.3, 6)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash,
@@ -293,17 +312,11 @@ object LlmQueries {
     "dedup_keep_best" ->
       s"""WITH RECURSIVE b AS (
          |  SELECT doc_id, text,
-         |    length(text) AS n_chars,
-         |    len(string_split_regex(text, '\\s+')) AS n_words,
-         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
-         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |      w -> list_contains([$EnStops], w))) AS n_stops
+         |    $QualityFieldsSql
          |  FROM documents),
          |q AS (
          |  SELECT doc_id,
-         |    round(least(1.0, CAST(n_words AS DOUBLE) / 50) * 0.4
-         |      + (1.0 - CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 0.3
-         |      + least(1.0, CAST(n_stops AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0) * 5) * 0.3, 6) AS quality_score
+         |    $QualityScoreSql AS quality_score
          |  FROM b),
          |t AS (
          |  SELECT doc_id, source, lang,
@@ -496,18 +509,12 @@ object LlmQueries {
     "corpus_pipeline" ->
       s"""WITH RECURSIVE b AS (
          |  SELECT doc_id, text, lang, source,
-         |    length(text) AS n_chars,
-         |    len(string_split_regex(text, '\\s+')) AS n_words,
-         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
-         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |      w -> list_contains([$EnStops], w))) AS n_stops
+         |    $QualityFieldsSql
          |  FROM documents
          |  WHERE lang IN ('en', 'de', 'es', 'fr')),
          |q AS (
          |  SELECT doc_id, text, lang, source, n_chars,
-         |    round(least(1.0, CAST(n_words AS DOUBLE) / 50) * 0.4
-         |      + (1.0 - CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 0.3
-         |      + least(1.0, CAST(n_stops AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0) * 5) * 0.3, 6) AS quality_score
+         |    $QualityScoreSql AS quality_score
          |  FROM b),
          |g AS (SELECT * FROM q WHERE quality_score >= 0.55),
          |ex AS (

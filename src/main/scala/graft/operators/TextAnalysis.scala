@@ -163,13 +163,29 @@ object TextAnalysis {
     * sort, no window.
     */
   def stratifiedSample(documents: DataFrame, stratumCol: String = "lang",
-                       buckets: Int = 1000): DataFrame = {
+                       buckets: Int = 1000): DataFrame =
+    sampleByStratumRate(documents, stratumCol, buckets,
+      ratio => ratio)
+
+  /** Shared shape of the stratum resamplers ([[stratifiedSample]],
+    * [[corpusMix]]): per-stratum counts → broadcast threshold table
+    * keyed by `rateOf(n_min / n_stratum)` → one corpus scan filtered by
+    * the multiplicative doc_id hash. The hash, bucket arithmetic and
+    * output projection live HERE once, so the two policies cannot drift
+    * apart; `rateOf` maps the floor-stratum ratio (∈ (0, 1]) to the
+    * keep rate — identity for the hard floor, a tempering curve for
+    * soft rebalancing.
+    */
+  private def sampleByStratumRate(documents: DataFrame, stratumCol: String,
+                                  buckets: Int,
+                                  rateOf: Column => Column): DataFrame = {
     val counts = documents.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_stratum"))
-    val target = counts.agg(min(col("n_stratum")).as("target"))
-    val thr = counts.crossJoin(broadcast(target))
+    val minC = counts.agg(min(col("n_stratum")).as("n_min"))
+    val thr = counts.crossJoin(broadcast(minC))
       .select(col(stratumCol), col("n_stratum"),
-        floor(lit(buckets.toDouble) * col("target").cast("double") /
-          col("n_stratum").cast("double")).cast("bigint").as("keep_thr"))
+        floor(lit(buckets.toDouble) *
+          rateOf(col("n_min").cast("double") / col("n_stratum").cast("double")))
+          .cast("bigint").as("keep_thr"))
     documents
       .select(col("doc_id"), col(stratumCol))
       .join(broadcast(thr), Seq(stratumCol))
@@ -196,21 +212,9 @@ object TextAnalysis {
     * corpus rows.
     */
   def corpusMix(documents: DataFrame, stratumCol: String = "lang",
-                buckets: Int = 1000): DataFrame = {
-    val counts = documents.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_stratum"))
-    val minC = counts.agg(min(col("n_stratum")).as("n_min"))
-    val thr = counts.crossJoin(broadcast(minC))
-      .select(col(stratumCol), col("n_stratum"),
-        floor(lit(buckets.toDouble) *
-          sqrt(col("n_min").cast("double") / col("n_stratum").cast("double")))
-          .cast("bigint").as("keep_thr"))
-    documents
-      .select(col("doc_id"), col(stratumCol))
-      .join(broadcast(thr), Seq(stratumCol))
-      .filter(pmod(pmod(col("doc_id"), lit(99991L)) * lit(2654435761L),
-        lit(buckets.toLong)) < col("keep_thr"))
-      .select(col("doc_id"), col(stratumCol), col("n_stratum"), col("keep_thr"))
-  }
+                buckets: Int = 1000): DataFrame =
+    sampleByStratumRate(documents, stratumCol, buckets,
+      ratio => sqrt(ratio))
 
   /** #47g vocab_topk: per-language top-k token frequencies — the
     * vocabulary-coverage diagnostic published with a corpus snapshot

@@ -158,8 +158,11 @@ object Multimodal {
           val srcRow = i * r.meta.height / frames
           val from = math.min(srcRow * r.meta.width, r.payload.length)
           val until = math.min(from + r.meta.width, r.payload.length)
+          // Frame meta reports the ACTUAL byte count — a grid declared
+          // wider than the payload would otherwise hand consumers a
+          // width its payload cannot back.
           Frame(r.doc_id, i, srcRow,
-            MediaMeta(r.meta.kind, r.meta.format, r.meta.width, 1),
+            MediaMeta(r.meta.kind, r.meta.format, until - from, 1),
             java.util.Arrays.copyOfRange(r.payload, from, until))
         }
       }

@@ -72,10 +72,9 @@ object StreamIndicators {
     * add_rsi, :83 add_macd). Same state/ordering contract as [[smaEma]]:
     * O(rsiP) state per symbol, sub-state stragglers dropped. The three
     * EMA recursions use the identical operation order as the batch
-    * folds, so finalized values are bit-equal to the batch plan; RSI
-    * averages sum a bounded window whose members are price deltas —
-    * order-insensitive whenever deltas are exactly representable, and
-    * within double rounding otherwise.
+    * folds, and the RSI gain/loss windows sum oldest-first like the
+    * batch window frame, so finalized values are bit-equal to the
+    * batch plan.
     */
   def macdRsi(bars: Dataset[Bar], fast: Int = 12, slow: Int = 26,
               sig: Int = 9, rsiP: Int = 14): Dataset[MacdRsiRow] = {
@@ -107,12 +106,14 @@ object StreamIndicators {
                   ((math.max(d, 0.0) :: st.gains).take(rsiP),
                    (math.max(-d, 0.0) :: st.losses).take(rsiP))
                 }
+              // reverse as in [[smaEma]]: fold the windows oldest-first,
+              // matching the batch frame order bit-for-bit.
               val rsi =
                 if (gains.length < rsiP) None
                 else {
-                  val al = losses.sum / rsiP
+                  val al = losses.reverse.sum / rsiP
                   if (al == 0.0) None
-                  else Some(100.0 - 100.0 / (1.0 + (gains.sum / rsiP) / al))
+                  else Some(100.0 - 100.0 / (1.0 + (gains.reverse.sum / rsiP) / al))
                 }
               val macd = if (n >= slow) Some(macdVal) else None
               val signal = if (n >= slow + sig - 1) Some(emaSig) else None
@@ -153,8 +154,12 @@ object StreamIndicators {
                         else alpha * b.close + (1 - alpha) * st.ema
               val win = (b.close :: st.window).take(p)
               st = IndState(n, ema, b.ts.getTime, win)
+              // reverse: the window list is newest-first, but the batch
+              // window aggregate folds its frame oldest-first — summing
+              // in the same order keeps the bit-equality contract for
+              // prices that are not exactly representable.
               out += IndRow(uid, b.ts, b.close,
-                if (n >= p) Some(win.sum / p) else None,
+                if (n >= p) Some(win.reverse.sum / p) else None,
                 if (n >= span) Some(ema) else None)
             }
           }

@@ -258,6 +258,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming SMA bit-equals batch on non-binary-exact prices") {
+    // 0.1 + 0.2 + 0.3 summed newest-first vs oldest-first differ in the
+    // last ulp — this pins the window fold to the batch frame order.
+    import graft.streaming.StreamIndicators
+    import graft.streaming.StreamIndicators.Bar
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val closes = Seq(0.1, 0.2, 0.3, 0.4, 0.57)
+    val input = MemoryStream[Bar]
+    val query = StreamIndicators.smaEma(input.toDS(), p = 3, span = 3)
+      .writeStream.format("memory").queryName("sdec").outputMode("append").start()
+    try {
+      input.addData(closes.zipWithIndex.map { case (c, i) =>
+        Bar(1L, ts(f"2024-01-${i + 1}%02d 00:00:00"), c) })
+      query.processAllAvailable()
+      val streamed = spark.table("sdec").collect()
+        .map(r => r.getAs[Timestamp]("ts").getTime ->
+          Option(r.getAs[java.lang.Double]("sma")).map(_.doubleValue))
+        .sortBy(_._1).map(_._2)
+      val batch = graft.operators.Indicators.withSma(
+          closes.zipWithIndex.map { case (c, i) =>
+            (1L, java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), c) }
+            .toDF("user_id", "date", "close"), Seq(3))
+        .orderBy("date").collect()
+        .map(r => Option(r.getAs[java.lang.Double]("ma_3")).map(_.doubleValue))
+      assert(streamed.toSeq == batch.toSeq,
+        s"streamed=${streamed.toSeq}\nbatch=${batch.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming MACD/RSI equal the batch plan row-for-row") {
     import graft.streaming.StreamIndicators
     import graft.streaming.StreamIndicators.Bar
