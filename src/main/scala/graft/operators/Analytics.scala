@@ -92,6 +92,59 @@ object Analytics {
     * user's full-history mean/stddev; |z| above the threshold is an
     * anomaly.
     */
+  /** #28c max_drawdown: per-symbol drawdown profile — running peak over
+    * the bar history, drawdown = close/peak − 1, summarized as the
+    * worst (max) drawdown and the latest bar's current drawdown. The
+    * risk metric every portfolio report leads with; the reference's
+    * stubbed risk assessment (report_generator.py:357) names it.
+    *
+    * Scale shape: one per-key ordered window (bar-grain, KBs per
+    * symbol) and one map-side-combinable aggregate — no cross-symbol
+    * shuffle beyond the key partition.
+    */
+  def maxDrawdown(bars: DataFrame): DataFrame = {
+    val peakW = Window.partitionBy(col("user_id")).orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bars
+      .withColumn("__peak", max(col("close")).over(peakW))
+      .withColumn("__dd", col("close") / nullif(col("__peak"), lit(0.0)) - 1)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("__dd")).as("max_drawdown"),
+        max_by(col("__dd"), col("date")).as("current_drawdown"))
+  }
+
+  /** #28d beta_market: per-symbol CAPM beta/alpha against the
+    * equal-weight market return (avg of all symbols' daily returns) —
+    * beta = cov(ret, mret)/var(mret), alpha = avg(ret) − beta·avg(mret).
+    *
+    * Scale shape: the market series is a day-grain aggregate (tiny) that
+    * BROADCASTS back onto the returns; betas then come from one
+    * covar/var aggregate per symbol — two shuffles total (day agg, key
+    * agg), both map-side combined, no symbol×symbol join.
+    */
+  def betaVsMarket(bars: DataFrame, minDays: Int = 5): DataFrame = {
+    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val returns = bars
+      .withColumn("ret",
+        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
+      .filter(col("ret").isNotNull)
+      .select(col("user_id"), col("date"), col("ret"))
+    val market = returns.groupBy(col("date")).agg(avg(col("ret")).as("mret"))
+    returns.join(broadcast(market), Seq("date"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        covar_samp(col("ret"), col("mret")).as("__cov"),
+        var_samp(col("mret")).as("__var"),
+        avg(col("ret")).as("__avgr"),
+        avg(col("mret")).as("__avgm"))
+      .filter(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"),
+        (col("__cov") / nullif(col("__var"), lit(0.0))).as("beta"),
+        (col("__avgr") - col("__cov") / nullif(col("__var"), lit(0.0)) * col("__avgm"))
+          .as("alpha"))
+  }
+
   def anomalyZscore(cleanEvents: DataFrame, threshold: Double = 2.5): DataFrame = {
     val stats = cleanEvents.groupBy(col("user_id")).agg(
       avg(col("value")).as("__mean"),

@@ -28,6 +28,15 @@ object AnalyticsQueries {
       roundCols(Analytics.rollingCorrelation(bars(s, d)), Seq("correlation"))
         .orderBy(col("u1"), col("u2"), col("date"))),
 
+    "max_drawdown" -> ((s, d) =>
+      roundCols(Analytics.maxDrawdown(bars(s, d)),
+        Seq("max_drawdown", "current_drawdown"))
+        .orderBy(col("user_id"))),
+
+    "beta_market" -> ((s, d) =>
+      roundCols(Analytics.betaVsMarket(bars(s, d)), Seq("beta", "alpha"))
+        .orderBy(col("user_id"))),
+
     "anomaly_zscore" -> ((s, d) =>
       roundCols(Analytics.anomalyZscore(clean(s, d)), Seq("zscore"))
         .orderBy(col("user_id"), col("event_id"))),
@@ -103,6 +112,37 @@ object AnalyticsQueries {
          |SELECT u1, u2, date, round(correlation, 6) AS correlation
          |FROM rc WHERE correlation IS NOT NULL
          |ORDER BY u1, u2, date""".stripMargin,
+
+    "max_drawdown" ->
+      s"""${MarketQueries.BarsCte},
+         |dd AS (
+         |  SELECT user_id, date,
+         |    close / nullif(max(close) OVER (PARTITION BY user_id ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) - 1 AS ddv
+         |  FROM bars)
+         |SELECT user_id, count(*) AS n_days,
+         |  round(min(ddv), 6) AS max_drawdown,
+         |  round(arg_max(ddv, date), 6) AS current_drawdown
+         |FROM dd GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "beta_market" ->
+      s"""${MarketQueries.BarsCte},
+         |ret AS (
+         |  SELECT user_id, date,
+         |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY date), 0.0) - 1 AS ret
+         |  FROM bars),
+         |retn AS (SELECT * FROM ret WHERE ret IS NOT NULL),
+         |mkt AS (SELECT date, avg(ret) AS mret FROM retn GROUP BY date),
+         |j AS (SELECT r.user_id, r.ret, m.mret FROM retn r JOIN mkt m USING (date)),
+         |g AS (
+         |  SELECT user_id, count(*) AS n_days,
+         |    covar_samp(ret, mret) AS cv, var_samp(mret) AS vr,
+         |    avg(ret) AS avgr, avg(mret) AS avgm
+         |  FROM j GROUP BY user_id)
+         |SELECT user_id, n_days,
+         |  round(cv / nullif(vr, 0.0), 6) AS beta,
+         |  round(avgr - cv / nullif(vr, 0.0) * avgm, 6) AS alpha
+         |FROM g WHERE n_days >= 5 ORDER BY user_id""".stripMargin,
 
     "anomaly_zscore" ->
       s"""${MarketQueries.CleanCte},

@@ -13,6 +13,36 @@ class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
   private def ts(s: String) = Timestamp.valueOf(s)
   private def d(s: String) = Date.valueOf(s)
 
+  test("max drawdown: running-peak ratio, worst vs current") {
+    val bars = Seq(
+      (1L, d("2024-01-01"), 10.0), (1L, d("2024-01-02"), 12.0),
+      (1L, d("2024-01-03"), 9.0), (1L, d("2024-01-04"), 11.0))
+      .toDF("user_id", "date", "close")
+    val out = Analytics.maxDrawdown(bars).collect().head
+    assert(out.getAs[Long]("n_days") == 4L)
+    // peaks 10,12,12,12 → drawdowns 0, 0, −0.25, 11/12−1
+    assert(out.getAs[Double]("max_drawdown") == -0.25)
+    assert(math.abs(out.getAs[Double]("current_drawdown") - (11.0 / 12 - 1)) < 1e-12)
+  }
+
+  test("beta vs market: proportional return series recover exact betas") {
+    // r1 = (4/3)·market, r2 = (2/3)·market by construction → betas
+    // 4/3 and 2/3, alphas 0.
+    val bars = Seq(
+      (1L, d("2024-01-01"), 100.0), (1L, d("2024-01-02"), 110.0),
+      (1L, d("2024-01-03"), 99.0), (1L, d("2024-01-04"), 108.9),
+      (2L, d("2024-01-01"), 100.0), (2L, d("2024-01-02"), 105.0),
+      (2L, d("2024-01-03"), 99.75), (2L, d("2024-01-04"), 104.7375))
+      .toDF("user_id", "date", "close")
+    val out = Analytics.betaVsMarket(bars, minDays = 2)
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("n_days") == 3L))
+    assert(math.abs(out(0).getAs[Double]("beta") - 4.0 / 3) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("beta") - 2.0 / 3) < 1e-9)
+    assert(out.forall(r => math.abs(r.getAs[Double]("alpha")) < 1e-9))
+  }
+
   test("sessionize splits on >30min gaps and aggregates sessions") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
