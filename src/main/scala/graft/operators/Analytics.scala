@@ -145,6 +145,30 @@ object Analytics {
           .as("alpha"))
   }
 
+  /** #28e risk_metrics: per-symbol return-risk summary — annualized
+    * volatility (stddev·√252) and Sharpe ratio (avg/stddev·√252, zero
+    * risk-free rate as the reference's report assumes). Same shape as
+    * [[betaVsMarket]] minus the market join: one returns window, one
+    * map-side-combinable aggregate per symbol.
+    */
+  def riskMetrics(bars: DataFrame, minDays: Int = 5,
+                  periodsPerYear: Int = 252): DataFrame = {
+    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    val ann = math.sqrt(periodsPerYear.toDouble)
+    bars
+      .withColumn("ret",
+        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
+      .filter(col("ret").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        avg(col("ret")).as("__avg"),
+        stddev_samp(col("ret")).as("__sd"))
+      .filter(col("n_days") >= minDays)
+      .select(col("user_id"), col("n_days"),
+        (col("__sd") * ann).as("ann_volatility"),
+        (col("__avg") / nullif(col("__sd"), lit(0.0)) * ann).as("sharpe"))
+  }
+
   def anomalyZscore(cleanEvents: DataFrame, threshold: Double = 2.5): DataFrame = {
     val stats = cleanEvents.groupBy(col("user_id")).agg(
       avg(col("value")).as("__mean"),

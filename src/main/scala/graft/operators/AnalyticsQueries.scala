@@ -37,6 +37,10 @@ object AnalyticsQueries {
       roundCols(Analytics.betaVsMarket(bars(s, d)), Seq("beta", "alpha"))
         .orderBy(col("user_id"))),
 
+    "risk_metrics" -> ((s, d) =>
+      roundCols(Analytics.riskMetrics(bars(s, d)), Seq("ann_volatility", "sharpe"))
+        .orderBy(col("user_id"))),
+
     "anomaly_zscore" -> ((s, d) =>
       roundCols(Analytics.anomalyZscore(clean(s, d)), Seq("zscore"))
         .orderBy(col("user_id"), col("event_id"))),
@@ -142,6 +146,22 @@ object AnalyticsQueries {
          |SELECT user_id, n_days,
          |  round(cv / nullif(vr, 0.0), 6) AS beta,
          |  round(avgr - cv / nullif(vr, 0.0) * avgm, 6) AS alpha
+         |FROM g WHERE n_days >= 5 ORDER BY user_id""".stripMargin,
+
+    "risk_metrics" ->
+      s"""${MarketQueries.BarsCte},
+         |ret AS (
+         |  SELECT user_id,
+         |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY date), 0.0) - 1 AS ret
+         |  FROM bars),
+         |retn AS (SELECT * FROM ret WHERE ret IS NOT NULL),
+         |g AS (
+         |  SELECT user_id, count(*) AS n_days,
+         |    avg(ret) AS av, stddev_samp(ret) AS sd
+         |  FROM retn GROUP BY user_id)
+         |SELECT user_id, n_days,
+         |  round(sd * sqrt(252.0), 6) AS ann_volatility,
+         |  round(av / nullif(sd, 0.0) * sqrt(252.0), 6) AS sharpe
          |FROM g WHERE n_days >= 5 ORDER BY user_id""".stripMargin,
 
     "anomaly_zscore" ->

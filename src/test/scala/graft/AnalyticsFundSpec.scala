@@ -43,6 +43,21 @@ class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => math.abs(r.getAs[Double]("alpha")) < 1e-9))
   }
 
+  test("risk metrics: hand-computed annualized volatility and sharpe") {
+    // returns 0.1, -0.1, 0.1 → avg = 1/30, sd = sqrt(sum((r-avg)^2)/2)
+    val bars = Seq(
+      (1L, d("2024-01-01"), 100.0), (1L, d("2024-01-02"), 110.0),
+      (1L, d("2024-01-03"), 99.0), (1L, d("2024-01-04"), 108.9))
+      .toDF("user_id", "date", "close")
+    val out = Analytics.riskMetrics(bars, minDays = 2).collect().head
+    assert(out.getAs[Long]("n_days") == 3L)
+    val rets = Seq(0.1, -0.1, 0.1)
+    val avg = rets.sum / 3
+    val sd = math.sqrt(rets.map(r => (r - avg) * (r - avg)).sum / 2)
+    assert(math.abs(out.getAs[Double]("ann_volatility") - sd * math.sqrt(252)) < 1e-9)
+    assert(math.abs(out.getAs[Double]("sharpe") - avg / sd * math.sqrt(252)) < 1e-9)
+  }
+
   test("sessionize splits on >30min gaps and aggregates sessions") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
