@@ -24,17 +24,26 @@ object Analytics {
 
   private val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
 
+  /** Daily close-over-close returns per symbol — the shared input of
+    * every return-based analytic here (#28, #28b, #28d, #28e). nullif
+    * turns a 0.0 previous close into NULL rather than an ANSI divide
+    * error; the first bar (no lag) drops with the NULL filter.
+    */
+  private def dailyReturns(bars: DataFrame): DataFrame = {
+    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
+    bars
+      .withColumn("ret",
+        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
+      .filter(col("ret").isNotNull)
+      .select(col("user_id"), col("date"), col("ret"))
+  }
+
   /** #28 correlation_pairs: Pearson correlation of daily returns for
     * every unordered pair of the top-K most active users (by total bar
     * volume). Inner join on date mirrors the reference's merge-on-time.
     */
   def correlationPairs(bars: DataFrame, topK: Int = 10, minDays: Int = 5): DataFrame = {
-    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
-    val returns = bars
-      .withColumn("ret",
-        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
-      .filter(col("ret").isNotNull)
-      .select(col("user_id"), col("date"), col("ret"))
+    val returns = dailyReturns(bars)
     // Distributed top-k (TakeOrderedAndProject): the set of top users is
     // all that's needed — no rank column, no global window.
     val topUsers = bars.groupBy(col("user_id"))
@@ -62,12 +71,7 @@ object Analytics {
     * windows like pandas rolling(w).corr.
     */
   def rollingCorrelation(bars: DataFrame, topK: Int = 3, window: Int = 10): DataFrame = {
-    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
-    val returns = bars
-      .withColumn("ret",
-        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
-      .filter(col("ret").isNotNull)
-      .select(col("user_id"), col("date"), col("ret"))
+    val returns = dailyReturns(bars)
     val topUsers = bars.groupBy(col("user_id"))
       .agg(sum(col("volume")).as("total_volume"))
       .orderBy(col("total_volume").desc, col("user_id"))
@@ -87,11 +91,6 @@ object Analytics {
       .select(col("u1"), col("u2"), col("date"), col("correlation"))
   }
 
-  /** #29 anomaly_zscore (completes the reference's empty
-    * anomaly_detector.py): per-user z-score of the tick value against the
-    * user's full-history mean/stddev; |z| above the threshold is an
-    * anomaly.
-    */
   /** #28c max_drawdown: per-symbol drawdown profile — running peak over
     * the bar history, drawdown = close/peak − 1, summarized as the
     * worst (max) drawdown and the latest bar's current drawdown. The
@@ -111,27 +110,30 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_days"),
         min(col("__dd")).as("max_drawdown"),
-        max_by(col("__dd"), col("date")).as("current_drawdown"))
+        // max-of-struct over NULL-gated rows, not max_by: a NULL
+        // drawdown on the LATEST bar (zero running peak) would be
+        // returned by max_by but skipped by the oracle's arg_max —
+        // this form skips it in both engines.
+        max(when(col("__dd").isNotNull, struct(col("date"), col("__dd"))))
+          .as("__cur"))
+      .select(col("user_id"), col("n_days"), col("max_drawdown"),
+        col("__cur.__dd").as("current_drawdown"))
   }
 
   /** #28d beta_market: per-symbol CAPM beta/alpha against the
     * equal-weight market return (avg of all symbols' daily returns) —
     * beta = cov(ret, mret)/var(mret), alpha = avg(ret) − beta·avg(mret).
     *
-    * Scale shape: the market series is a day-grain aggregate (tiny) that
-    * BROADCASTS back onto the returns; betas then come from one
-    * covar/var aggregate per symbol — two shuffles total (day agg, key
-    * agg), both map-side combined, no symbol×symbol join.
+    * Scale shape: the market return rides a day-partitioned window on
+    * the SAME pass over the returns (a date partition holds one row per
+    * symbol — thousands, never corpus-sized), so the lag window is
+    * evaluated once, not once per side of a self-join; betas then come
+    * from one covar/var aggregate per symbol — two shuffles total
+    * (date, key), both map-side combined, no symbol×symbol join.
     */
   def betaVsMarket(bars: DataFrame, minDays: Int = 5): DataFrame = {
-    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
-    val returns = bars
-      .withColumn("ret",
-        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
-      .filter(col("ret").isNotNull)
-      .select(col("user_id"), col("date"), col("ret"))
-    val market = returns.groupBy(col("date")).agg(avg(col("ret")).as("mret"))
-    returns.join(broadcast(market), Seq("date"))
+    dailyReturns(bars)
+      .withColumn("mret", avg(col("ret")).over(Window.partitionBy(col("date"))))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_days"),
         covar_samp(col("ret"), col("mret")).as("__cov"),
@@ -153,12 +155,8 @@ object Analytics {
     */
   def riskMetrics(bars: DataFrame, minDays: Int = 5,
                   periodsPerYear: Int = 252): DataFrame = {
-    val byDate = Window.partitionBy(col("user_id")).orderBy(col("date"))
     val ann = math.sqrt(periodsPerYear.toDouble)
-    bars
-      .withColumn("ret",
-        col("close") / nullif(lag(col("close"), 1).over(byDate), lit(0.0)) - 1)
-      .filter(col("ret").isNotNull)
+    dailyReturns(bars)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_days"),
         avg(col("ret")).as("__avg"),
@@ -169,6 +167,11 @@ object Analytics {
         (col("__avg") / nullif(col("__sd"), lit(0.0)) * ann).as("sharpe"))
   }
 
+  /** #29 anomaly_zscore (completes the reference's empty
+    * anomaly_detector.py): per-user z-score of the tick value against the
+    * user's full-history mean/stddev; |z| above the threshold is an
+    * anomaly.
+    */
   def anomalyZscore(cleanEvents: DataFrame, threshold: Double = 2.5): DataFrame = {
     val stats = cleanEvents.groupBy(col("user_id")).agg(
       avg(col("value")).as("__mean"),
