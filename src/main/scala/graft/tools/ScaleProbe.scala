@@ -43,8 +43,12 @@ object ScaleProbe {
       val tInd = noopTime(Indicators.withRsi(Indicators.withSma(bars, Seq(5, 10)), 14))
       val tBreadth = noopTime(Breadth.breadthDaily(bars))
       val tMacd = noopTime(Indicators.withMacd(bars, 5, 10, 4))
+      val tRisk = noopTime(Analytics.riskMetrics(bars))
+      val tBeta = noopTime(Analytics.betaVsMarket(bars))
+      val tDd = noopTime(Analytics.maxDrawdown(bars))
       println(f"[scale] k=$k rows=${k * 1000000L} clean=$tClean%.2f bars=$tBars%.2f " +
-        f"indicators=$tInd%.2f breadth=$tBreadth%.2f macd=$tMacd%.2f")
+        f"indicators=$tInd%.2f breadth=$tBreadth%.2f macd=$tMacd%.2f " +
+        f"risk=$tRisk%.2f beta=$tBeta%.2f drawdown=$tDd%.2f")
     }
 
     // ---- LLM-op sweep ----------------------------------------------------
