@@ -22,6 +22,10 @@ import graft.functions.{DotProduct, TopKStruct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: the native as-of join's planner rule
+    // (graft.plans.AsOfJoinStrategy). `AsOf.join` also self-installs
+    // via experimental strategies for sessions built without extensions.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

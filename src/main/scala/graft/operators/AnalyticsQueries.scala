@@ -65,9 +65,39 @@ object AnalyticsQueries {
           col("__match.value").as("view_value"))
         .orderBy(col("user_id"), col("ts"))
     }),
+
+    // The NATIVE custom-plan twin (#31c): graft.plans.AsOf — same
+    // semantics through the LogicalPlan/Strategy/SparkPlan path, checked
+    // against the identical DuckDB ASOF JOIN oracle.
+    "asof_join_native" -> ((s, d) => {
+      val c = clean(s, d)
+      val purchases = c.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = c.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.plans.AsOf.join(purchases, views, "user_id", "ts")
+        .toDF("user_id", "ts", "event_id", "purchase_value",
+          "__r_user", "view_ts", "view_value")
+        .drop("__r_user")
+        .orderBy(col("user_id"), col("ts"))
+    }),
   )
 
+  private val AsOfOracle: String =
+    s"""${MarketQueries.CleanCte},
+       |p AS (SELECT user_id, ts, event_id, value FROM clean
+       |      WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, ts, value FROM clean
+       |      WHERE event_type = 'view')
+       |SELECT p.user_id, p.ts, p.event_id,
+       |  p.value AS purchase_value,
+       |  v.ts AS view_ts, v.value AS view_value
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.ts >= v.ts
+       |ORDER BY p.user_id, p.ts""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "asof_join_native" -> AsOfOracle,
     "correlation_pairs" ->
       s"""${MarketQueries.BarsCte},
          |ret AS (
@@ -219,17 +249,6 @@ object AnalyticsQueries {
          |LEFT JOIN p ON v.user_id = p.user_id
          |ORDER BY v.user_id""".stripMargin,
 
-    "asof_join" ->
-      s"""${MarketQueries.CleanCte},
-         |p AS (SELECT user_id, ts, event_id, value FROM clean
-         |      WHERE event_type = 'purchase'),
-         |v AS (SELECT user_id, ts, value FROM clean
-         |      WHERE event_type = 'view')
-         |SELECT p.user_id, p.ts, p.event_id,
-         |  p.value AS purchase_value,
-         |  v.ts AS view_ts, v.value AS view_value
-         |FROM p ASOF LEFT JOIN v
-         |  ON p.user_id = v.user_id AND p.ts >= v.ts
-         |ORDER BY p.user_id, p.ts""".stripMargin,
+    "asof_join" -> AsOfOracle,
   )
 }

@@ -95,6 +95,50 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       s"keepBest canonical selection must be agg+join, found Window:\n$keep")
   }
 
+  test("native as-of join: merge exec parity with the composed window form") {
+    import graft.plans.AsOf
+    val clean = graft.operators.Cleaning.cleanEvents(
+      graft.sources.Tables.events(spark, sf))
+    val purchases = clean.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = clean.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val native = AsOf.join(purchases, views, "user_id", "ts")
+      .toDF("user_id", "ts", "event_id", "purchase_value",
+        "r_user", "view_ts", "view_value")
+    val got = native.collect().map(r => (
+        r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("purchase_value"),
+        Option(r.getAs[java.sql.Timestamp]("view_ts")),
+        Option(r.getAs[Any]("view_value")).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2.getTime, t._3))
+    val composed = graft.operators.Analytics
+      .asofJoin(purchases, views, "user_id", "ts", Seq("value"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("__match.__asof_ts").as("view_ts"), col("__match.value").as("view_value"))
+      .collect().map(r => (
+        r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+        Option(r.getAs[java.sql.Timestamp]("view_ts")),
+        Option(r.getAs[Any]("view_value")).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2.getTime, t._3))
+    assert(got.nonEmpty && got.exists(_._5.isDefined) && got.exists(_._5.isEmpty),
+      "fixture must exercise both matched and unmatched purchases")
+    assert(got.toSeq == composed.toSeq,
+      "native as-of merge must equal the composed union+window form")
+    // Plan contract: the custom node plans as the merge exec — no
+    // union row blow-up (children may carry their own windows from the
+    // cleaning stage; the JOIN itself must not add one).
+    val p = plan(AsOf.join(purchases, views, "user_id", "ts"))
+    assert(p.contains("AsOfJoin"), s"expected the native exec:\n$p")
+    assert(!p.contains("Union"),
+      s"native path must not fall back to the union form:\n$p")
+    val composedPlan = plan(graft.operators.Analytics
+      .asofJoin(purchases, views, "user_id", "ts", Seq("value")))
+    assert(composedPlan.split("Window").length > p.split("Window").length,
+      "the native join must carry fewer Window operators than the composed form")
+  }
+
   test("IVF cell assignment adds no exchange beyond broadcast + ranker") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val p = plan(Similarity.ivfTopK(emb))
