@@ -140,7 +140,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val ltProj = UnsafeProjection.create(Seq(lTsExpr), leftOut)
       val rkProj = UnsafeProjection.create(Seq(rKeyExpr), rightOut)
       val rtProj = UnsafeProjection.create(Seq(rTsExpr), rightOut)
-      val resultProj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      // Bind against a NULLABLE view of the right side: an unmatched
+      // left row carries an all-null right row, and binding to the
+      // child's original non-nullable attributes would elide the null
+      // checks and read garbage from the empty slots.
+      val resultProj = UnsafeProjection.create(allOut,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
       var lookahead: InternalRow = null          // right row not yet folded

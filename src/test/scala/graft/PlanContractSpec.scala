@@ -139,6 +139,46 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       "the native join must carry fewer Window operators than the composed form")
   }
 
+  test("native as-of join: edge shapes — empty right, all-ahead right, shared keys") {
+    import graft.plans.AsOf
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 101.0),
+      (2L, ts("2024-01-01 11:00:00"), 200.0))
+      .toDF("user_id", "ts", "lv")
+    // Empty right: every left row survives with nulls.
+    val emptyR = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "rv")
+    val e = AsOf.join(l, emptyR, "user_id", "ts")
+      .toDF("user_id", "ts", "lv", "ru", "rts", "rv").collect()
+    assert(e.length == 3 && e.forall(_.isNullAt(4)))
+    // Right strictly ahead of every left ts: no matches either.
+    val ahead = Seq((1L, ts("2024-01-02 00:00:00"), 7.0))
+      .toDF("user_id", "ts", "rv")
+    val a = AsOf.join(l, ahead, "user_id", "ts")
+      .toDF("user_id", "ts", "lv", "ru", "rts", "rv").collect()
+    assert(a.length == 3 && a.forall(_.isNullAt(4)))
+    // Shared key, multiple left rows: each picks ITS latest ≤ match;
+    // equal timestamps match (backward-inclusive); key 2 unmatched by
+    // key isolation even though ts would fit.
+    val r = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0),
+      (3L, ts("2024-01-01 00:00:00"), 9.0))
+      .toDF("user_id", "ts", "rv")
+    val m = AsOf.join(l, r, "user_id", "ts")
+      .toDF("user_id", "ts", "lv", "ru", "rts", "rv")
+      .orderBy("user_id", "ts").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Double]("lv"),
+        if (x.isNullAt(5)) None else Some(x.getAs[Double]("rv"))))
+    assert(m.toSeq == Seq(
+      (1L, 100.0, Some(1.0)),   // 10:00 → 09:00
+      (1L, 101.0, Some(2.0)),   // 12:00 → 12:00 inclusive
+      (2L, 200.0, None)))       // no key-2 right rows
+  }
+
   test("IVF cell assignment adds no exchange beyond broadcast + ranker") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val p = plan(Similarity.ivfTopK(emb))
