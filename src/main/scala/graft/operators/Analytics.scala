@@ -167,6 +167,27 @@ object Analytics {
         (col("__avg") / nullif(col("__sd"), lit(0.0)) * ann).as("sharpe"))
   }
 
+  /** #6b date_gaps: per-symbol missing calendar days between a symbol's
+    * first and last bar — the detection half of the reference's
+    * date-range reindex + zero-fill (data_cleaner.py:89 clean_breadth;
+    * the breadth path zero-fills these, this op reports them per
+    * symbol for data-quality review).
+    *
+    * Scale shape: per-symbol span is one map-side-combinable min/max
+    * aggregate; the calendar explodes from the (tiny, per-symbol) span
+    * row — days per symbol, not days × corpus — and the present-day
+    * anti-join co-partitions on the same key.
+    */
+  def dateGaps(bars: DataFrame): DataFrame = {
+    val spans = bars.groupBy(col("user_id"))
+      .agg(min(col("date")).as("__d0"), max(col("date")).as("__d1"))
+    val calendar = spans.select(col("user_id"),
+      explode(sequence(col("__d0"), col("__d1"))).as("date"))
+    calendar.join(bars.select(col("user_id"), col("date")),
+        Seq("user_id", "date"), "left_anti")
+      .select(col("user_id"), col("date").as("missing_date"))
+  }
+
   /** #29 anomaly_zscore (completes the reference's empty
     * anomaly_detector.py): per-user z-score of the tick value against the
     * user's full-history mean/stddev; |z| above the threshold is an

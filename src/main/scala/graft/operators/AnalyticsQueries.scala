@@ -28,6 +28,10 @@ object AnalyticsQueries {
       roundCols(Analytics.rollingCorrelation(bars(s, d)), Seq("correlation"))
         .orderBy(col("u1"), col("u2"), col("date"))),
 
+    "date_gaps" -> ((s, d) =>
+      Analytics.dateGaps(bars(s, d))
+        .orderBy(col("user_id"), col("missing_date"))),
+
     "max_drawdown" -> ((s, d) =>
       roundCols(Analytics.maxDrawdown(bars(s, d)),
         Seq("max_drawdown", "current_drawdown"))
@@ -146,6 +150,22 @@ object AnalyticsQueries {
          |SELECT u1, u2, date, round(correlation, 6) AS correlation
          |FROM rc WHERE correlation IS NOT NULL
          |ORDER BY u1, u2, date""".stripMargin,
+
+    "date_gaps" ->
+      s"""${MarketQueries.BarsCte},
+         |spans AS (
+         |  SELECT user_id, min(date) AS d0, max(date) AS d1
+         |  FROM bars GROUP BY user_id),
+         |cal AS (
+         |  SELECT user_id,
+         |    CAST(unnest(generate_series(CAST(d0 AS DATE), CAST(d1 AS DATE),
+         |      INTERVAL 1 DAY)) AS DATE) AS date
+         |  FROM spans)
+         |SELECT cal.user_id, cal.date AS missing_date
+         |FROM cal LEFT JOIN bars
+         |  ON cal.user_id = bars.user_id AND cal.date = bars.date
+         |WHERE bars.user_id IS NULL
+         |ORDER BY cal.user_id, missing_date""".stripMargin,
 
     "max_drawdown" ->
       s"""${MarketQueries.BarsCte},

@@ -43,6 +43,18 @@ class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => math.abs(r.getAs[Double]("alpha")) < 1e-9))
   }
 
+  test("date gaps: missing days inside the span only, none for contiguous series") {
+    val bars = Seq(
+      (1L, d("2024-01-01"), 1.0), (1L, d("2024-01-02"), 1.0),
+      (1L, d("2024-01-05"), 1.0),                       // gap: 3rd, 4th
+      (2L, d("2024-01-01"), 1.0), (2L, d("2024-01-02"), 1.0)) // contiguous
+      .toDF("user_id", "date", "close")
+    val out = Analytics.dateGaps(bars).orderBy("user_id", "missing_date")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("missing_date").toString))
+    assert(out.toSeq == Seq((1L, "2024-01-03"), (1L, "2024-01-04")))
+  }
+
   test("risk metrics: hand-computed annualized volatility and sharpe") {
     // returns 0.1, -0.1, 0.1 → avg = 1/30, sd = sqrt(sum((r-avg)^2)/2)
     val bars = Seq(
