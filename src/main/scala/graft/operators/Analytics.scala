@@ -64,6 +64,33 @@ object Analytics {
       .filter(col("n_days") >= minDays)
   }
 
+  /** #28f similar_series: time-series similarity search — for every
+    * symbol of the top-active universe, the k most return-correlated
+    * peers (the distributed top-k similarity-search shape of the EDBT
+    * 2019 / ICDE 2021 retrieval line, with Pearson correlation over
+    * daily returns as the distance). Ranks on the ROUNDED correlation
+    * (6 dp, the published precision) with the neighbor id as
+    * tie-break, so the ordering is engine-portable.
+    *
+    * Scale shape: pair correlations once per unordered pair (K²/2 over
+    * day-grain series), mirrored to both directions, then ranked by
+    * the bounded [[TopK.groupedWithRank]] aggregate — map-side
+    * truncation to k per symbol, no per-symbol window.
+    */
+  def similarSeries(bars: DataFrame, topK: Int = 20, k: Int = 3,
+                    minDays: Int = 10): DataFrame = {
+    val pairs = correlationPairs(bars, topK, minDays)
+      .withColumn("correlation", round(col("correlation"), 6))
+    val sym = pairs.select(col("u1").as("user_id"), col("u2").as("neighbor_id"),
+        col("correlation"), col("n_days"))
+      .unionByName(pairs.select(col("u2").as("user_id"), col("u1").as("neighbor_id"),
+        col("correlation"), col("n_days")))
+    TopK.groupedWithRank(sym, Seq(col("user_id")), k,
+      Seq(TopK.descNum(col("correlation")), col("neighbor_id")))
+      .select(col("user_id"), col("rk"), col("neighbor_id"),
+        col("correlation"), col("n_days"))
+  }
+
   /** Rolling-window Pearson correlation for top-K user pairs
     * (breadth_analyzer.py:92 calculate_correlation with its `window`
     * argument — the reference returns only the last value; the whole

@@ -28,6 +28,10 @@ object AnalyticsQueries {
       roundCols(Analytics.rollingCorrelation(bars(s, d)), Seq("correlation"))
         .orderBy(col("u1"), col("u2"), col("date"))),
 
+    "similar_series" -> ((s, d) =>
+      Analytics.similarSeries(bars(s, d))
+        .orderBy(col("user_id"), col("rk"))),
+
     "date_gaps" -> ((s, d) =>
       Analytics.dateGaps(bars(s, d))
         .orderBy(col("user_id"), col("missing_date"))),
@@ -150,6 +154,36 @@ object AnalyticsQueries {
          |SELECT u1, u2, date, round(correlation, 6) AS correlation
          |FROM rc WHERE correlation IS NOT NULL
          |ORDER BY u1, u2, date""".stripMargin,
+
+    "similar_series" ->
+      s"""${MarketQueries.BarsCte},
+         |ret AS (
+         |  SELECT user_id, date,
+         |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY date), 0.0) - 1 AS ret
+         |  FROM bars),
+         |retn AS (SELECT * FROM ret WHERE ret IS NOT NULL),
+         |topu AS (
+         |  SELECT user_id FROM (
+         |    SELECT user_id,
+         |      row_number() OVER (ORDER BY sum(volume) DESC, user_id) AS rk
+         |    FROM bars GROUP BY user_id) t
+         |  WHERE rk <= 20),
+         |active AS (SELECT r.* FROM retn r JOIN topu USING (user_id)),
+         |p AS (
+         |  SELECT a.user_id, b.user_id AS neighbor_id,
+         |    round(corr(a.ret, b.ret), 6) AS correlation,
+         |    count(*) AS n_days
+         |  FROM active a JOIN active b
+         |    ON a.date = b.date AND a.user_id <> b.user_id
+         |  GROUP BY a.user_id, b.user_id
+         |  HAVING count(*) >= 10),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY correlation DESC, neighbor_id) AS rk
+         |  FROM p)
+         |SELECT user_id, rk, neighbor_id, correlation, n_days
+         |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
 
     "date_gaps" ->
       s"""${MarketQueries.BarsCte},

@@ -55,6 +55,25 @@ class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((1L, "2024-01-03"), (1L, "2024-01-04")))
   }
 
+  test("similar series: correlated pair ranks first, both directions emitted") {
+    // u1/u2 move together (+,-,+); u3 moves opposite — for u1 the top
+    // neighbor must be u2 (corr 1) then u3 (corr -1), and symmetric.
+    def series(u: Long, closes: Seq[Double]) =
+      closes.zipWithIndex.map { case (c, i) =>
+        (u, d(f"2024-01-${i + 1}%02d"), c, 100L) }
+    val bars = (series(1L, Seq(10, 11, 10, 11.5)) ++
+      series(2L, Seq(20, 22, 20, 23)) ++
+      series(3L, Seq(30, 27, 30, 27))).toDF("user_id", "date", "close", "volume")
+    val out = Analytics.similarSeries(bars, topK = 3, k = 2, minDays = 2)
+      .orderBy("user_id", "rk").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("correlation")))
+    assert(out.length == 6, s"3 symbols x 2 neighbors, got ${out.toSeq}")
+    assert(out(0) == ((1L, 1, 2L, 1.0)) && out(1)._3 == 3L)
+    assert(out(2) == ((2L, 1, 1L, 1.0)))
+    assert(out(4)._1 == 3L && out(4)._4 < 0, "u3's best is still negative")
+  }
+
   test("risk metrics: hand-computed annualized volatility and sharpe") {
     // returns 0.1, -0.1, 0.1 → avg = 1/30, sd = sqrt(sum((r-avg)^2)/2)
     val bars = Seq(
