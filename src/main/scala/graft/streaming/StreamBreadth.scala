@@ -61,6 +61,62 @@ object StreamBreadth {
       }
   }
 
+  /** A per-bar return observation (stage-1 output for [[topMovers]]). */
+  case class Move(user_id: Long, ts: Timestamp, ret_pct: Double)
+
+  /** Stage 1 variant: per-symbol close-over-close RETURN (not just its
+    * sign) — same O(1) previous-close state and straggler guard as
+    * [[directions]]; a zero previous close yields no observation (the
+    * batch plans' nullif convention).
+    */
+  def moves(bars: Dataset[Bar]): Dataset[Move] = {
+    implicit val moveEnc = Encoders.product[Move]
+    implicit val stateEnc = Encoders.product[PrevClose]
+    implicit val longEnc = Encoders.scalaLong
+    bars
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Bar], state: GroupState[PrevClose]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Move]
+          it.toSeq.sortBy(_.ts.getTime).foreach { b =>
+            if (st == null) {
+              st = PrevClose(b.close, b.ts.getTime)
+            } else if (b.ts.getTime > st.lastMs) {
+              if (st.close != 0.0)
+                out += Move(uid, b.ts, b.close / st.close - 1)
+              st = PrevClose(b.close, b.ts.getTime)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Live top movers — the streaming twin of `Breadth.topMovers` (#20):
+    * per finalized event-time window, the k best and k worst returns.
+    * The ranking runs INSIDE the windowed aggregation via the bounded
+    * [[graft.functions.TopKStruct]] aggregate (a TypedImperativeAggregate,
+    * so streaming state holds ≤ 2k rows per open window — the same
+    * map-side truncation the batch rankers use, now as store state).
+    */
+  def topMovers(bars: Dataset[Bar], k: Int = 5, windowDur: String = "1 day",
+                watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TopKStruct.topk_struct
+    import graft.operators.TopK.descNum
+    moves(bars)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(
+        topk_struct(struct(descNum(col("ret_pct")).as("__k0"),
+          struct(col("user_id"), col("ret_pct")).as("__p")), k).as("__gain"),
+        topk_struct(struct(col("ret_pct").as("__k0"),
+          struct(col("user_id"), col("ret_pct")).as("__p")), k).as("__loss"))
+      .select(col("window.start").as("bucket_start"),
+        expr("transform(__gain, x -> x.__p)").as("gainers"),
+        expr("transform(__loss, x -> x.__p)").as("losers"))
+  }
+
   /** Stage 2: breadth counts per event-time window — advancers,
     * decliners, unchanged, total_issues, null-gated clipped
     * breadth_percent and adv_dec_ratio, identical arithmetic to the

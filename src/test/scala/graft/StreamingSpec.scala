@@ -398,6 +398,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming top movers: bounded per-window ranking via the custom aggregate") {
+    import graft.streaming.StreamBreadth
+    import graft.streaming.StreamIndicators.Bar
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Bar]
+    val query = StreamBreadth.topMovers(input.toDS(), k = 2, "1 day", "10 minutes")
+      .writeStream.format("memory").queryName("smovers").outputMode("append").start()
+    try {
+      input.addData(
+        Bar(1L, ts("2024-01-01 12:00:00"), 10.0),
+        Bar(2L, ts("2024-01-01 12:00:00"), 20.0),
+        Bar(3L, ts("2024-01-01 12:00:00"), 30.0),
+        Bar(4L, ts("2024-01-01 12:00:00"), 40.0))
+      query.processAllAvailable()
+      input.addData(                       // day-2 returns: +10%, −5%, +20%, 0%
+        Bar(1L, ts("2024-01-02 12:00:00"), 11.0),
+        Bar(2L, ts("2024-01-02 12:00:00"), 19.0),
+        Bar(3L, ts("2024-01-02 12:00:00"), 36.0),
+        Bar(4L, ts("2024-01-02 12:00:00"), 40.0))
+      query.processAllAvailable()
+      input.addData(Bar(1L, ts("2024-01-10 00:00:00"), 1.0))
+      query.processAllAvailable()
+      input.addData(Bar(1L, ts("2024-01-11 00:00:00"), 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("smovers").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("bucket_start") ->
+          (r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getDouble(1))),
+           r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getLong(0), x.getDouble(1)))))
+        .toMap
+      val (gainers, losers) = rows(ts("2024-01-02 00:00:00"))
+      assert(gainers.map(_._1) == Seq(3L, 1L), s"top gainers 3 then 1, got $gainers")
+      assert(math.abs(gainers.head._2 - 0.2) < 1e-12)
+      assert(losers.map(_._1) == Seq(2L, 4L), s"worst 2 then 4, got $losers")
+      assert(math.abs(losers.head._2 - (-0.05)) < 1e-12)
+    } finally query.stop()
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     import spark.implicits._
     val sqlCtx = spark.sqlContext
