@@ -79,7 +79,13 @@ object Analytics {
     */
   def similarSeries(bars: DataFrame, topK: Int = 20, k: Int = 3,
                     minDays: Int = 10): DataFrame = {
+    // Zero-variance guard: Spark's corr is NaN for a constant series
+    // (and descNum deliberately ranks NaN first), while SQL engines
+    // yield NULL and rank it last — drop the undefined pairs so the
+    // ranking is identical everywhere and a flat series cannot flood
+    // every peer list.
     val pairs = correlationPairs(bars, topK, minDays)
+      .filter(col("correlation").isNotNull && !isnan(col("correlation")))
       .withColumn("correlation", round(col("correlation"), 6))
     val sym = pairs.select(col("u1").as("user_id"), col("u2").as("neighbor_id"),
         col("correlation"), col("n_days"))

@@ -176,7 +176,7 @@ object AnalyticsQueries {
          |  FROM active a JOIN active b
          |    ON a.date = b.date AND a.user_id <> b.user_id
          |  GROUP BY a.user_id, b.user_id
-         |  HAVING count(*) >= 10),
+         |  HAVING count(*) >= 10 AND corr(a.ret, b.ret) IS NOT NULL),
          |r AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY user_id

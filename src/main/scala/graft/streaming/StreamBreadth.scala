@@ -32,13 +32,15 @@ object StreamBreadth {
   /** Previous-close state per symbol. */
   case class PrevClose(close: Double, lastMs: Long)
 
-  /** Stage 1: stateful per-symbol close-over-close direction. Monotone
-    * event-time guard as in [[StreamIndicators]]: a straggler older
-    * than folded state cannot be retro-fitted into an already-emitted
-    * comparison chain and is dropped.
+  /** The shared stateful prev-close fold behind [[directions]] and
+    * [[moves]]: per symbol, sort the micro-batch, drop sub-state
+    * stragglers (monotone event-time guard as in [[StreamIndicators]] —
+    * a straggler older than folded state cannot be retro-fitted into an
+    * already-emitted comparison chain), and emit whatever `emit` derives
+    * from (previous close, current bar). One loop, two row shapes.
     */
-  def directions(bars: Dataset[Bar]): Dataset[Dir] = {
-    implicit val dirEnc = Encoders.product[Dir]
+  private def prevCloseFold[T <: Product : org.apache.spark.sql.Encoder](
+      bars: Dataset[Bar])(emit: (Long, Double, Bar) => Option[T]): Dataset[T] = {
     implicit val stateEnc = Encoders.product[PrevClose]
     implicit val longEnc = Encoders.scalaLong
     bars
@@ -46,13 +48,12 @@ object StreamBreadth {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Bar], state: GroupState[PrevClose]) =>
           var st = state.getOption.orNull
-          val out = Seq.newBuilder[Dir]
+          val out = Seq.newBuilder[T]
           it.toSeq.sortBy(_.ts.getTime).foreach { b =>
             if (st == null) {
               st = PrevClose(b.close, b.ts.getTime)
             } else if (b.ts.getTime > st.lastMs) {
-              out += Dir(uid, b.ts,
-                java.lang.Double.compare(b.close, st.close).sign)
+              emit(uid, st.close, b).foreach(out += _)
               st = PrevClose(b.close, b.ts.getTime)
             }
           }
@@ -61,36 +62,30 @@ object StreamBreadth {
       }
   }
 
-  /** A per-bar return observation (stage-1 output for [[topMovers]]). */
+  /** Stage 1: stateful per-symbol close-over-close direction. */
+  def directions(bars: Dataset[Bar]): Dataset[Dir] = {
+    implicit val dirEnc = Encoders.product[Dir]
+    prevCloseFold(bars) { (uid, prev, b) =>
+      Some(Dir(uid, b.ts, java.lang.Double.compare(b.close, prev).sign))
+    }
+  }
+
+  /** A per-bar return observation (stage-1 output for [[topMovers]]).
+    * `ret_pct` is a PERCENTAGE (×100), matching the batch twin
+    * `Breadth.topMovers`' return_pct unit.
+    */
   case class Move(user_id: Long, ts: Timestamp, ret_pct: Double)
 
-  /** Stage 1 variant: per-symbol close-over-close RETURN (not just its
-    * sign) — same O(1) previous-close state and straggler guard as
-    * [[directions]]; a zero previous close yields no observation (the
-    * batch plans' nullif convention).
+  /** Stage 1 variant: per-symbol close-over-close percent return (not
+    * just its sign) — same fold as [[directions]]; a zero previous
+    * close yields no observation (the batch plans' nullif convention).
     */
   def moves(bars: Dataset[Bar]): Dataset[Move] = {
     implicit val moveEnc = Encoders.product[Move]
-    implicit val stateEnc = Encoders.product[PrevClose]
-    implicit val longEnc = Encoders.scalaLong
-    bars
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Bar], state: GroupState[PrevClose]) =>
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[Move]
-          it.toSeq.sortBy(_.ts.getTime).foreach { b =>
-            if (st == null) {
-              st = PrevClose(b.close, b.ts.getTime)
-            } else if (b.ts.getTime > st.lastMs) {
-              if (st.close != 0.0)
-                out += Move(uid, b.ts, b.close / st.close - 1)
-              st = PrevClose(b.close, b.ts.getTime)
-            }
-          }
-          if (st != null) state.update(st)
-          out.result().iterator
-      }
+    prevCloseFold(bars) { (uid, prev, b) =>
+      if (prev != 0.0) Some(Move(uid, b.ts, (b.close / prev - 1) * 100))
+      else None
+    }
   }
 
   /** Live top movers — the streaming twin of `Breadth.topMovers` (#20):

@@ -431,9 +431,9 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .toMap
       val (gainers, losers) = rows(ts("2024-01-02 00:00:00"))
       assert(gainers.map(_._1) == Seq(3L, 1L), s"top gainers 3 then 1, got $gainers")
-      assert(math.abs(gainers.head._2 - 0.2) < 1e-12)
+      assert(math.abs(gainers.head._2 - 20.0) < 1e-9)
       assert(losers.map(_._1) == Seq(2L, 4L), s"worst 2 then 4, got $losers")
-      assert(math.abs(losers.head._2 - (-0.05)) < 1e-12)
+      assert(math.abs(losers.head._2 - (-5.0)) < 1e-9)
     } finally query.stop()
   }
 
