@@ -51,6 +51,29 @@ object ScaleProbe {
         f"risk=$tRisk%.2f beta=$tBeta%.2f drawdown=$tDd%.2f")
     }
 
+    // ---- Skew stress -----------------------------------------------------
+    // One symbol owns HALF the ticks — the worst realistic shape for
+    // keyed work. Measures which plans degrade with a hot key (per-key
+    // ordered windows serialize the hot key into one task by design)
+    // and which hold (hash aggregates combine map-side; AQE splits
+    // skewed shuffle partitions).
+    {
+      val uniform = base
+      val skewed = base.withColumn("user_id",
+        when(pmod(col("event_id"), lit(2)) === 0, lit(424242L))
+          .otherwise(col("user_id")))
+      Seq("uniform" -> uniform, "skewed" -> skewed).foreach { case (tag, ev) =>
+        val clean = Cleaning.cleanEvents(ev)
+        val tClean = noopTime(clean)
+        val bars = Bars.daily(clean)
+        val tBars = noopTime(bars)
+        val tBreadth = noopTime(Breadth.breadthDaily(bars))
+        val tDd = noopTime(Analytics.maxDrawdown(bars))
+        println(f"[scale-skew] $tag clean=$tClean%.2f bars=$tBars%.2f " +
+          f"breadth=$tBreadth%.2f drawdown=$tDd%.2f")
+      }
+    }
+
     // ---- LLM-op sweep ----------------------------------------------------
     // Copies must grow the corpus WITHOUT manufacturing cross-copy
     // near-dups (identical text k× would make every doc a dup of its
