@@ -437,6 +437,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of enrich: latest quote per trade, O(1) state, ties inclusive") {
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.Tagged
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Tagged]
+    val query = StreamAsOf.enrich(input.toDS())
+      .writeStream.format("memory").queryName("sasof").outputMode("append").start()
+    try {
+      input.addData(
+        Tagged(1L, ts("2024-01-01 10:00:00"), 1, 500.0),  // trade before any quote
+        Tagged(1L, ts("2024-01-01 10:01:00"), 0, 10.0),   // quote
+        Tagged(1L, ts("2024-01-01 10:02:00"), 1, 501.0))  // trade → quote 10.0
+      query.processAllAvailable()
+      input.addData(
+        Tagged(1L, ts("2024-01-01 10:03:00"), 0, 11.0),
+        Tagged(1L, ts("2024-01-01 10:03:00"), 1, 502.0),  // tie → quote 11.0
+        Tagged(2L, ts("2024-01-01 10:00:00"), 1, 900.0))  // other key, no quote
+      query.processAllAvailable()
+      // Quote straggler older than folded state must NOT retro-match.
+      input.addData(
+        Tagged(1L, ts("2024-01-01 10:02:30"), 0, 99.0),
+        Tagged(1L, ts("2024-01-01 10:04:00"), 1, 503.0))  // still quote 11.0
+      query.processAllAvailable()
+      val out = spark.table("sasof").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue)))
+        .sortBy(t => (t._1, t._2))
+      assert(out.toSeq == Seq(
+        (1L, 500.0, None),
+        (1L, 501.0, Some(10.0)),
+        (1L, 502.0, Some(11.0)),
+        (1L, 503.0, Some(11.0)),
+        (2L, 900.0, None)))
+    } finally query.stop()
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     import spark.implicits._
     val sqlCtx = spark.sqlContext
