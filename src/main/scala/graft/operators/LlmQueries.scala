@@ -48,9 +48,10 @@ object LlmQueries {
 
     // The production default: LSH-signature-bucketed emitter — candidate
     // count tracks bucket occupancy, not per-label density (the label
-    // variant is quadratic in dense labels; SURVEY §5 caveat). Rows-only:
-    // seeded-hash signatures aren't cross-engine; the correctness gate is
-    // DedupTextSpec's pair-parity-vs-ground-truth fixture.
+    // variant is quadratic in dense labels; SURVEY §5 caveat).
+    // Oracle-checked since round 6: the hyperplanes are driver-side
+    // literals, so the oracle embeds the exact values and replays the
+    // banding + cappedPairs + verify + CC pipeline in SQL.
     // pointerJump: the banded emitter's recall<1 yields sparse chains
     // (19 plain hash-min rounds measured); the jump halves the rounds.
     "dedup_clusters_lsh" -> ((s, d) =>
@@ -151,6 +152,36 @@ object LlmQueries {
 
   private val EnStops = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
 
+  /** Hyperplane p as a DuckDB list literal. The plane components are
+    * DRIVER-deterministic doubles ([[Similarity.planeComponent]] — a
+    * hash of (plane, index), never of data), so the oracle can embed the
+    * exact values the Spark plan ships as `typedlit` literals.
+    * `Double.toString` is the shortest round-trip representation and
+    * DuckDB's decimal→double parse is correctly rounded, so the literal
+    * reconstructs bit-identical doubles.
+    */
+  private def planeSqlLit(p: Int, dim: Int = 128): String =
+    (0 until dim).map(i => Similarity.planeComponent(p, i).toString)
+      .mkString("[", ", ", "]")
+
+  /** ⟨v, plane_p⟩ as the same left fold both engines run: 0.0-seeded in
+    * Spark's vec_dot, first-element-seeded here — identical because
+    * 0.0 + x == x and the iteration order matches (range over len(v);
+    * the plane literal is at least as long as any valid vector, matching
+    * vec_dot's min-length loop and lshSignature's maxDim guard).
+    */
+  private def dotPlaneSql(v: String, p: Int): String =
+    s"""list_reduce(list_transform(range(len($v)),
+       |      i -> $v[i+1] * (${planeSqlLit(p)})[i+1]), (s, x) -> s + x)""".stripMargin
+
+  /** Σ_p (⟨v, plane_p⟩ > 0) · 2^p — [[Similarity.lshSignature]]'s bit
+    * pattern, one CASE per plane.
+    */
+  private def sigSql(v: String, planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${dotPlaneSql(v, p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("\n    + ")
+
   /** Quality-score SQL, shared by every oracle that scores documents —
     * one definition so the DuckDB side cannot drift from
     * [[TextAnalysis.withQuality]] copy-by-copy. `QualityFieldsSql` is
@@ -230,6 +261,80 @@ object LlmQueries {
          |  FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
          |  WHERE list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]),
          |      (s, x) -> s + x) / (a.nrm * b.nrm) >= 0.3),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM p
+         |          UNION ALL SELECT id2, id1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  CAST(id = cluster_id AS INT) AS is_canonical
+         |FROM labels ORDER BY cluster_id, id""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""$VecCte,
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |sg AS (
+         |  SELECT vec_id, v, nrm,
+         |    ${sigSql("v", 4)} AS sig
+         |  FROM nz),
+         |q AS (
+         |  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+         |    unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
+         |  FROM sg WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    round(list_reduce(list_transform(range(len(qv)), i -> qv[i+1] * c.v[i+1]),
+         |      (s, x) -> s + x) / (qn * c.nrm), 6) AS cos_sim
+         |  FROM q JOIN sg c USING (sig)
+         |  WHERE c.vec_id <> query_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM cand)
+         |SELECT query_id, rk, neighbor_id, cos_sim
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x)) AS nrm
+         |  FROM e),
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |sg AS (
+         |  SELECT vec_id,
+         |    ${sigSql("v", 28)} AS sig
+         |  FROM nz),
+         |bx AS (
+         |  SELECT vec_id, unnest([
+         |    {'band': 0, 'bsig': sig & 127},
+         |    {'band': 1, 'bsig': (sig >> 7) & 127},
+         |    {'band': 2, 'bsig': (sig >> 14) & 127},
+         |    {'band': 3, 'bsig': (sig >> 21) & 127}]) AS u
+         |  FROM sg),
+         |bk AS (SELECT vec_id, u.band AS band, u.bsig AS bsig FROM bx),
+         |bsz AS (
+         |  SELECT band, bsig, count(*) AS n, min(vec_id) AS root
+         |  FROM bk GROUP BY band, bsig),
+         |cand AS (
+         |  SELECT a.vec_id AS id1, b2.vec_id AS id2
+         |  FROM bk a JOIN bk b2 USING (band, bsig) JOIN bsz USING (band, bsig)
+         |  WHERE n <= 512 AND a.vec_id < b2.vec_id
+         |  UNION
+         |  SELECT root AS id1, vec_id AS id2
+         |  FROM bk JOIN bsz USING (band, bsig)
+         |  WHERE n > 512 AND vec_id <> root),
+         |p AS (
+         |  SELECT id1, id2
+         |  FROM cand JOIN nz a ON a.vec_id = id1 JOIN nz b2 ON b2.vec_id = id2
+         |  WHERE list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1] * b2.v[i+1]),
+         |      (s, x) -> s + x) / (a.nrm * b2.nrm) >= 0.3),
          |edges AS (SELECT id1 AS a, id2 AS b FROM p
          |          UNION ALL SELECT id2, id1 FROM p),
          |nodes AS (SELECT DISTINCT a AS id FROM edges),

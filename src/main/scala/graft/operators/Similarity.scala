@@ -140,7 +140,7 @@ object Similarity {
     * Catalyst XxHash64 the executor-side formula used, so signatures are
     * bit-identical to the old per-row evaluation.
     */
-  private def planeComponent(p: Int, i: Int): Double = {
+  private[operators] def planeComponent(p: Int, i: Int): Double = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     // seed 42L = the `xxhash64` SQL function's default
     XxHash64(Seq(Literal(s"$p#$i")), 42L).eval(null).asInstanceOf[Long].toDouble /
