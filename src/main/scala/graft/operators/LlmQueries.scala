@@ -66,13 +66,14 @@ object LlmQueries {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
 
-    // rows-only: the k-means quantizer is not DuckDB-expressible; the
-    // correctness gate is DedupTextSpec's recall-vs-brute-force floor.
-    // sampleFraction 0.2: the quantizer fits on a bounded sample — the
-    // only shape that survives corpus scale (and ~half the query cost
-    // at sf0.1 was full-corpus k-means iterations).
+    // The precomputed-quantizer deployment mode (sampled-seed centroid
+    // artifact) — engine-neutral, so the full IVF search machinery is
+    // oracle-checked since round 6. The k-means-fit quantizer
+    // (Similarity.ivfTopK, sampleFraction 0.2 — fit on a bounded sample,
+    // the only shape that survives corpus scale) stays the production
+    // path, gated by DedupTextSpec's recall-vs-brute-force floor.
     "ann_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(emb(s, d), sampleFraction = 0.2)
+      Similarity.ivfTopKSeeded(emb(s, d))
         .orderBy(col("query_id"), col("rk"))),
 
     "decontaminate" -> ((s, d) =>
@@ -347,6 +348,51 @@ object LlmQueries {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  CAST(id = cluster_id AS INT) AS is_canonical
          |FROM labels ORDER BY cluster_id, id""".stripMargin,
+
+    // Mirrors ivfTopKSeeded: centroid c's |c|² and every dot product are
+    // the same left fold vec_dot runs (0.0-seeded vs first-element-seeded
+    // is bit-identical because 0.0 + x == x); argmin and probe ranking
+    // tie-break on (d2, cell) in both engines.
+    "ann_ivf_topk" ->
+      s"""$VecCte,
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+         |    list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x) AS cn2
+         |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id LIMIT 16)),
+         |asg AS (
+         |  SELECT vec_id, cell,
+         |    cn2 - 2.0 * list_reduce(list_transform(range(len(v)), i -> v[i+1] * cv[i+1]),
+         |      (s, x) -> s + x) AS d2
+         |  FROM nz CROSS JOIN cents),
+         |best AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM asg) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM asg WHERE vec_id < 10) WHERE rn <= 4),
+         |cvs AS (
+         |  SELECT b.neighbor_id, b.cell, z.v AS cvv, z.nrm AS cnn
+         |  FROM best b JOIN nz z ON z.vec_id = b.neighbor_id),
+         |qvs AS (SELECT vec_id AS query_id, v AS qvv, nrm AS qnn
+         |        FROM nz WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, c.neighbor_id, c.cell,
+         |    round(list_reduce(list_transform(range(len(qvv)), i -> qvv[i+1] * c.cvv[i+1]),
+         |      (s, x) -> s + x) / (qnn * c.cnn), 6) AS cos_sim
+         |  FROM probes p JOIN qvs USING (query_id) JOIN cvs c USING (cell)
+         |  WHERE c.neighbor_id <> p.query_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM cand)
+         |SELECT query_id, rk, neighbor_id, cell, cos_sim
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_cosine_topk" ->
       s"""$VecCte,

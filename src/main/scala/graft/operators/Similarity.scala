@@ -223,8 +223,6 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    import spark.implicits._
 
     val e = withNorm(embeddings)
     val feat = e.select(array_to_vector(col("v")).as("features"))
@@ -232,17 +230,43 @@ object Similarity {
                 else feat.sample(withReplacement = false, sampleFraction, seed)
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("features").fit(train)
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
+    val cents = model.clusterCenters.map(_.toArray)
+    ivfSearch(e, cents, nProbe, nQueries, k)
+  }
 
+  /** IVF with a PRECOMPUTED quantizer: the deployment mode where the
+    * coarse quantizer ships as a model artifact and assignment/search
+    * reuse it unchanged. The seeded artifact here is the first `nCells`
+    * nonzero-norm vectors by vec_id — sampled data points as centroids
+    * (k-means with zero Lloyd iterations), a standard cheap quantizer
+    * init. Deterministic and engine-neutral, so this variant carries the
+    * cross-engine oracle for the IVF search machinery (assignment
+    * argmin, probe ranking, in-cell exact ranking); the k-means fit path
+    * above keeps its recall-floor spec as the production quantizer.
+    */
+  def ivfTopKSeeded(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = e.orderBy(col("vec_id")).limit(nCells).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == nCells,
+      s"corpus has only ${cents.length} nonzero vectors; need $nCells centroids")
+    ivfSearch(e, cents, nProbe, nQueries, k)
+  }
+
+  /** Shared IVF search over driver-known centroids (tiny by contract —
+    * a quantizer is a model artifact, never corpus-sized).
+    */
+  private def ivfSearch(e: DataFrame, cents: Array[Array[Double]],
+                        nProbe: Int, nQueries: Int, k: Int): DataFrame = {
     // Nearest cell per corpus vector: |c|² − 2⟨v,c⟩ ranks cells (the
-    // |v|² term is constant per vector). Centroids are DRIVER-known
-    // after the fit, so the argmin is a narrow projection over a
+    // |v|² term is constant per vector). Centroids are DRIVER-known,
+    // so the argmin is a narrow projection over a
     // literal (cell, |c|², centroid) table — array_min over per-cell
     // structs with (d2, cell) lexicographic tie-break. No crossJoin, no
     // per-vector groupBy: zero Exchange between the corpus scan and its
     // cell assignment.
-    val cellStructs = cents.map { case (i, c) =>
+    val cellStructs = cents.zipWithIndex.map { case (c, i) =>
       // driver-side |c|²: same left-to-right 0.0-seeded sum as vec_dot
       val n2 = c.foldLeft(0.0)((s, x) => s + x * x)
       struct((lit(n2) - lit(2.0) * dot(col("v"), typedlit(c))).as("d2"),
