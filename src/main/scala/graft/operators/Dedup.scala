@@ -316,6 +316,60 @@ object Dedup {
               .map(i => col(s"mh_$i")): _*).as("band_key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    minhashVerify(banded, documents, minJaccard, maxBucket)
+  }
+
+  /** Row-form shingle postings carrying the shingle STRING — the
+    * portable-hash twin of [[shinglePostings]] (same posexplode + lead
+    * plan, no xxhash64 collapse). Portable operators hash these with md5,
+    * which DuckDB computes identically.
+    */
+  def shinglePostingsRaw(documents: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("s"))
+      .distinct()
+  }
+
+  /** #38 dedup_minhash (cross-engine form): [[minhashPairs]] with the
+    * permutation family swapped from seeded xxhash64 to md5 — perm i's
+    * value is the lexicographic min of md5("i#" + shingle) hex strings
+    * (a string min is a valid min-hash: md5 is a uniform map into hex
+    * space, and both engines compare ASCII bytes). Band keys are
+    * md5-of-concatenated-mins. Byte-for-byte reproducible in DuckDB, so
+    * this variant carries the oracle; the xxhash64 family stays the
+    * production default (fixed-width 8-byte shuffle keys vs 32-byte hex
+    * strings — md5 costs ~4× the hash time and ~4× the signature bytes,
+    * the price of engine-neutrality).
+    */
+  def minhashPairsPortable(documents: DataFrame, minJaccard: Double = 0.3,
+                           maxBucket: Int = 1024): DataFrame = {
+    val mhCols = (0 until Perms).map(i =>
+      min(md5(concat(lit(s"$i#"), col("s")))).as(s"mh_$i"))
+    val sigs = shinglePostingsRaw(documents)
+      .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val banded = sigs
+      .select(
+        col("doc_id"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", (b * RowsPerBand until (b + 1) * RowsPerBand)
+              .map(i => col(s"mh_$i")): _*)).as("band_key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    minhashVerify(banded, documents, minJaccard, maxBucket)
+  }
+
+  /** Shared LSH tail: bucket-collect candidates from a (doc_id, band,
+    * band_key) frame, then exact-Jaccard-verify against the true shingle
+    * sets.
+    */
+  private def minhashVerify(banded: DataFrame, documents: DataFrame,
+                            minJaccard: Double, maxBucket: Int): DataFrame = {
     // Bucket-collect instead of a self-join: one groupBy on the band key
     // computes the signature pipeline ONCE and emits each bucket's pair
     // combinations locally (a self-join would re-derive the full
@@ -410,6 +464,60 @@ object Dedup {
         col("p.a.sim").as("sim1"), col("p.b.sim").as("sim2"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /** #39 dedup_simhash (cross-engine form): [[simhashPairs]] with the
+    * token hash swapped from xxhash64 to md5 — bit j (0..63) of a token
+    * is bit (3 − j mod 4) of hex digit ⌊j/4⌋ of md5(token), extracted
+    * with `conv(digit, 16, 10)` here and `strpos('0123456789abcdef', …)`
+    * in DuckDB (different functions, identical values). The signature is
+    * published as four 16-bit chunk keys (k0..k3) instead of one 64-bit
+    * long — bit 63 as 1L<<63 would overflow DuckDB's checked BIGINT
+    * arithmetic, and the chunks are what the bucketing uses anyway.
+    * Hamming = Σ bit_count(k_a XOR k_b) over the four chunks. Empty
+    * tokens are dropped on both engines (split edge artifacts, not
+    * content). Same bucket-collect + [[cappedPairs]] plan shape as the
+    * production xxhash64 path.
+    */
+  def simhashPairsPortable(documents: DataFrame, maxHamming: Int = 8,
+                           maxBucket: Int = 1024): DataFrame = {
+    val exploded = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      val hv = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(shiftright(hv, 3 - j % 4).bitwiseAND(lit(1))).as(s"b_$j")
+    } :+ count(lit(1)).as("n")
+    val counts = exploded.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = counts.select(col("doc_id") +:
+      (0 until 4).map { c =>
+        (0 until 16).map { jj =>
+          val j = c * 16 + jj
+          when(col(s"b_$j") * 2 > col("n"), lit(1 << jj)).otherwise(lit(0))
+        }.reduce(_ + _).as(s"k$c")
+      }: _*)
+    val chunked = sig.select(
+      col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), col(s"k$c").as("chunk_key"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3"),
+        col("ck.chunk").as("chunk"), col("ck.chunk_key").as("chunk_key"))
+    chunked
+      .groupBy(col("chunk"), col("chunk_key"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(cappedPairs(col("ms"), maxBucket)).as("p"))
+      .select(Seq(col("p.a.doc_id").as("id1"), col("p.b.doc_id").as("id2")) ++
+        (0 until 4).map(c =>
+          bit_count(col(s"p.a.k$c").bitwiseXOR(col(s"p.b.k$c"))).as(s"hx$c")): _*)
+      .distinct()
+      .withColumn("hamming",
+        (col("hx0") + col("hx1") + col("hx2") + col("hx3")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }

@@ -20,13 +20,16 @@ object LlmQueries {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy(col("canonical_id"))),
 
+    // Portable md5-permutation form carries the oracle (round 6); the
+    // xxhash64 family stays the production default (8-byte shuffle keys),
+    // spec-gated by DedupTextSpec's ground-truth fixtures.
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minhashPairs(docs(s, d))
+      Dedup.minhashPairsPortable(docs(s, d))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id1"), col("id2"))),
 
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d)).orderBy(col("id1"), col("id2"))),
+      Dedup.simhashPairsPortable(docs(s, d)).orderBy(col("id1"), col("id2"))),
 
     "ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardInvertedIndex(docs(s, d))
@@ -202,7 +205,114 @@ object LlmQueries {
       |      + (1.0 - CAST(n_punct AS DOUBLE) / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 0.3
       |      + least(1.0, CAST(n_stops AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0) * 5) * 0.3, 6)""".stripMargin
 
+  /** Generated SQL fragments for the portable (md5) minhash/simhash
+    * oracles — kept in lockstep with [[Dedup.minhashPairsPortable]] /
+    * [[Dedup.simhashPairsPortable]] by construction (same loops, same
+    * constants).
+    */
+  private val MinhashSigCols: String = (0 until Dedup.Perms).map(i =>
+    s"min(md5('$i#' || s)) AS mh_$i").mkString(",\n    ")
+
+  private val MinhashBandStructs: String = (0 until Dedup.Bands).map { b =>
+    val rpb = Dedup.Perms / Dedup.Bands
+    val ks = (b * rpb until (b + 1) * rpb).map(i => s"mh_$i").mkString(" || '|' || ")
+    s"{'band': $b, 'band_key': md5($ks)}"
+  }.mkString(",\n    ")
+
+  private val SimhashBitSums: String = (0 until 64).map { j =>
+    s"sum(((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) & 1) AS b_$j"
+  }.mkString(",\n    ")
+
+  private def simhashChunkSql(c: Int): String = (0 until 16).map { jj =>
+    val j = c * 16 + jj
+    s"(CASE WHEN b_$j * 2 > n THEN ${1 << jj} ELSE 0 END)"
+  }.mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    "dedup_minhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_distinct(list_transform(range(len(toks) - 1),
+         |        i -> toks[i+1] || ' ' || toks[i+2]))
+         |      ELSE [] END AS sh
+         |  FROM t),
+         |po AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $MinhashSigCols
+         |  FROM po GROUP BY doc_id),
+         |bx AS (
+         |  SELECT doc_id, unnest([
+         |    $MinhashBandStructs]) AS u
+         |  FROM sig),
+         |bk AS (SELECT doc_id, u.band AS band, u.band_key AS band_key FROM bx),
+         |bsz AS (
+         |  SELECT band, band_key, count(*) AS n, min(doc_id) AS root
+         |  FROM bk GROUP BY band, band_key),
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2
+         |  FROM bk a JOIN bk b2 USING (band, band_key) JOIN bsz USING (band, band_key)
+         |  WHERE n <= 1024 AND a.doc_id < b2.doc_id
+         |  UNION
+         |  SELECT root AS id1, doc_id AS id2
+         |  FROM bk JOIN bsz USING (band, band_key)
+         |  WHERE n > 1024 AND doc_id <> root),
+         |j AS (
+         |  SELECT id1, id2,
+         |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
+         |    len(a.sh) AS la, len(b2.sh) AS lb
+         |  FROM cand JOIN d a ON a.doc_id = id1 JOIN d b2 ON b2.doc_id = id2)
+         |SELECT id1, id2,
+         |  round(CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0), 6) AS jaccard
+         |FROM j
+         |WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.3
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+         |  FROM documents),
+         |hh AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
+         |bits AS (
+         |  SELECT doc_id, count(*) AS n,
+         |    $SimhashBitSums
+         |  FROM hh GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${simhashChunkSql(0)} AS k0,
+         |    ${simhashChunkSql(1)} AS k1,
+         |    ${simhashChunkSql(2)} AS k2,
+         |    ${simhashChunkSql(3)} AS k3
+         |  FROM bits),
+         |bx AS (
+         |  SELECT doc_id, unnest([
+         |    {'chunk': 0, 'ck': k0}, {'chunk': 1, 'ck': k1},
+         |    {'chunk': 2, 'ck': k2}, {'chunk': 3, 'ck': k3}]) AS u
+         |  FROM sig),
+         |bk AS (SELECT doc_id, u.chunk AS chunk, u.ck AS ck FROM bx),
+         |bsz AS (
+         |  SELECT chunk, ck, count(*) AS n, min(doc_id) AS root
+         |  FROM bk GROUP BY chunk, ck),
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2
+         |  FROM bk a JOIN bk b2 USING (chunk, ck) JOIN bsz USING (chunk, ck)
+         |  WHERE n <= 1024 AND a.doc_id < b2.doc_id
+         |  UNION
+         |  SELECT root AS id1, doc_id AS id2
+         |  FROM bk JOIN bsz USING (chunk, ck)
+         |  WHERE n > 1024 AND doc_id <> root),
+         |hm AS (
+         |  SELECT id1, id2,
+         |    bit_count(xor(a.k0, b2.k0)) + bit_count(xor(a.k1, b2.k1))
+         |    + bit_count(xor(a.k2, b2.k2)) + bit_count(xor(a.k3, b2.k3)) AS hamming
+         |  FROM cand JOIN sig a ON a.doc_id = id1 JOIN sig b2 ON b2.doc_id = id2)
+         |SELECT id1, id2, hamming FROM hm
+         |WHERE hamming <= 8 ORDER BY id1, id2""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash,
         |  min(doc_id) AS canonical_id,

@@ -61,6 +61,30 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 1 && out.head.getAs[Int]("hamming") == 0)
   }
 
+  test("portable (md5) minhash/simhash match the ground truth the xxhash64 family finds") {
+    // Same fixtures as the production-hash tests: the hash family changes
+    // the bucketing, never the verified verdicts on clear dups/non-dups.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "changed")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val mh = Dedup.minhashPairsPortable(docs(1L -> base, 2L -> nearDup, 3L -> other), 0.3)
+      .collect()
+    assert(mh.length == 1)
+    assert(mh.head.getAs[Long]("id1") == 1L && mh.head.getAs[Long]("id2") == 2L)
+    assert(mh.head.getAs[Double]("jaccard") > 0.8)
+
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val sh = Dedup.simhashPairsPortable(docs(1L -> a, 2L -> a, 3L -> other), maxHamming = 8)
+      .collect().filter(r => r.getAs[Long]("id1") == 1L && r.getAs[Long]("id2") == 2L)
+    assert(sh.length == 1 && sh.head.getAs[Int]("hamming") == 0)
+
+    // Star-capping applies identically to the portable buckets.
+    val same = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val many = docs((1L to 100L).map(i => i -> same): _*)
+    val capped = Dedup.minhashPairsPortable(many, minJaccard = 0.3, maxBucket = 10).collect()
+    assert(capped.length == 99 && capped.forall(_.getAs[Long]("id1") == 1L))
+  }
+
   test("degenerate bucket: pair expansion is bounded, cluster stays connected") {
     // 100 identical docs — one pathological LSH bucket. Uncapped expansion
     // would emit C(100,2)=4950 pairs; the cap stars them against the
@@ -150,6 +174,11 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"expected nProbe=2/8 recall >= 0.25, got $recallNarrow")
     // determinism: same seed, same result
     assert(pairs(Similarity.ivfTopK(emb, nCells = 8, nProbe = 2)) == narrow)
+    // The precomputed-quantizer mode (sampled-seed centroids) shares the
+    // search tail: probing every cell is still exactly brute force.
+    val seededAll = pairs(Similarity.ivfTopKSeeded(emb, nCells = 8, nProbe = 8))
+    assert(seededAll == exact,
+      "seeded quantizer probing ALL cells must equal brute force")
   }
 
   test("grouped top-k aggregate matches the window ranking it replaces") {
