@@ -154,24 +154,38 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIt.map { lRow =>
         val lKey = lkProj(lRow).copy()
         val lTs = ltProj(lRow).copy()
-        var scanning = true
-        while (scanning && (lookahead != null || rIt.hasNext)) {
-          if (lookahead == null) lookahead = rIt.next().copy()
-          val cmp = keyOrd.compare(rkProj(lookahead), lKey)
-          if (cmp < 0) {
-            // Behind the current left key — left keys only grow, so it
-            // can never match again.
-            lookahead = null
-          } else if (cmp == 0 && tsOrd.compare(rtProj(lookahead), lTs) <= 0) {
-            candidate = lookahead
-            candidateKey = rkProj(candidate).copy()
-            lookahead = null
-          } else {
-            scanning = false // right side is ahead — park it
+        // SQL join semantics: NULL never matches. The natural row
+        // ordering would otherwise treat NULL keys as equal (and sort
+        // them first), silently pairing null-key rows across sides — a
+        // null-key/ts left row takes the null-right output without
+        // consuming the right side.
+        if (lKey.isNullAt(0) || lTs.isNullAt(0)) {
+          resultProj(joined(lRow, nullRight))
+        } else {
+          var scanning = true
+          while (scanning && (lookahead != null || rIt.hasNext)) {
+            if (lookahead == null) lookahead = rIt.next().copy()
+            val rk = rkProj(lookahead)
+            if (rk.isNullAt(0) || rtProj(lookahead).isNullAt(0)) {
+              lookahead = null // a null-key/ts right row matches nothing
+            } else {
+              val cmp = keyOrd.compare(rk, lKey)
+              if (cmp < 0) {
+                // Behind the current left key — left keys only grow, so
+                // it can never match again.
+                lookahead = null
+              } else if (cmp == 0 && tsOrd.compare(rtProj(lookahead), lTs) <= 0) {
+                candidate = lookahead
+                candidateKey = rkProj(candidate).copy()
+                lookahead = null
+              } else {
+                scanning = false // right side is ahead — park it
+              }
+            }
           }
+          val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0
+          resultProj(joined(lRow, if (matched) candidate else nullRight))
         }
-        val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0
-        resultProj(joined(lRow, if (matched) candidate else nullRight))
       }
     }
   }

@@ -31,8 +31,8 @@ object StreamAsOf {
     */
   case class Tagged(user_id: Long, ts: Timestamp, side: Int, value: Double)
 
-  /** Latest right event per key + the newest event time folded so far. */
-  case class LatestRight(ts: Long, value: Double, lastMs: Long)
+  /** Latest right event per key. */
+  case class LatestRight(ts: Long, value: Double)
 
   /** One enriched left event: the matched right event's time/value, or
     * None when no right event preceded it.
@@ -50,43 +50,72 @@ object StreamAsOf {
 
   /** Enrich the side-1 events of a tagged union with the latest side-0
     * event at or before them, per key.
+    *
+    * Cross-batch disorder policy (round 6, closing two ADVICE findings):
+    * a right straggler replaces state iff it is newer than the HELD
+    * right row — how trades interleaved is irrelevant to which quote is
+    * freshest — so a late-but-fresher quote is never discarded. EVERY
+    * left event emits exactly one enriched row (the batch twins enrich
+    * every row; dropping late trades was silent data loss): an on-time
+    * left matches the held right exactly; a left older than the held
+    * right cannot be matched retroactively from one-row state and emits
+    * unmatched — correct-or-stale, never a fabricated future quote.
+    *
+    * `idleTimeout`: optional event-time expiry for keys idle past the
+    * watermark horizon (the [[Sessionize]] pattern) — without it, state
+    * for a churning key space grows without bound. Requires a
+    * `withWatermark` on the tagged stream; the per-key deadline re-arms
+    * at (newest folded event + idleTimeout).
     */
-  def enrich(tagged: Dataset[Tagged]): Dataset[Enriched] = {
+  def enrich(tagged: Dataset[Tagged],
+             idleTimeout: Option[java.time.Duration] = None): Dataset[Enriched] = {
     implicit val outEnc = Encoders.product[Enriched]
     implicit val stateEnc = Encoders.product[LatestRight]
     implicit val longEnc = Encoders.scalaLong
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     tagged
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (uid: Long, it: Iterator[Tagged], state: GroupState[LatestRight]) =>
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[Enriched]
-          // Event-time order with rights before lefts on ties, so an
-          // equal-timestamp quote is visible to its trade.
-          it.toSeq.sortBy(e => (e.ts.getTime, e.side)).foreach { e =>
-            val lastMs = if (st == null) Long.MinValue else st.lastMs
-            if (e.side == 0) {
-              // A right straggler older than the newest folded event
-              // cannot be retro-matched to already-emitted lefts; it
-              // may only replace state if it is newer than the held
-              // right row (which it is, when it passed the guard).
-              if (e.ts.getTime >= lastMs)
-                st = LatestRight(e.ts.getTime, e.value,
-                  math.max(e.ts.getTime, lastMs))
-            } else if (e.ts.getTime >= lastMs) {
-              // st.ts == Long.MinValue is the no-right-seen sentinel
-              // (left events also advance lastMs through the state row).
-              val matched = st != null && st.ts != Long.MinValue &&
-                st.ts <= e.ts.getTime
-              out += Enriched(uid, e.ts, e.value,
-                if (matched) Some(new Timestamp(st.ts)) else None,
-                if (matched) Some(st.value) else None)
-              if (st == null) st = LatestRight(Long.MinValue, 0.0, e.ts.getTime)
-              else st = st.copy(lastMs = math.max(st.lastMs, e.ts.getTime))
+          if (state.hasTimedOut) {
+            // Idle past the horizon: drop the held row. A later event for
+            // this key starts from empty state (trades unmatched until a
+            // fresh quote arrives) — the documented expiry semantics.
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[Enriched]
+            var maxMs = Long.MinValue
+            // Event-time order with rights before lefts on ties, so an
+            // equal-timestamp quote is visible to its trade.
+            it.toSeq.sortBy(e => (e.ts.getTime, e.side)).foreach { e =>
+              maxMs = math.max(maxMs, e.ts.getTime)
+              if (e.side == 0) {
+                if (st == null || e.ts.getTime >= st.ts)
+                  st = LatestRight(e.ts.getTime, e.value)
+              } else {
+                val matched = st != null && st.ts <= e.ts.getTime
+                out += Enriched(uid, e.ts, e.value,
+                  if (matched) Some(new Timestamp(st.ts)) else None,
+                  if (matched) Some(st.value) else None)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // Timers attach to defined state only (no held row means
+              // nothing to expire). Deadlines must sit beyond the current
+              // watermark; a batch of only-late events would otherwise
+              // set an already-fired timer.
+              idleTimeout.foreach { d =>
+                state.setTimeoutTimestamp(
+                  math.max(maxMs, state.getCurrentWatermarkMs()) + d.toMillis)
+              }
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
       }
   }
 }

@@ -179,6 +179,35 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       (2L, 200.0, None)))       // no key-2 right rows
   }
 
+  test("native as-of join: NULL keys and timestamps never match (SQL semantics)") {
+    import graft.plans.AsOf
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Null-key and null-ts rows on BOTH sides: the natural row ordering
+    // sorts NULL first and compares NULL == NULL, so without the guard a
+    // null-key trade would "match" a null-key quote (DuckDB ASOF and SQL
+    // equi-joins never match NULL).
+    val l = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0),
+      (None: Option[Long], Some(ts("2024-01-01 10:00:00")), 101.0),
+      (Some(1L), None: Option[java.sql.Timestamp], 102.0))
+      .toDF("user_id", "ts", "lv")
+    val r = Seq(
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), 1.0),
+      (Some(1L), None: Option[java.sql.Timestamp], 2.0),
+      (Some(1L), Some(ts("2024-01-01 09:30:00")), 3.0))
+      .toDF("user_id", "ts", "rv")
+    val out = AsOf.join(l, r, "user_id", "ts")
+      .toDF("user_id", "ts", "lv", "ru", "rts", "rv")
+      .orderBy("lv").collect()
+      .map(x => (x.getAs[Double]("lv"),
+        if (x.isNullAt(5)) None else Some(x.getAs[Double]("rv"))))
+    assert(out.toSeq == Seq(
+      (100.0, Some(3.0)), // the only legitimate match
+      (101.0, None),      // null left key: never matches the null-key right
+      (102.0, None)))     // null left ts: never matches anything
+  }
+
   test("IVF cell assignment adds no exchange beyond broadcast + ranker") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val p = plan(Similarity.ivfTopK(emb))

@@ -475,6 +475,77 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of disorder: fresher late quotes accepted, late trades emit correct-or-stale") {
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.Tagged
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Tagged]
+    val query = StreamAsOf.enrich(input.toDS())
+      .writeStream.format("memory").queryName("sasof_late").outputMode("append").start()
+    try {
+      input.addData(
+        Tagged(1L, ts("2024-01-01 10:00:00"), 0, 10.0),   // quote Q1
+        Tagged(1L, ts("2024-01-01 10:05:00"), 1, 500.0))  // trade → 10.0
+      query.processAllAvailable()
+      // A quote older than the folded trade but FRESHER than the held
+      // quote must replace state (ADVICE r5): future trades enrich
+      // against it, not against stale Q1.
+      input.addData(
+        Tagged(1L, ts("2024-01-01 10:02:00"), 0, 11.0),   // late quote Q2
+        Tagged(1L, ts("2024-01-01 10:06:00"), 1, 501.0))  // trade → 11.0
+      query.processAllAvailable()
+      // Late trades are never dropped (the batch twins enrich every
+      // row): at-or-after the held quote they match it (correct-or-
+      // stale); before it they emit unmatched — never a future quote.
+      input.addData(
+        Tagged(1L, ts("2024-01-01 10:03:00"), 1, 502.0),  // late, ≥ Q2 → 11.0
+        Tagged(1L, ts("2024-01-01 10:01:00"), 1, 503.0))  // late, < Q2 → None
+      query.processAllAvailable()
+      val out = spark.table("sasof_late").collect()
+        .map(r => (r.getAs[Double]("value"),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue)))
+        .sortBy(_._1)
+      assert(out.toSeq == Seq(
+        (500.0, Some(10.0)),
+        (501.0, Some(11.0)),
+        (502.0, Some(11.0)),
+        (503.0, None)))
+    } finally query.stop()
+  }
+
+  test("streaming as-of idle timeout expires held quotes past the watermark horizon") {
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.Tagged
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Tagged]
+    val query = StreamAsOf.enrich(
+        input.toDS().withWatermark("ts", "1 minute"),
+        idleTimeout = Some(java.time.Duration.ofMinutes(5)))
+      .writeStream.format("memory").queryName("sasof_ttl").outputMode("append").start()
+    try {
+      input.addData(Tagged(1L, ts("2024-01-01 10:00:00"), 0, 10.0))
+      query.processAllAvailable()
+      // Key 2 traffic advances the watermark (10:31 − 1 min = 10:30)
+      // past key 1's (10:00 + 5 min) deadline → key 1's held quote
+      // expires on the following trigger.
+      input.addData(Tagged(2L, ts("2024-01-01 10:31:00"), 0, 99.0))
+      query.processAllAvailable()
+      // A key-1 trade after expiry (and ahead of the watermark, so not
+      // itself dropped as late) starts from empty state: unmatched,
+      // even though a quote at 10:00 preceded it.
+      input.addData(Tagged(1L, ts("2024-01-01 10:45:00"), 1, 500.0))
+      query.processAllAvailable()
+      val out = spark.table("sasof_ttl").collect()
+        .map(r => (r.getAs[Double]("value"),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue)))
+      assert(out.toSeq == Seq((500.0, None)))
+    } finally query.stop()
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     import spark.implicits._
     val sqlCtx = spark.sqlContext
