@@ -28,6 +28,17 @@ object Indicators {
   val KeyCol = "user_id"
   val OrdCol = "date"
 
+  /** Hard ceiling on the per-key series length the collect_list fold
+    * paths ([[withEma]]/[[withMacd]]) will materialize. One key's whole
+    * series becomes a single array in one task — bar-grain series are
+    * KBs, but a tick-grain misuse would OOM the executor silently.
+    * Past the ceiling the fold raises instead (use
+    * [[withEmaStreaming]], whose per-key state is O(spans), or raise
+    * the limit knowingly). 100k rows ≈ a year of minute bars ≈ 800 KB
+    * per array — comfortably inside a task, far outside accident range.
+    */
+  val MaxFoldSeriesLen: Int = 100000
+
   /** Full enrichment chain — every indicator family in one call, the
     * Spark twin of the reference applying its whole `TechnicalIndicators`
     * battery per symbol. Fold-based indicators (MACD, EMA) run first so
@@ -95,13 +106,20 @@ object Indicators {
   /** Collect the per-key series once: returns (grouped df with column `s`
     * = date-sorted array of row structs and `closes` = array of close).
     */
-  private def collectSeries(bars: DataFrame): (DataFrame, Seq[String]) = {
+  private def collectSeries(bars: DataFrame,
+                            maxLen: Int = MaxFoldSeriesLen): (DataFrame, Seq[String]) = {
     val others = bars.columns.filter(_ != KeyCol).toSeq
     val ordered = Seq(OrdCol) ++ others.filterNot(_ == OrdCol)
     val g = bars
       .groupBy(col(KeyCol))
       .agg(sort_array(collect_list(struct(ordered.map(col): _*))).as("s"))
-      .withColumn("closes", expr("transform(s, x -> x.close)"))
+      .withColumn("closes",
+        when(size(col("s")) > maxLen, raise_error(concat(
+          lit(s"Indicators fold: per-key series exceeds maxSeriesLen=$maxLen (n="),
+          size(col("s")).cast("string"),
+          lit(") — the array fold holds one key's whole series in a task; " +
+            "use withEmaStreaming for long series or raise maxSeriesLen"))))
+          .otherwise(expr("transform(s, x -> x.close)")))
     (g, others)
   }
 
@@ -115,8 +133,9 @@ object Indicators {
     * null until span observations (min_periods), recursion seeded at the
     * first bar exactly as pandas ewm(adjust=False).
     */
-  def withEma(bars: DataFrame, spans: Seq[Int]): DataFrame = {
-    val (g0, others) = collectSeries(bars)
+  def withEma(bars: DataFrame, spans: Seq[Int],
+              maxSeriesLen: Int = MaxFoldSeriesLen): DataFrame = {
+    val (g0, others) = collectSeries(bars, maxSeriesLen)
     val g = spans.foldLeft(g0) { (df, sp) =>
       df.withColumn(s"__ea_$sp", expr(emaFoldSql("closes", sp)))
     }
@@ -128,13 +147,76 @@ object Indicators {
     }.drop(Seq("col", "pos", "closes") ++ arrCols: _*)
   }
 
+  /** Long-series EMA: the same `ema_{span}` columns and pandas
+    * ewm(adjust=False) recursion as [[withEma]], computed as a streaming
+    * per-partition fold instead of a per-key collect_list array —
+    * per-key state is O(spans) doubles regardless of series length, so
+    * a minute-grain 100×-scale deployment (millions of rows per key)
+    * never materializes a series. Shape: one hash repartition on the
+    * key, sortWithinPartitions on (key, date, remaining columns) — the
+    * exact per-key order `sort_array` gives the fold — then a single
+    * mapPartitions pass carrying the running EMA per span. Arithmetic
+    * is the identical `a*v + (1-a)*prev` double recursion with
+    * a = 2.0/(span+1): bit-equal output (spec-asserted), including the
+    * null-close poison semantics of the array fold (a null close nulls
+    * that key's EMAs from that row on).
+    */
+  def withEmaStreaming(bars: DataFrame, spans: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val inSchema = bars.schema
+    val outSchema = StructType(inSchema.fields ++
+      spans.map(sp => StructField(s"ema_$sp", DoubleType, nullable = true)))
+    val keyIdx = inSchema.fieldIndex(KeyCol)
+    val closeIdx = inSchema.fieldIndex("close")
+    val spanArr = spans.toArray
+    val alphas = spanArr.map(sp => 2.0 / (sp + 1))
+    val others = bars.columns.filter(_ != KeyCol).toSeq
+    val ordered = Seq(OrdCol) ++ others.filterNot(_ == OrdCol)
+    bars
+      .repartition(col(KeyCol))
+      .sortWithinPartitions((KeyCol +: ordered).map(col): _*)
+      .mapPartitions { it =>
+        var started = false
+        var curKey: Any = null
+        var pos = 0L
+        var poisoned = false
+        val e = new Array[Double](spanArr.length)
+        it.map { row =>
+          val k = row.get(keyIdx)
+          if (!started || k != curKey) {
+            started = true; curKey = k; pos = 0L; poisoned = false
+          } else pos += 1
+          val cNull = row.isNullAt(closeIdx)
+          if (cNull) poisoned = true
+          else {
+            val c = row.getDouble(closeIdx)
+            var i = 0
+            while (i < e.length) {
+              e(i) = if (pos == 0L) c else alphas(i) * c + (1.0 - alphas(i)) * e(i)
+              i += 1
+            }
+          }
+          val out = new Array[Any](spanArr.length)
+          var i = 0
+          while (i < spanArr.length) {
+            out(i) = if (!poisoned && pos >= spanArr(i) - 1)
+              java.lang.Double.valueOf(e(i)) else null
+            i += 1
+          }
+          Row.fromSeq(row.toSeq ++ out)
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** MACD (technical_indicators.py:83 add_macd): macd = EMA_fast−EMA_slow
     * masked to null before `slow` observations; signal = EMA(span=sig) of
     * the masked macd series (recursion seeded at the first non-null macd,
     * matching pandas ewm over a leading-NaN series); hist = macd − signal.
     */
-  def withMacd(bars: DataFrame, fast: Int = 12, slow: Int = 26, sig: Int = 9): DataFrame = {
-    val (g0, others) = collectSeries(bars)
+  def withMacd(bars: DataFrame, fast: Int = 12, slow: Int = 26, sig: Int = 9,
+               maxSeriesLen: Int = MaxFoldSeriesLen): DataFrame = {
+    val (g0, others) = collectSeries(bars, maxSeriesLen)
     val aSig = s"(2.0D/${sig + 1})"
     val g = g0
       .withColumn("__ef", expr(emaFoldSql("closes", fast)))

@@ -153,6 +153,49 @@ class MarketSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out2(13).get - exp2(13)) < 1e-12)
   }
 
+  test("streaming EMA fold is bit-equal to the collect_list array fold") {
+    // Multiple keys, uneven lengths, awkward doubles, one null close —
+    // every branch of the streaming fold vs the array fold.
+    val jan1 = d("2024-01-01")
+    def day(n: Int) = Date.valueOf(jan1.toLocalDate.plusDays(n - 1))
+    val rows = (1 to 40).map(i => (1L, day(i),
+        Option(100.0 + math.sin(i) * 7.31 + i * 0.013))) ++
+      (1 to 7).map(i => (2L, d(f"2024-02-${i}%02d"), Option(50.0 / i))) ++
+      Seq((3L, d("2024-03-01"), Option(10.0)), (3L, d("2024-03-02"), None),
+        (3L, d("2024-03-03"), Option(12.0)))
+    val bars = rows.toDF("user_id", "date", "close")
+    val spans = Seq(3, 12)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("user_id"), r.getAs[Date]("date"))
+    val a = Indicators.withEma(bars, spans).collect().map(r => key(r) -> r).toMap
+    val b = Indicators.withEmaStreaming(bars, spans).collect()
+    assert(b.length == rows.length && a.size == rows.length)
+    b.foreach { r =>
+      val exp = a(key(r))
+      spans.foreach { sp =>
+        val c = s"ema_$sp"
+        val (en, bn) = (exp.isNullAt(exp.fieldIndex(c)), r.isNullAt(r.fieldIndex(c)))
+        assert(en == bn, s"$c null mismatch at ${key(r)}")
+        if (!en) assert(
+          java.lang.Double.doubleToLongBits(exp.getAs[Double](c)) ==
+            java.lang.Double.doubleToLongBits(r.getAs[Double](c)),
+          s"$c not bit-equal at ${key(r)}: ${exp.getAs[Double](c)} vs ${r.getAs[Double](c)}")
+      }
+    }
+    // key 3: null close at row 2 poisons both folds from that row on
+    assert(a((3L, d("2024-03-03"))).isNullAt(a((3L, d("2024-03-03"))).fieldIndex("ema_3")))
+  }
+
+  test("array-fold EMA raises past the series-length ceiling") {
+    val long = barsOf((1 to 10).map(_.toDouble))
+    val e = intercept[Exception] {
+      Indicators.withEma(long, Seq(3), maxSeriesLen = 5).collect()
+    }
+    assert(e.getMessage.contains("maxSeriesLen"), e.getMessage)
+    // withEmaStreaming handles the same series with O(spans) state
+    assert(Indicators.withEmaStreaming(long, Seq(3)).count() == 10)
+  }
+
   test("MACD: fast/slow EMA difference, signal seeded at first valid macd") {
     val closes = Seq(10.0, 11.0, 12.0, 13.0, 14.0)
     val macdFull = ewm(closes, 2).zip(ewm(closes, 3)).map { case (f, s) => f - s }
