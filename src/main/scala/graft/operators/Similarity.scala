@@ -39,12 +39,33 @@ object Similarity {
       .filter(col("nrm") > 0)
 
   /** #41 embed_near_dup: cosine ≥ τ pairs within the same coarse bucket
-    * (label). Never all-pairs: the join key is the bucket id.
+    * (label). Never all-pairs: the join key is the bucket id — but the
+    * candidate count is still QUADRATIC in per-label density, so a
+    * degenerate label silently turns this into all-pairs. The guard
+    * makes that misuse fail loudly: any label wider than `maxLabelRows`
+    * raises before the join expands (the same fail-don't-degrade
+    * contract as `Dedup.cappedPairs`, except exactness here forbids
+    * star-capping — capped output would break the operator's "every
+    * qualifying pair" semantics and its oracle). For corpora past the
+    * guard, [[nearDupPairsLsh]] is the scale path.
     */
-  def nearDupPairs(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
+  def nearDupPairs(embeddings: DataFrame, minCosine: Double = 0.4,
+                   maxLabelRows: Int = 10000): DataFrame = {
     val e = withNorm(embeddings)
+    // Tiny frame (one row per label); the raise_error is kept alive by
+    // the filter so column pruning can't drop the check.
+    val guard = e.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+      .withColumn("__chk",
+        when(col("__n") > maxLabelRows, raise_error(concat(
+          lit(s"nearDupPairs: label bucket wider than maxLabelRows=$maxLabelRows (n="),
+          col("__n").cast("string"),
+          lit(") — the within-label join would go quadratic; " +
+            "use nearDupPairsLsh at this density"))))
+          .otherwise(lit(1)))
     val a = e.select(col("label"), col("vec_id").as("id1"),
       col("v").as("v1"), col("nrm").as("n1"))
+      .join(broadcast(guard), Seq("label"))
+      .filter(col("__chk") === 1).drop("__n", "__chk")
     val b = e.select(col("label"), col("vec_id").as("id2"),
       col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("label"))

@@ -144,6 +144,18 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Long]("id1") == 0L && out.head.getAs[Long]("id2") == 1L)
   }
 
+  test("near-dup pairs fail loudly on a degenerate label instead of going quadratic") {
+    val emb = (0L until 8L).map(i => (i, Array(1f, i.toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.nearDupPairs(emb, minCosine = 0.0, maxLabelRows = 5).collect()
+    }
+    assert(e.getMessage.contains("maxLabelRows"), e.getMessage)
+    // At or under the budget the exact semantics are untouched: all pairs
+    assert(Similarity.nearDupPairs(emb, minCosine = -1.0, maxLabelRows = 8)
+      .count() == 8L * 7 / 2)
+  }
+
   test("multi-probe LSH recovers most brute-force neighbors") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
