@@ -335,22 +335,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Modulus and affine constants for the portable minhash permutation
+    * family. Bounds keep every step inside non-overflowing POSITIVE
+    * signed-64 arithmetic in both engines (DuckDB errors on BIGINT
+    * overflow; Spark would silently wrap): a ≤ 2^29, h < 2^32 →
+    * a·h + b < 2^61 + 2^29 < 2^62. Constants are driver-deterministic
+    * via the same Catalyst XxHash64 seed-42 map as the LSH hyperplanes,
+    * embedded as literals in BOTH the Spark plan and the DuckDB oracle.
+    */
+  private[operators] val PermP: Long = (1L << 61) - 1
+  private[operators] def permConst(tag: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(tag)), 42L).eval(null).asInstanceOf[Long]
+    java.lang.Long.remainderUnsigned(h, (1L << 29) - 1)
+  }
+  private[operators] def permA(i: Int): Long = 1L + permConst(s"a#$i")
+  private[operators] def permB(i: Int): Long = permConst(s"b#$i")
+
   /** #38 dedup_minhash (cross-engine form): [[minhashPairs]] with the
-    * permutation family swapped from seeded xxhash64 to md5 — perm i's
-    * value is the lexicographic min of md5("i#" + shingle) hex strings
-    * (a string min is a valid min-hash: md5 is a uniform map into hex
-    * space, and both engines compare ASCII bytes). Band keys are
-    * md5-of-concatenated-mins. Byte-for-byte reproducible in DuckDB, so
-    * this variant carries the oracle; the xxhash64 family stays the
-    * production default (fixed-width 8-byte shuffle keys vs 32-byte hex
-    * strings — md5 costs ~4× the hash time and ~4× the signature bytes,
-    * the price of engine-neutrality).
+    * permutation family swapped from seeded xxhash64 to one md5 per
+    * shingle folded to 32 bits (first 8 hex chars — Spark `conv`,
+    * DuckDB `CAST('0x…' AS BIGINT)`, same value) followed by `Perms`
+    * affine permutations (a_i·h + b_i) mod (2^61−1) — plain codegen'd
+    * BIGINT arithmetic both engines evaluate identically (see
+    * [[permA]]/[[permB]] for the overflow-freedom argument). Band keys
+    * are md5-of-concatenated-mins (Bands doc-grain hashes, noise).
+    * Byte-for-byte reproducible in DuckDB, so this variant carries the
+    * oracle; the xxhash64 family stays the production default (hash
+    * family is pluggable config, and xxhash64 skips the hex decode).
+    * Cost is ONE md5 per posting — the earlier portable form computed
+    * `Perms` md5s per posting and ran 3× the xxhash64 family; this one
+    * benches at parity.
     */
   def minhashPairsPortable(documents: DataFrame, minJaccard: Double = 0.3,
                            maxBucket: Int = 1024): DataFrame = {
     val mhCols = (0 until Perms).map(i =>
-      min(md5(concat(lit(s"$i#"), col("s")))).as(s"mh_$i"))
+      min((lit(permA(i)) * col("h32") + lit(permB(i))) % lit(PermP)).as(s"mh_$i"))
     val sigs = shinglePostingsRaw(documents)
+      .withColumn("h32", conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
       .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     val banded = sigs
       .select(
@@ -358,7 +380,7 @@ object Dedup {
         explode(array((0 until Bands).map { b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|", (b * RowsPerBand until (b + 1) * RowsPerBand)
-              .map(i => col(s"mh_$i")): _*)).as("band_key"))
+              .map(i => col(s"mh_$i").cast("string")): _*)).as("band_key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     minhashVerify(banded, documents, minJaccard, maxBucket)

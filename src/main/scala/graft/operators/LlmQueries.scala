@@ -211,12 +211,14 @@ object LlmQueries {
     * constants).
     */
   private val MinhashSigCols: String = (0 until Dedup.Perms).map(i =>
-    s"min(md5('$i#' || s)) AS mh_$i").mkString(",\n    ")
+    s"min((${Dedup.permA(i)} * h + ${Dedup.permB(i)}) % ${Dedup.PermP}) AS mh_$i")
+    .mkString(",\n    ")
 
   private val MinhashBandStructs: String = (0 until Dedup.Bands).map { b =>
     val rpb = Dedup.Perms / Dedup.Bands
-    val ks = (b * rpb until (b + 1) * rpb).map(i => s"mh_$i").mkString(" || '|' || ")
-    s"{'band': $b, 'band_key': md5($ks)}"
+    val ks = (b * rpb until (b + 1) * rpb)
+      .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(", ")
+    s"{'band': $b, 'band_key': md5(concat_ws('|', $ks))}"
   }.mkString(",\n    ")
 
   private val SimhashBitSums: String = (0 until 64).map { j =>
@@ -241,10 +243,14 @@ object LlmQueries {
          |      ELSE [] END AS sh
          |  FROM t),
          |po AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+         |  FROM po),
          |sig AS (
          |  SELECT doc_id,
          |    $MinhashSigCols
-         |  FROM po GROUP BY doc_id),
+         |  FROM ph GROUP BY doc_id),
          |bx AS (
          |  SELECT doc_id, unnest([
          |    $MinhashBandStructs]) AS u
