@@ -29,6 +29,18 @@ object MarketQueries {
           exchanges = Seq("NATION_1", "nation_2 ", "NATION_3", "hsx"))
         .orderBy(col("symbol"))),
 
+    "scope_universe" -> ((s, d) => {
+      val univ = Scope.tickerUniverse(Tables.customer(s, d), Tables.nation(s, d))
+      val act = Tables.orders(s, d)
+        .select(col("o_custkey").as("entity_id"), col("o_totalprice"))
+        .groupBy("entity_id").agg(sum("o_totalprice").as("liquidity"))
+      Scope.capExchangeByLiquidity(univ, act,
+          primary = Seq("NATION_1", "NATION_2", "NATION_3"),
+          capped = "NATION_4", capN = 10)
+        .withColumn("liquidity", round(col("liquidity"), 4))
+        .orderBy(col("exchange"), col("symbol"))
+    }),
+
     "bars_daily" -> ((s, d) =>
       ordered(roundCols(bars(s, d), Seq("vwap")))),
 
@@ -145,6 +157,35 @@ object MarketQueries {
         |    OR upper(trim(c_name)) LIKE 'E1VF%'
         |    OR upper(trim(c_name)) LIKE 'SSV%')
         |ORDER BY symbol""".stripMargin,
+
+    "scope_universe" ->
+      """WITH univ AS (
+        |  SELECT DISTINCT c_custkey AS entity_id,
+        |    upper(trim(c_name)) AS symbol,
+        |    upper(trim(n_name)) AS exchange
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE NOT (upper(trim(c_name)) LIKE 'VF%'
+        |    OR upper(trim(c_name)) LIKE 'FUE%'
+        |    OR upper(trim(c_name)) LIKE 'E1VF%'
+        |    OR upper(trim(c_name)) LIKE 'SSV%')),
+        |act AS (
+        |  SELECT o_custkey AS entity_id, sum(o_totalprice) AS liquidity
+        |  FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT univ.entity_id, univ.symbol, univ.exchange, act.liquidity
+        |  FROM univ LEFT JOIN act USING (entity_id)),
+        |cap AS (SELECT * FROM u WHERE exchange = 'NATION_4'),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY liquidity DESC, symbol) AS rk
+        |  FROM cap WHERE liquidity IS NOT NULL)
+        |SELECT entity_id, symbol, exchange, round(liquidity, 4) AS liquidity
+        |FROM (
+        |  SELECT entity_id, symbol, exchange, liquidity FROM u
+        |  WHERE exchange IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  UNION ALL
+        |  SELECT entity_id, symbol, exchange, liquidity FROM ranked
+        |  WHERE rk <= 10)
+        |ORDER BY exchange, symbol""".stripMargin,
 
     "bars_daily" ->
       s"""$BarsCte

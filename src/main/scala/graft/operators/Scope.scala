@@ -64,6 +64,46 @@ object Scope {
       when(acc === k, lit(v)).otherwise(acc)
     }
 
+  /** Composed per-exchange liquidity cap — the engine twin of
+    * `_filter_upcom_by_liquidity` (market_scope_filter.py:157): keep
+    * EVERY symbol on the primary exchanges, cap the junior exchange to
+    * its top-`capN` by liquidity, and when no usable liquidity exists
+    * fall back to the first `capN` symbols (the reference's `head(N)`
+    * over frame order; order is not a DataFrame concept, so the
+    * deterministic stand-in is symbol order — documented engine
+    * semantics, mirrored by the oracle). Rows on exchanges in neither
+    * set are dropped, as in the reference's concat of the two subsets.
+    *
+    * Reference nuance preserved: when SOME rows have numeric liquidity,
+    * rows without it are dropped from the capped exchange entirely
+    * (pandas `dropna` before `nlargest`) — they never pad the top-N.
+    *
+    * Scale shape: `universe` and `activity` are dim-grain. One left
+    * join tags liquidity; the cap ranks via [[TopK.withRank]] (no
+    * global window, map-side truncation); the has-liquidity decision is
+    * a 1-row aggregate broadcast into both branches — no driver action,
+    * the whole operator stays one lazy plan.
+    */
+  def capExchangeByLiquidity(universe: DataFrame, activity: DataFrame,
+                             primary: Seq[String], capped: String,
+                             capN: Int): DataFrame = {
+    require(capN >= 1, s"capN must be >= 1, got $capN")
+    val u = universe.join(activity, Seq("entity_id"), "left")
+    val keep = u.filter(col("exchange").isin(primary: _*))
+    val cap = u.filter(col("exchange") === capped)
+    val cnt = cap.agg(count(col("liquidity")).as("__nliq"))
+    val tagged = cap.crossJoin(broadcast(cnt))
+    val byLiq = TopK.withRank(
+      tagged.filter(col("__nliq") > 0 && col("liquidity").isNotNull),
+      capN, Seq(TopK.descNum(col("liquidity")), col("symbol")))
+    val fallback = TopK.withRank(
+      tagged.filter(col("__nliq") === 0), capN, Seq(col("symbol")))
+    val outCols = Seq("entity_id", "symbol", "exchange", "liquidity").map(col)
+    keep.select(outCols: _*)
+      .unionByName(byLiq.select(outCols: _*))
+      .unionByName(fallback.select(outCols: _*))
+  }
+
   /** Ticker universe with exchange-membership filtering — the engine
     * counterpart of `get_all_tickers` (market_scanner.py:38: fetch →
     * `_filter_tickers`:241 prefix/status exclusions + exchange filter →

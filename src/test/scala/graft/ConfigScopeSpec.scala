@@ -86,4 +86,34 @@ class ConfigScopeSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[String]("exchange")).toSeq == Seq("HOSE", "UPCOM"))
     assert(out.head.getAs[String]("symbol") == "ACME CORP")
   }
+
+  test("exchange cap: primaries kept whole, junior top-N by liquidity, dropna, foreign dropped") {
+    val universe = Seq(
+      (1L, "AAA", "HOSE"), (2L, "BBB", "HNX"),
+      (3L, "UP1", "UPCOM"), (4L, "UP2", "UPCOM"), (5L, "UP3", "UPCOM"),
+      (6L, "UP4", "UPCOM"), // no liquidity row → dropped (dropna, never pads)
+      (7L, "XXX", "OTC")    // neither primary nor capped → dropped
+    ).toDF("entity_id", "symbol", "exchange")
+    val activity = Seq((1L, 9.0), (3L, 5.0), (4L, 7.0), (5L, 6.0))
+      .toDF("entity_id", "liquidity")
+    val out = Scope.capExchangeByLiquidity(universe, activity,
+        primary = Seq("HOSE", "HNX"), capped = "UPCOM", capN = 2)
+      .orderBy("exchange", "symbol").collect()
+    assert(out.map(_.getAs[String]("symbol")).toSeq == Seq("BBB", "AAA", "UP2", "UP3"),
+      out.mkString(", "))
+    // BBB (HNX) kept with null liquidity — primaries are never filtered
+    assert(out.head.isNullAt(out.head.fieldIndex("liquidity")))
+  }
+
+  test("exchange cap: no usable liquidity falls back to first capN by symbol") {
+    val universe = Seq(
+      (1L, "AAA", "HOSE"),
+      (3L, "UP3", "UPCOM"), (4L, "UP1", "UPCOM"), (5L, "UP2", "UPCOM")
+    ).toDF("entity_id", "symbol", "exchange")
+    val empty = Seq.empty[(Long, Double)].toDF("entity_id", "liquidity")
+    val out = Scope.capExchangeByLiquidity(universe, empty,
+        primary = Seq("HOSE"), capped = "UPCOM", capN = 2)
+      .orderBy("exchange", "symbol").collect()
+    assert(out.map(_.getAs[String]("symbol")).toSeq == Seq("AAA", "UP1", "UP2"))
+  }
 }
