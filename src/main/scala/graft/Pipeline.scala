@@ -41,6 +41,42 @@ object Pipeline {
     val silent: Notifier = (_, _) => ()
   }
 
+  /** Exponential-backoff retry around a driver-side action — the engine
+    * twin of the reference's `_run_with_retries` (pipeline.py:433):
+    * attempt, on failure wait `delay`, multiply by `backoff`, re-raise
+    * after `maxAttempts`. Spark already retries TASKS; this wraps whole
+    * ACTIONS (a snapshot write against flaky object storage, a source
+    * refresh) where the retryable unit is the job, not the task. Each
+    * retry notifies at "warning" with the attempt count and cause, the
+    * final failure at "error" — the severity contract of the
+    * reference's notify path. `sleep` is injectable so specs don't
+    * wall-clock.
+    */
+  def withRetries[T](label: String, maxAttempts: Int = 3, delay: Double = 1.0,
+                     backoff: Double = 2.0, notify: Notifier = Notify.log,
+                     sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))
+                    (action: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var currentDelay = delay
+    while (true) {
+      try return action
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt >= maxAttempts) {
+            notify("error", s"$label failed after $maxAttempts attempts: ${e.getMessage}")
+            throw e
+          }
+          notify("warning",
+            f"$label attempt $attempt/$maxAttempts failed (${e.getMessage}); retry in $currentDelay%.1fs")
+          sleep(currentDelay)
+          currentDelay *= backoff
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   final case class Outputs(
     bars: DataFrame,
     enriched: DataFrame,
@@ -88,17 +124,21 @@ object Pipeline {
     * `outDir/snapshot=<stamp>`, return the markdown report.
     */
   def runDaily(spark: SparkSession, dir: String, outDir: String, stamp: String,
-               notify: Notifier = Notify.log): String =
+               notify: Notifier = Notify.log, retryAttempts: Int = 3): String =
     try {
       val o = build(spark, dir)
       val base = Export.snapshotPath(outDir, stamp)
-      Export.parquet(o.bars, s"$base/bars", partitionCols = Seq("date"))
-      Export.parquet(o.enriched, s"$base/indicators")
-      Export.parquet(o.breadth, s"$base/breadth")
-      Export.parquet(o.health, s"$base/health", maxFiles = 1)
-      Export.parquet(o.movers, s"$base/movers", maxFiles = 1)
-      Export.parquet(o.signals, s"$base/signals")
-      Export.parquet(o.breakouts, s"$base/breakouts")
+      // Per-stage retry (reference daily loop + _run_with_retries):
+      // every export is an Overwrite write, so a retry is idempotent.
+      def stage(name: String)(a: => Unit): Unit =
+        withRetries(s"daily/$name", maxAttempts = retryAttempts, notify = notify)(a)
+      stage("bars")(Export.parquet(o.bars, s"$base/bars", partitionCols = Seq("date")))
+      stage("indicators")(Export.parquet(o.enriched, s"$base/indicators"))
+      stage("breadth")(Export.parquet(o.breadth, s"$base/breadth"))
+      stage("health")(Export.parquet(o.health, s"$base/health", maxFiles = 1))
+      stage("movers")(Export.parquet(o.movers, s"$base/movers", maxFiles = 1))
+      stage("signals")(Export.parquet(o.signals, s"$base/signals"))
+      stage("breakouts")(Export.parquet(o.breakouts, s"$base/breakouts"))
       val md = Report.dailyMarkdown(
         Breadth.marketSummary(o.breadth, o.bars), o.movers,
         Breadth.marketRegime(o.breadth))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Dataset export — Spark re-expression of the reference's
   * `DataExporter` (/root/reference/src/utils/data_exporter.py): parquet/
@@ -56,6 +56,53 @@ object Export {
       .repartition(col("shard_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard_id").json(path)
+  }
+
+  /** Read-back validation report — see [[validateRoundTrip]]. */
+  final case class RoundTrip(path: String, sourceRows: Long, readRows: Long,
+                             issues: Seq[String]) {
+    def ok: Boolean = issues.isEmpty
+  }
+
+  /** Read-back validation twin of a snapshot write — the engine
+    * counterpart of the reference's `import_from_parquet`
+    * (data_exporter.py:168), which re-opens what was exported and
+    * checks the columns it expects. Here the check is against the
+    * SOURCE frame: every source column must come back with the same
+    * type (by name — a partitionBy write reorders columns, which is
+    * layout, not loss; partition-value type inference rewriting a
+    * column's type IS reported, that's exactly the silent corruption
+    * this catches), no extra columns appear, and row counts match.
+    * For JSON (the jsonl shard format) types are lossy by design, so
+    * only column presence and row count are checked. Returns a report
+    * rather than throwing — a daily pipeline wants to notify-and-
+    * continue per stage ([[graft.Pipeline.withRetries]] wraps the
+    * write; this validates it landed whole).
+    */
+  def validateRoundTrip(spark: SparkSession, source: DataFrame, path: String,
+                        format: String = "parquet"): RoundTrip = {
+    val back = format match {
+      case "parquet" => spark.read.parquet(path)
+      case "json" => spark.read.json(path)
+      case "csv" => spark.read.option("header", "true").csv(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val src = source.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dst = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    val typed = format == "parquet"
+    val issues =
+      (src.keySet -- dst.keySet).toSeq.sorted.map(c => s"missing column: $c") ++
+      (dst.keySet -- src.keySet).toSeq.sorted.map(c => s"unexpected column: $c") ++
+      (if (typed)
+        (src.keySet & dst.keySet).toSeq.sorted.collect {
+          case c if src(c) != dst(c) =>
+            s"type changed: $c ${src(c).simpleString} -> ${dst(c).simpleString}"
+        }
+      else Seq.empty)
+    val (srcRows, dstRows) = (source.count(), back.count())
+    val rowIssue = if (srcRows == dstRows) Seq.empty
+                   else Seq(s"row count: wrote $srcRows, read back $dstRows")
+    RoundTrip(path, srcRows, dstRows, issues ++ rowIssue)
   }
 
   /** Bucketed managed table: pre-shuffles once at write so every later

@@ -61,6 +61,59 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(shardDirs.toSeq == Seq("shard_id=0", "shard_id=1"))
   }
 
+  test("export: round-trip validation passes a clean write, names every defect") {
+    val dir = Files.createTempDirectory("graft-rt").toString
+    val df = Seq((d("2024-01-01"), 1L, 10.0), (d("2024-01-02"), 2L, 11.0))
+      .toDF("date", "user_id", "close")
+    Export.parquet(df, s"$dir/bars", partitionCols = Seq("date"))
+    val rt = Export.validateRoundTrip(spark, df, s"$dir/bars")
+    assert(rt.ok && rt.sourceRows == 2 && rt.readRows == 2, rt.issues.mkString("; "))
+    // Validating against a frame the write never saw names each defect:
+    // a column the files lack, one they weren't expected to have, a
+    // type drift, and the row-count gap.
+    val other = Seq((d("2024-01-01"), 1, "x")).toDF("date", "user_id", "extra")
+    val bad = Export.validateRoundTrip(spark, other, s"$dir/bars")
+    assert(!bad.ok)
+    assert(bad.issues.exists(_.contains("missing column: extra")))
+    assert(bad.issues.exists(_.contains("unexpected column: close")))
+    assert(bad.issues.exists(_.startsWith("type changed: user_id")))
+    assert(bad.issues.exists(_.startsWith("row count:")))
+    // jsonl: presence + row count (types are lossy by format design)
+    Export.jsonlShards(
+      (1L to 4L).map(i => (i, "w w w", "en", "s", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$dir/corpus", budgetTokens = 5L)
+    val js = Export.validateRoundTrip(spark,
+      spark.read.json(s"$dir/corpus"), s"$dir/corpus", format = "json")
+    assert(js.ok && js.readRows == 4, js.issues.mkString("; "))
+  }
+
+  test("pipeline: retries back off exponentially, then exhaust and rethrow") {
+    val log = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val note: Pipeline.Notifier = (sev, msg) => log += ((sev, msg))
+    // retry-then-succeed: fails twice, third attempt lands
+    var calls = 0
+    val got = Pipeline.withRetries("stage", maxAttempts = 3, delay = 1.0,
+      backoff = 2.0, notify = note, sleep = slept += _) {
+      calls += 1
+      if (calls < 3) sys.error(s"boom $calls")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    assert(slept.toSeq == Seq(1.0, 2.0), "exponential backoff between attempts")
+    assert(log.count(_._1 == "warning") == 2 && !log.exists(_._1 == "error"))
+    // exhaust-then-raise: the original exception propagates, error notified
+    log.clear(); slept.clear()
+    val e = intercept[RuntimeException] {
+      Pipeline.withRetries("doomed", maxAttempts = 2, delay = 0.5,
+        notify = note, sleep = slept += _) { sys.error("always") }
+    }
+    assert(e.getMessage == "always")
+    assert(slept.toSeq == Seq(0.5), "no sleep after the final attempt")
+    assert(log.last._1 == "error" && log.last._2.contains("doomed"))
+  }
+
   test("salted join: identical result set, shuffle key carries the salt") {
     val fact = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i.toDouble))
       .toDF("user_id", "value") // key 1 carries 90% of rows
