@@ -86,10 +86,15 @@ object Bench {
         // measurements so every query starts from the same storage state.
         spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).map(_ => timeOnce(name, fn))
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
-    }
+    // Optional name filter (local profiling: `runMain graft.Bench q1,q2`);
+    // a filtered run never arms the regression gate.
+    val only = args.headOption.map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val times = (1 to passes).map(_ => timeOnce(name, fn))
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      }
     val baseline = loadBaseline()
     // Run-wide drift: median of time/baseline over baselined queries,
     // clamped to ≥1 (a fast environment never tightens the gate). Printed
@@ -108,7 +113,7 @@ object Bench {
         f"[bench] WARNING run-wide drift $rawDrift%.2f exceeds the 1.5 cap — " +
           "either the machine is badly loaded or a shared-path change slowed everything")
     val mainFailures = failures
-    val gateArmed = mainFailures == 0 && sfDir.contains("sf0.1") &&
+    val gateArmed = mainFailures == 0 && only.isEmpty && sfDir.contains("sf0.1") &&
       !sys.env.get("SPARK_GRAFT_BASELINE").contains("off")
     def over(name: String, t: Double): Boolean =
       t > drift * regressionThreshold(baseline(name))

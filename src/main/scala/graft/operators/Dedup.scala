@@ -221,6 +221,61 @@ object Dedup {
         (coalesce(col("n_dup"), lit(0L)) * chunkTokens).as("n_tokens_dropped"))
   }
 
+  /** #40f dedup_spans: exact duplicated-span detection at character
+    * grain — the window-exact upgrade of [[chunkDedup]] toward the
+    * ExactSubstr semantics of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"): every position whose
+    * `minLen`-char window appears verbatim ≥2 times in the corpus
+    * (across docs or within one) is marked, and marked positions merge
+    * into maximal per-doc spans `[span_start, span_end)` (0-based char
+    * offsets). Unlike the chunk approximation this catches duplicates
+    * at ANY alignment; every char inside a reported span belongs to
+    * SOME verbatim `minLen`-char duplicate (window-exact — a whole
+    * span need not be one global duplicate, the same remove-superset
+    * Lee et al.'s cut-every-duplicated-window deployment produces).
+    *
+    * Shape: one posexplode of the gram array (corpus-positions rows —
+    * the honest cost of exact substring work, the same order as the
+    * suffix array the reference algorithm builds), a count-by-gram
+    * with map-side partial aggregation (a degenerate gram — 40 blanks
+    * a billion times — stays a count, never a collected bucket), a
+    * semi-join of positions against duplicated grams (AQE-splittable
+    * on skew), then a per-doc gaps-and-islands interval merge
+    * (doc-grain windows, bounded by doc length — docs are MBs at
+    * most). `hashGrams=true` (default) shuffles 8-byte xxhash64 keys;
+    * `false` shuffles the gram strings themselves — slower but
+    * hash-collision-free and engine-neutral, so that mode carries the
+    * DuckDB oracle (spec asserts both modes agree).
+    */
+  def exactSpans(documents: DataFrame, minLen: Int = 40,
+                 hashGrams: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${minLen - 1}), i -> substring(text, i, $minLen))"
+      )).as(Seq("pos", "g")))
+    val keyed = grams.select(col("doc_id"), col("pos").cast("long").as("pos"),
+      (if (hashGrams) xxhash64(col("g")) else col("g")).as("k"))
+    val dup = keyed.groupBy(col("k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("k"))
+    val marked = keyed.join(dup, Seq("k"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      // new island when this window no longer overlaps/touches the
+      // previous one ([p, p+L) vs [p', p'+L): break iff p > p' + L)
+      .withColumn("__brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + minLen, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minLen).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+  }
+
   /** #37c dedup_keep_best: quality-aware canonical selection — resolve
     * near-dup pairs to clusters ([[Components.connectedComponents]]) and
     * keep each cluster's highest-[[TextAnalysis.withQuality]] member
@@ -336,27 +391,34 @@ object Dedup {
   }
 
   /** Modulus and affine constants for the portable minhash permutation
-    * family. Bounds keep every step inside non-overflowing POSITIVE
-    * signed-64 arithmetic in both engines (DuckDB errors on BIGINT
-    * overflow; Spark would silently wrap): a ≤ 2^29, h < 2^32 →
-    * a·h + b < 2^61 + 2^29 < 2^62. Constants are driver-deterministic
-    * via the same Catalyst XxHash64 seed-42 map as the LSH hyperplanes,
-    * embedded as literals in BOTH the Spark plan and the DuckDB oracle.
+    * family: perm_i(h) = (a_i·(h mod M) + b_i) mod M over the Mersenne
+    * prime M = 2^31−1. The modulus must be SMALL relative to the a·h
+    * product so the mod wraps ~a times across the domain — a first cut
+    * used M = 2^61−1 with a < 2^29, which never wraps: the map was
+    * monotonic in h, every "permutation" picked the same argmin
+    * shingle, and the banding degenerated to single-perm minhash
+    * (measured as a 6× candidate blowup at sf0.1). Bounds keep every
+    * step inside non-overflowing POSITIVE signed-64 arithmetic in both
+    * engines (DuckDB errors on BIGINT overflow; Spark would silently
+    * wrap): a < M, h mod M < M → a·(h mod M) + b < 2^62. Constants are
+    * driver-deterministic via the same Catalyst XxHash64 seed-42 map
+    * as the LSH hyperplanes, embedded as literals in BOTH the Spark
+    * plan and the DuckDB oracle.
     */
-  private[operators] val PermP: Long = (1L << 61) - 1
-  private[operators] def permConst(tag: String): Long = {
+  private[operators] val PermM: Long = (1L << 31) - 1
+  private[operators] def permConst(tag: String, bound: Long): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h = XxHash64(Seq(Literal(tag)), 42L).eval(null).asInstanceOf[Long]
-    java.lang.Long.remainderUnsigned(h, (1L << 29) - 1)
+    java.lang.Long.remainderUnsigned(h, bound)
   }
-  private[operators] def permA(i: Int): Long = 1L + permConst(s"a#$i")
-  private[operators] def permB(i: Int): Long = permConst(s"b#$i")
+  private[operators] def permA(i: Int): Long = 1L + permConst(s"a#$i", PermM - 1)
+  private[operators] def permB(i: Int): Long = permConst(s"b#$i", PermM)
 
   /** #38 dedup_minhash (cross-engine form): [[minhashPairs]] with the
     * permutation family swapped from seeded xxhash64 to one md5 per
     * shingle folded to 32 bits (first 8 hex chars — Spark `conv`,
     * DuckDB `CAST('0x…' AS BIGINT)`, same value) followed by `Perms`
-    * affine permutations (a_i·h + b_i) mod (2^61−1) — plain codegen'd
+    * affine permutations (a_i·h + b_i) mod (2^31−1) — plain codegen'd
     * BIGINT arithmetic both engines evaluate identically (see
     * [[permA]]/[[permB]] for the overflow-freedom argument). Band keys
     * are md5-of-concatenated-mins (Bands doc-grain hashes, noise).
@@ -370,9 +432,10 @@ object Dedup {
   def minhashPairsPortable(documents: DataFrame, minJaccard: Double = 0.3,
                            maxBucket: Int = 1024): DataFrame = {
     val mhCols = (0 until Perms).map(i =>
-      min((lit(permA(i)) * col("h32") + lit(permB(i))) % lit(PermP)).as(s"mh_$i"))
+      min((lit(permA(i)) * col("hm") + lit(permB(i))) % lit(PermM)).as(s"mh_$i"))
     val sigs = shinglePostingsRaw(documents)
-      .withColumn("h32", conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hm",
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % lit(PermM))
       .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     val banded = sigs
       .select(

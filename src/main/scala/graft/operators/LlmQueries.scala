@@ -85,6 +85,12 @@ object LlmQueries {
     "chunk_dedup" -> ((s, d) =>
       Dedup.chunkDedup(docs(s, d)).orderBy(col("doc_id"))),
 
+    // String-key mode carries the oracle (hash-collision-free and
+    // engine-neutral); the xxhash64-key default is spec-asserted equal.
+    "dedup_spans" -> ((s, d) =>
+      Dedup.exactSpans(docs(s, d), minLen = 40, hashGrams = false)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // Quality-aware canonical selection over the oracle-friendly ngram
     // emitter (same pair source as corpus_pipeline's dedup stage).
     "dedup_keep_best" -> ((s, d) =>
@@ -211,7 +217,7 @@ object LlmQueries {
     * constants).
     */
   private val MinhashSigCols: String = (0 until Dedup.Perms).map(i =>
-    s"min((${Dedup.permA(i)} * h + ${Dedup.permB(i)}) % ${Dedup.PermP}) AS mh_$i")
+    s"min((${Dedup.permA(i)} * h + ${Dedup.permB(i)}) % ${Dedup.PermM}) AS mh_$i")
     .mkString(",\n    ")
 
   private val MinhashBandStructs: String = (0 until Dedup.Bands).map { b =>
@@ -245,7 +251,7 @@ object LlmQueries {
          |po AS (SELECT doc_id, unnest(sh) AS s FROM d),
          |ph AS (
          |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % ${Dedup.PermM} AS h
          |  FROM po),
          |sig AS (
          |  SELECT doc_id,
@@ -575,6 +581,29 @@ object LlmQueries {
         |  CAST(coalesce(n_dup, 0) * 8 AS BIGINT) AS n_tokens_dropped
         |FROM d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH gr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+        |    substr(text, CAST(i AS INT), 40) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) - 38)) AS i
+        |        FROM documents WHERE length(text) >= 40)),
+        |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+        |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)),
+        |pr AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM mk),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM pr)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
+        |  max(pos) + 40 - min(pos) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE b AS (

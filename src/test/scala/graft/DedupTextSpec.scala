@@ -144,6 +144,31 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Long]("id1") == 0L && out.head.getAs[Long]("id2") == 1L)
   }
 
+  test("exact spans: cross-doc runs merge maximal, self-repeats count, islands stay split") {
+    val docs = Seq(
+      (1L, "abcdefghij"),      // shares abcdefg with doc 2
+      (2L, "xxabcdefgyy"),
+      (3L, "zzzzzzzzzz"),      // self-repeating 5-gram — within-doc dup
+      (4L, "pqrstvwxy1"),      // no duplicated 5-gram anywhere
+      (5L, "AAAAAxyzwvBBBBB"), // two shared runs split by unique middles
+      (6L, "AAAAA01234BBBBB")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSpans(docs, minLen = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 7L, 7L),   // "abcdefg": windows 0,1,2 merged
+      (2L, 2L, 9L, 7L),
+      (3L, 0L, 10L, 10L), // the whole z-run
+      (5L, 0L, 5L, 5L), (5L, 10L, 15L, 5L), // two islands, gap 10 > 0+5
+      (6L, 0L, 5L, 5L), (6L, 10L, 15L, 5L)), out.toString)
+    // string-key (oracle) mode is identical to the xxhash64-key default
+    val viaStrings = Dedup.exactSpans(docs, minLen = 5, hashGrams = false)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaStrings == out)
+  }
+
   test("near-dup pairs fail loudly on a degenerate label instead of going quadratic") {
     val emb = (0L until 8L).map(i => (i, Array(1f, i.toFloat), 0))
       .toDF("vec_id", "embedding", "label")
