@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema (binary payload + metadata struct),
   * partition-batched processing via mapPartitions, fixed-width feature
   * output — is real and tested. The codec itself is STUBBED: this
-  * container has no image/audio libraries, so `decodeStub` produces a
+  * container has no image/audio libraries, so [[StubCodec]] produces a
   * deterministic fake "decode" (byte statistics + a hash-seeded pseudo
   * embedding) with the exact call shape a real decoder (JPEG → pixels,
-  * PCM → frames) would have. Swap `decodeStub` for a real codec and
-  * nothing else changes.
+  * PCM → frames) would have. The seam is the [[MediaCodec]] trait every
+  * operator takes as a parameter — a real deployment implements it once
+  * (wrapping its native library) and nothing else changes.
   *
   * Scale shape: payload bytes never shuffle — media rows are processed
   * where they are read (mapPartitions, no keyed exchange); the output is
@@ -30,6 +31,50 @@ object Multimodal {
                            embedding: Array[Float])
 
   val HistogramBins = 16
+
+  /** The codec seam: every media operator takes one of these and calls
+    * it inside its mapPartitions iterator, so swapping the stub for a
+    * real JPEG/PCM/H.264 library is ONE implementation of this trait —
+    * the operators, schemas and partition shapes do not change. Must be
+    * Serializable (instances ship inside task closures); implementations
+    * should hold no per-record state (one instance serves a whole
+    * executor) and lazily initialize any native library handle.
+    */
+  trait MediaCodec extends Serializable {
+    /** payload → (histogram over [[HistogramBins]] bins, mean intensity,
+      * fixed-width embedding) — the featurize call.
+      */
+    def decode(payload: Array[Byte], meta: MediaMeta): (Array[Long], Double, Array[Float])
+    /** payload → payload resampled to targetW × targetH. */
+    def resize(payload: Array[Byte], meta: MediaMeta,
+               targetW: Int, targetH: Int): Array[Byte]
+    /** payload → up to n evenly-spaced (frameIdx, srcRow, frameBytes). */
+    def sampleFrames(payload: Array[Byte], meta: MediaMeta,
+                     n: Int): Iterator[(Int, Int, Array[Byte])]
+  }
+
+  /** The deterministic stand-in codec (this container ships no media
+    * libraries): byte statistics for decode, nearest-neighbor index
+    * arithmetic for resize, byte-grid rows for frames. Real call shape,
+    * fake pixels.
+    */
+  object StubCodec extends MediaCodec {
+    def decode(payload: Array[Byte], meta: MediaMeta): (Array[Long], Double, Array[Float]) =
+      decodeStub(payload)
+    def resize(payload: Array[Byte], meta: MediaMeta,
+               targetW: Int, targetH: Int): Array[Byte] =
+      resizeStub(payload, meta, targetW, targetH)
+    def sampleFrames(payload: Array[Byte], meta: MediaMeta,
+                     n: Int): Iterator[(Int, Int, Array[Byte])] = {
+      val frames = math.min(n, meta.height)
+      (0 until frames).iterator.map { i =>
+        val srcRow = i * meta.height / frames
+        val from = math.min(srcRow * meta.width, payload.length)
+        val until = math.min(from + meta.width, payload.length)
+        (i, srcRow, java.util.Arrays.copyOfRange(payload, from, until))
+      }
+    }
+  }
 
   /** Wrap documents as media records: payload = utf-8 bytes of the text
     * (the deterministic stand-in for real image/audio bytes), metadata
@@ -75,19 +120,21 @@ object Multimodal {
     * → iterator out (constant memory), the shape a vectorized decoder
     * batch (mapInPandas / Arrow batch) takes on the Python side.
     */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord],
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
       it.map { r =>
-        val (hist, mean, emb) = decodeStub(r.payload)
+        val (hist, mean, emb) = codec.decode(r.payload, r.meta)
         MediaFeatures(r.doc_id, r.meta.kind, r.payload.length, mean, hist, emb)
       }
     }
   }
 
   /** End-to-end: documents → media records → features. */
-  def featurize(documents: DataFrame): Dataset[MediaFeatures] =
-    extractFeatures(asMedia(documents))
+  def featurize(documents: DataFrame,
+                codec: MediaCodec = StubCodec): Dataset[MediaFeatures] =
+    extractFeatures(asMedia(documents), codec)
 
   /** STUB resize: nearest-neighbor subsample over the meta-declared
     * width×height byte grid to target dimensions — the deterministic
@@ -120,14 +167,14 @@ object Multimodal {
     * [[extractFeatures]]: payload bytes never shuffle, each partition's
     * records transform where they were read.
     */
-  def resize(media: Dataset[MediaRecord], targetW: Int,
-             targetH: Int): Dataset[MediaRecord] = {
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
+             codec: MediaCodec = StubCodec): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
     media.mapPartitions { it =>
       it.map { r =>
         MediaRecord(r.doc_id,
           MediaMeta(r.meta.kind, r.meta.format, targetW, targetH),
-          resizeStub(r.payload, r.meta, targetW, targetH))
+          codec.resize(r.payload, r.meta, targetW, targetH))
       }
     }
   }
@@ -149,21 +196,17 @@ object Multimodal {
     * video-sized ones: the only fan-out shape that survives 100 TB of
     * video.
     */
-  def frameSample(media: Dataset[MediaRecord], n: Int): Dataset[Frame] = {
+  def frameSample(media: Dataset[MediaRecord], n: Int,
+                  codec: MediaCodec = StubCodec): Dataset[Frame] = {
     implicit val enc = Encoders.product[Frame]
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val frames = math.min(n, r.meta.height)
-        (0 until frames).iterator.map { i =>
-          val srcRow = i * r.meta.height / frames
-          val from = math.min(srcRow * r.meta.width, r.payload.length)
-          val until = math.min(from + r.meta.width, r.payload.length)
+        codec.sampleFrames(r.payload, r.meta, n).map { case (i, srcRow, bytes) =>
           // Frame meta reports the ACTUAL byte count — a grid declared
           // wider than the payload would otherwise hand consumers a
           // width its payload cannot back.
           Frame(r.doc_id, i, srcRow,
-            MediaMeta(r.meta.kind, r.meta.format, until - from, 1),
-            java.util.Arrays.copyOfRange(r.payload, from, until))
+            MediaMeta(r.meta.kind, r.meta.format, bytes.length, 1), bytes)
         }
       }
     }

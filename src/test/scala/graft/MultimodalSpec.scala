@@ -18,6 +18,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(h2.sameElements(hist) && m2 == mean && e2.sameElements(emb))
   }
 
+  test("codec seam: a custom MediaCodec flows through every operator unchanged") {
+    import spark.implicits._
+    import Multimodal.{MediaCodec, MediaMeta, MediaRecord}
+    // A trivial real-codec stand-in: constant embedding, constant-byte
+    // resize, single whole-payload frame — shapes only a plugged codec
+    // would produce, proving the operators call the seam, not the stub.
+    object FixedCodec extends MediaCodec {
+      def decode(p: Array[Byte], m: MediaMeta): (Array[Long], Double, Array[Float]) =
+        (Array.fill(Multimodal.HistogramBins)(7L), 42.0, Array.fill(4)(0.5f))
+      def resize(p: Array[Byte], m: MediaMeta, w: Int, h: Int): Array[Byte] =
+        Array.fill(w * h)(9.toByte)
+      def sampleFrames(p: Array[Byte], m: MediaMeta, n: Int): Iterator[(Int, Int, Array[Byte])] =
+        Iterator((0, 0, p))
+    }
+    val rec = MediaRecord(1L, MediaMeta("image", "fake/raw", 4, 2),
+      Array.tabulate(8)(_.toByte))
+    val f = Multimodal.extractFeatures(Seq(rec).toDS(), FixedCodec).collect().head
+    assert(f.mean_byte == 42.0 && f.embedding.length == 4 && f.histogram.forall(_ == 7L))
+    val rz = Multimodal.resize(Seq(rec).toDS(), 3, 3, FixedCodec).collect().head
+    assert(rz.payload.length == 9 && rz.payload.forall(_ == 9.toByte))
+    val fr = Multimodal.frameSample(Seq(rec).toDS(), 5, FixedCodec).collect()
+    assert(fr.length == 1 && fr.head.payload.length == 8)
+  }
+
   test("media plumbing: schema, payload round-trip, partition-batched features") {
     val media = Multimodal.asMedia(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     val schema = media.schema
