@@ -250,12 +250,27 @@ object Dedup {
   def exactSpans(documents: DataFrame, minLen: Int = 40,
                  hashGrams: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Positions explode first, the gram substring is a codegen'd
+    // projection after — a `transform(sequence, i -> substring(text …))`
+    // HOF would build every gram inside an interpreted lambda
+    // re-reading `text` per element (measured 2.3× slower end-to-end).
+    // The pre-explode repartition spreads the ~len× fan-out across the
+    // cluster when input splits < cores (one small parquet file read as
+    // one partition single-threads the whole gram pipeline — measured
+    // 4× on 32 cores); it shuffles only compact text (1× input bytes),
+    // noise next to the ~40×-input gram shuffle that follows. The
+    // partition count is EXPLICIT: AQE exempts user repartitions with a
+    // fixed width from coalescing — without it the tiny text shuffle
+    // coalesces straight back to one partition and the fix is void.
+    val width = documents.sparkSession.sessionState.conf.numShufflePartitions
     val grams = documents
+      .repartition(width, col("doc_id"))
       .filter(length(col("text")) >= minLen)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${minLen - 1}), i -> substring(text, i, $minLen))"
-      )).as(Seq("pos", "g")))
-    val keyed = grams.select(col("doc_id"), col("pos").cast("long").as("pos"),
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (minLen - 1))).as("i"))
+      .select(col("doc_id"), (col("i") - 1).cast("long").as("pos"),
+        col("text").substr(col("i"), lit(minLen)).as("g"))
+    val keyed = grams.select(col("doc_id"), col("pos"),
       (if (hashGrams) xxhash64(col("g")) else col("g")).as("k"))
     val dup = keyed.groupBy(col("k")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("k"))
@@ -274,6 +289,44 @@ object Dedup {
         (max(col("pos")) + minLen).as("span_end"))
       .withColumn("span_len", col("span_end") - col("span_start"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+  }
+
+  /** #40g dedup_spans_clean: apply [[exactSpans]] — cut every reported
+    * span out of its document and return the cleaned corpus, the
+    * "remove them" half of Lee et al.'s ExactSubstr dedup. Per doc the
+    * kept text is the concatenation of the gaps between spans plus the
+    * tail; docs without spans pass through whole.
+    *
+    * Shape: spans per doc are few (≤ len/minLen by construction), so a
+    * per-doc sort_array(collect_list) + one Catalyst `aggregate` fold
+    * over the span array is bounded and local; the corpus-scale work
+    * remains inside [[exactSpans]]. Left join keeps span-free docs.
+    */
+  def removeSpans(documents: DataFrame, minLen: Int = 40,
+                  hashGrams: Boolean = true): DataFrame = {
+    val spans = exactSpans(documents, minLen, hashGrams)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("n_chars_removed"))
+    documents
+      .join(spans, Seq("doc_id"), "left_outer")
+      .withColumn("clean_text",
+        when(col("sp").isNull, col("text")).otherwise(expr(
+          // fold state: (cur = chars consumed, acc = kept text so far);
+          // each span appends the gap [cur, span_start), the finish
+          // lambda appends the tail after the last span.
+          """aggregate(sp,
+            |  named_struct('cur', 0L, 'acc', ''),
+            |  (a, s) -> named_struct(
+            |    'cur', CAST(s.span_end AS BIGINT),
+            |    'acc', concat(a.acc, substring(text, a.cur + 1,
+            |      s.span_start - a.cur))),
+            |  a -> concat(a.acc, substring(text, a.cur + 1,
+            |    length(text) - a.cur)))""".stripMargin)))
+      .select(col("doc_id"), col("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_chars_removed"), lit(0L)).as("n_chars_removed"))
   }
 
   /** #37c dedup_keep_best: quality-aware canonical selection — resolve

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Driver-contract wrappers + DuckDB oracles for the LLM-training-data
-  * ops (SURVEY §2 #37–47). The seeded-hash operators (minhash, simhash,
-  * hyperplane LSH) are rows-only: xxhash64 seeding is engine-specific,
-  * so their correctness gate is the ScalaTest fixture suite instead of
-  * a cross-engine hash compare (SURVEY §6).
+  * ops (SURVEY §2 #37–47). Since round 6 every row carries a full
+  * cross-engine oracle: the hash-seeded operators either embed their
+  * driver-deterministic constants as literals the SQL replays
+  * (hyperplane LSH, IVF seeded quantizer) or run a portable hash family
+  * (md5-based minhash/simhash, string-keyed exact spans); the xxhash64
+  * variants stay the production defaults, spec-asserted equivalent.
   */
 object LlmQueries {
 
@@ -90,6 +92,10 @@ object LlmQueries {
     "dedup_spans" -> ((s, d) =>
       Dedup.exactSpans(docs(s, d), minLen = 40, hashGrams = false)
         .orderBy(col("doc_id"), col("span_start"))),
+
+    "dedup_spans_clean" -> ((s, d) =>
+      Dedup.removeSpans(docs(s, d), minLen = 40, hashGrams = false)
+        .orderBy(col("doc_id"))),
 
     // Quality-aware canonical selection over the oracle-friendly ngram
     // emitter (same pair source as corpus_pipeline's dedup stage).
@@ -604,6 +610,42 @@ object LlmQueries {
         |  max(pos) + 40 - min(pos) AS span_len
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_spans_clean" ->
+      """WITH gr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+        |    substr(text, CAST(i AS INT), 40) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, length(text) - 38)) AS i
+        |        FROM documents WHERE length(text) >= 40)),
+        |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+        |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)),
+        |pr AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM mk),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM pr),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |seg AS (
+        |  SELECT doc_id, s, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs
+        |  FROM sp)
+        |SELECT d.doc_id,
+        |  concat(
+        |    coalesce(string_agg(substr(d.text, CAST(gs + 1 AS INT),
+        |      CAST(seg.s - gs AS INT)), '' ORDER BY seg.s), ''),
+        |    substr(d.text, CAST(coalesce(max(seg.e), 0) + 1 AS INT))) AS clean_text,
+        |  CAST(count(seg.s) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(sum(seg.e - seg.s), 0) AS BIGINT) AS n_chars_removed
+        |FROM documents d LEFT JOIN seg ON d.doc_id = seg.doc_id
+        |GROUP BY d.doc_id, d.text
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE b AS (

@@ -167,6 +167,17 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       .orderBy("doc_id", "span_start").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(viaStrings == out)
+    // removeSpans cuts exactly those spans; span-free docs pass whole
+    val clean = Dedup.removeSpans(docs, minLen = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(clean == Seq(
+      (1L, "hij", 1L, 7L),
+      (2L, "xxyy", 1L, 7L),
+      (3L, "", 1L, 10L),
+      (4L, "pqrstvwxy1", 0L, 0L),
+      (5L, "xyzwv", 2L, 10L),
+      (6L, "01234", 2L, 10L)), clean.toString)
   }
 
   test("near-dup pairs fail loudly on a degenerate label instead of going quadratic") {
