@@ -458,14 +458,14 @@ object Dedup {
     * as the LSH hyperplanes, embedded as literals in BOTH the Spark
     * plan and the DuckDB oracle.
     */
-  private[operators] val PermM: Long = (1L << 31) - 1
-  private[operators] def permConst(tag: String, bound: Long): Long = {
+  private[graft] val PermM: Long = (1L << 31) - 1
+  private[graft] def permConst(tag: String, bound: Long): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h = XxHash64(Seq(Literal(tag)), 42L).eval(null).asInstanceOf[Long]
     java.lang.Long.remainderUnsigned(h, bound)
   }
-  private[operators] def permA(i: Int): Long = 1L + permConst(s"a#$i", PermM - 1)
-  private[operators] def permB(i: Int): Long = permConst(s"b#$i", PermM)
+  private[graft] def permA(i: Int): Long = 1L + permConst(s"a#$i", PermM - 1)
+  private[graft] def permB(i: Int): Long = permConst(s"b#$i", PermM)
 
   /** #38 dedup_minhash (cross-engine form): [[minhashPairs]] with the
     * permutation family swapped from seeded xxhash64 to one md5 per

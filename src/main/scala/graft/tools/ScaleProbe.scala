@@ -136,10 +136,16 @@ object ScaleProbe {
         Dedup.ngramJaccardInvertedIndex(docs, minJaccard = 0.5)))
       val tMix = noopTime(TextAnalysis.corpusMix(docs))
       val tVocab = noopTime(TextAnalysis.vocabTopK(docs))
+      // Span dedup (round 6): the cipher preserves within-copy char-gram
+      // equality (rotation is per-copy), so span structure repeats
+      // per-copy while cross-copy grams diverge — same contract as the
+      // shingle ops. Production (xxhash64-key) mode.
+      val tSpans = noopTime(Dedup.exactSpans(docs))
+      val tSpansClean = noopTime(Dedup.removeSpans(docs))
       println(f"[scale-curate] k=$k decontaminate=$tDecon%.2f shard_pack=$tShard%.2f " +
         f"doc_repetition=$tRep%.2f stratified_sample=$tStrat%.2f " +
         f"chunk_dedup=$tChunk%.2f keep_best=$tKeepBest%.2f corpus_mix=$tMix%.2f " +
-        f"vocab_topk=$tVocab%.2f")
+        f"vocab_topk=$tVocab%.2f spans=$tSpans%.2f spans_clean=$tSpansClean%.2f")
     }
     spark.stop()
   }

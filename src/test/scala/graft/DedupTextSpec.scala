@@ -85,6 +85,29 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(capped.length == 99 && capped.forall(_.getAs[Long]("id1") == 1L))
   }
 
+  test("portable minhash permutations vary their argmin (no monotonic-map collapse)") {
+    // Regression pin for the round-6 degeneracy: with a modulus the a·h
+    // product never wraps, every permutation is monotonic in h and picks
+    // the SAME argmin shingle — the signature collapses to a function of
+    // one shingle and banding degenerates to single-perm minhash. The
+    // fix (perms over M = 2^31−1 with h reduced mod M) must keep argmins
+    // varied across permutations for any realistic shingle set.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % Dedup.PermM
+    }
+    val shingles = (1 to 200).map(i => s"tok$i tok${i + 1}").map(h32)
+    val argmins = (0 until Dedup.Perms).map { i =>
+      val (a, b) = (Dedup.permA(i), Dedup.permB(i))
+      shingles.zipWithIndex.minBy { case (h, _) => (a * h + b) % Dedup.PermM }._2
+    }
+    assert(argmins.distinct.size > Dedup.Perms / 2,
+      s"permutations picked only ${argmins.distinct.size} distinct argmin shingles " +
+        s"over ${Dedup.Perms} perms — the family is degenerating toward a monotonic map")
+  }
+
   test("degenerate bucket: pair expansion is bounded, cluster stays connected") {
     // 100 identical docs — one pathological LSH bucket. Uncapped expansion
     // would emit C(100,2)=4950 pairs; the cap stars them against the

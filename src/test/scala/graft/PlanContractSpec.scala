@@ -95,6 +95,18 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       s"keepBest canonical selection must be agg+join, found Window:\n$keep")
   }
 
+  test("exact spans: no cartesian, semi-join marking, explicit-width fan-out survives AQE") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.operators.Dedup.exactSpans(docs))
+    assert(!p.contains("CartesianProduct"), s"span marking must never cross-join:\n$p")
+    assert(p.contains("LeftSemi"), s"duplicated-gram marking must be a semi join:\n$p")
+    // The pre-explode repartition must carry an explicit width —
+    // REPARTITION_BY_NUM is exempt from AQE coalescing, REPARTITION_BY_COL
+    // is not (a coalesced text shuffle single-threads the gram fan-out).
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"fan-out repartition must pin its width:\n$p")
+  }
+
   test("native as-of join: merge exec parity with the composed window form") {
     import graft.plans.AsOf
     val clean = graft.operators.Cleaning.cleanEvents(
