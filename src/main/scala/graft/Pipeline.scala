@@ -62,7 +62,10 @@ object Pipeline {
     while (true) {
       try return action
       catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/LinkageError is not retryable JVM state,
+        // and an interrupt must propagate immediately, not sleep through
+        // a backoff schedule.
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt >= maxAttempts) {
             notify("error", s"$label failed after $maxAttempts attempts: ${e.getMessage}")

@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg (local iteration only; the driver passes two):
-    // comma-separated query names — dump only those, but always the full
-    // oracle_sql.json so check_oracle.py sees matching entries.
+    // comma-separated query names — dump only those results AND only
+    // their oracle entries (check_oracle.py iterates oracle_sql.json, so
+    // an unfiltered json would fail on the parquet dirs a filtered run
+    // never wrote).
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

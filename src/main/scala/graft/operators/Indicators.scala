@@ -110,16 +110,30 @@ object Indicators {
                             maxLen: Int = MaxFoldSeriesLen): (DataFrame, Seq[String]) = {
     val others = bars.columns.filter(_ != KeyCol).toSeq
     val ordered = Seq(OrdCol) ++ others.filterNot(_ == OrdCol)
-    val g = bars
-      .groupBy(col(KeyCol))
-      .agg(sort_array(collect_list(struct(ordered.map(col): _*))).as("s"))
-      .withColumn("closes",
-        when(size(col("s")) > maxLen, raise_error(concat(
+    // The guard must fire BEFORE collect_list materializes a key's whole
+    // series — a post-hoc size(s) check would OOM the aggregate first
+    // for a truly tick-grain key. A keyed window count buffers rows in
+    // a spill-safe sorter (never an array) and raises per oversized
+    // key; it evaluates inside the SAME single derivation of `bars`
+    // (an aggregate-plus-join guard would re-derive the whole upstream
+    // bars pipeline a second time — measured 2× on enrichAll queries),
+    // and its hash partitioning on the key is what the groupBy needs,
+    // so guard + collect share one Exchange.
+    val byKeyAll = org.apache.spark.sql.expressions.Window.partitionBy(col(KeyCol))
+    val guarded = bars
+      .withColumn("__n", count(lit(1)).over(byKeyAll))
+      .withColumn("__chk",
+        when(col("__n") > maxLen, raise_error(concat(
           lit(s"Indicators fold: per-key series exceeds maxSeriesLen=$maxLen (n="),
-          size(col("s")).cast("string"),
+          col("__n").cast("string"),
           lit(") — the array fold holds one key's whole series in a task; " +
             "use withEmaStreaming for long series or raise maxSeriesLen"))))
-          .otherwise(expr("transform(s, x -> x.close)")))
+          .otherwise(lit(1)))
+      .filter(col("__chk") === 1).drop("__n", "__chk")
+    val g = guarded
+      .groupBy(col(KeyCol))
+      .agg(sort_array(collect_list(struct(ordered.map(col): _*))).as("s"))
+      .withColumn("closes", expr("transform(s, x -> x.close)"))
     (g, others)
   }
 

@@ -222,6 +222,29 @@ object LlmQueries {
     * [[Dedup.simhashPairsPortable]] by construction (same loops, same
     * constants).
     */
+  /** Shared span-marking CTE chain (dedup_spans / dedup_spans_clean) —
+    * one definition of the 40-char window marking + island merge so the
+    * two oracles cannot drift copy-by-copy (the VecCte/QualitySql rule).
+    */
+  private val SpanCte: String =
+    """WITH gr AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+      |    substr(text, CAST(i AS INT), 40) AS g
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, length(text) - 38)) AS i
+      |        FROM documents WHERE length(text) >= 40)),
+      |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+      |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)),
+      |pr AS (
+      |  SELECT doc_id, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM mk),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM pr)""".stripMargin
+
   private val MinhashSigCols: String = (0 until Dedup.Perms).map(i =>
     s"min((${Dedup.permA(i)} * h + ${Dedup.permB(i)}) % ${Dedup.PermM}) AS mh_$i")
     .mkString(",\n    ")
@@ -589,63 +612,32 @@ object LlmQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_spans" ->
-      """WITH gr AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
-        |    substr(text, CAST(i AS INT), 40) AS g
-        |  FROM (SELECT doc_id, text,
-        |          unnest(range(1, length(text) - 38)) AS i
-        |        FROM documents WHERE length(text) >= 40)),
-        |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
-        |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)),
-        |pr AS (
-        |  SELECT doc_id, pos,
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM mk),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM pr)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
-        |  max(pos) + 40 - min(pos) AS span_len
-        |FROM isl GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin,
+      s"""$SpanCte
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
+         |  max(pos) + 40 - min(pos) AS span_len
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_spans_clean" ->
-      """WITH gr AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
-        |    substr(text, CAST(i AS INT), 40) AS g
-        |  FROM (SELECT doc_id, text,
-        |          unnest(range(1, length(text) - 38)) AS i
-        |        FROM documents WHERE length(text) >= 40)),
-        |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
-        |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)),
-        |pr AS (
-        |  SELECT doc_id, pos,
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM mk),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM pr),
-        |sp AS (
-        |  SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
-        |  FROM isl GROUP BY doc_id, island),
-        |seg AS (
-        |  SELECT doc_id, s, e,
-        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs
-        |  FROM sp)
-        |SELECT d.doc_id,
-        |  concat(
-        |    coalesce(string_agg(substr(d.text, CAST(gs + 1 AS INT),
-        |      CAST(seg.s - gs AS INT)), '' ORDER BY seg.s), ''),
-        |    substr(d.text, CAST(coalesce(max(seg.e), 0) + 1 AS INT))) AS clean_text,
-        |  CAST(count(seg.s) AS BIGINT) AS n_spans,
-        |  CAST(coalesce(sum(seg.e - seg.s), 0) AS BIGINT) AS n_chars_removed
-        |FROM documents d LEFT JOIN seg ON d.doc_id = seg.doc_id
-        |GROUP BY d.doc_id, d.text
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""$SpanCte,
+         |sp AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+         |  FROM isl GROUP BY doc_id, island),
+         |seg AS (
+         |  SELECT doc_id, s, e,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs
+         |  FROM sp)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE concat(
+         |    coalesce(string_agg(substr(d.text, CAST(gs + 1 AS INT),
+         |      CAST(seg.s - gs AS INT)), '' ORDER BY seg.s), ''),
+         |    substr(d.text, CAST(coalesce(max(seg.e), 0) + 1 AS INT))) END
+         |    AS clean_text,
+         |  CAST(count(seg.s) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(sum(seg.e - seg.s), 0) AS BIGINT) AS n_chars_removed
+         |FROM documents d LEFT JOIN seg ON d.doc_id = seg.doc_id
+         |GROUP BY d.doc_id, d.text
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE b AS (

@@ -175,16 +175,22 @@ object MarketQueries {
         |  SELECT univ.entity_id, univ.symbol, univ.exchange, act.liquidity
         |  FROM univ LEFT JOIN act USING (entity_id)),
         |cap AS (SELECT * FROM u WHERE exchange = 'NATION_4'),
+        |nl AS (SELECT count(liquidity) AS n FROM cap),
         |ranked AS (
         |  SELECT *, row_number() OVER (ORDER BY liquidity DESC, symbol) AS rk
-        |  FROM cap WHERE liquidity IS NOT NULL)
+        |  FROM cap WHERE liquidity IS NOT NULL),
+        |fallback AS (
+        |  SELECT *, row_number() OVER (ORDER BY symbol) AS rk FROM cap)
         |SELECT entity_id, symbol, exchange, round(liquidity, 4) AS liquidity
         |FROM (
         |  SELECT entity_id, symbol, exchange, liquidity FROM u
         |  WHERE exchange IN ('NATION_1', 'NATION_2', 'NATION_3')
         |  UNION ALL
         |  SELECT entity_id, symbol, exchange, liquidity FROM ranked
-        |  WHERE rk <= 10)
+        |  WHERE rk <= 10 AND (SELECT n FROM nl) > 0
+        |  UNION ALL
+        |  SELECT entity_id, symbol, exchange, liquidity FROM fallback
+        |  WHERE rk <= 10 AND (SELECT n FROM nl) = 0)
         |ORDER BY exchange, symbol""".stripMargin,
 
     "bars_daily" ->

@@ -106,12 +106,15 @@ object StreamAsOf {
             if (st != null) {
               state.update(st)
               // Timers attach to defined state only (no held row means
-              // nothing to expire). Deadlines must sit beyond the current
-              // watermark; a batch of only-late events would otherwise
-              // set an already-fired timer.
+              // nothing to expire). The deadline anchors on the newest
+              // of: this batch's events, the HELD row (a batch of only
+              // late stragglers must never shorten a deadline the held
+              // row already armed), and the watermark (a deadline at or
+              // below it would have already fired).
               idleTimeout.foreach { d =>
                 state.setTimeoutTimestamp(
-                  math.max(maxMs, state.getCurrentWatermarkMs()) + d.toMillis)
+                  math.max(math.max(maxMs, st.ts),
+                    state.getCurrentWatermarkMs()) + d.toMillis)
               }
             }
             out.result().iterator
