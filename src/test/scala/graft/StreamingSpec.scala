@@ -546,6 +546,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of: a late-only batch never shortens an armed idle deadline") {
+    // Regression pin (round-6 review): the timer re-arm anchored on this
+    // batch's newest event only, so a batch of late stragglers moved an
+    // armed deadline EARLIER and expired fresh state. The deadline must
+    // anchor on the held row too.
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.Tagged
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[Tagged]
+    val query = StreamAsOf.enrich(
+        input.toDS().withWatermark("ts", "10 minutes"),
+        idleTimeout = Some(java.time.Duration.ofMinutes(5)))
+      .writeStream.format("memory").queryName("sasof_anchor").outputMode("append").start()
+    try {
+      // Quote at 10:00 arms key 1's deadline at 10:05.
+      input.addData(Tagged(1L, ts("2024-01-01 10:00:00"), 0, 10.0))
+      query.processAllAvailable()
+      // A LATE trade (9:58, behind the held quote) re-arms the timer.
+      // Anchored on the held row it stays 10:05; anchored on the batch
+      // it would shrink to ~10:03. The trade emits with the 10:00 quote
+      // unmatched for it (correct-or-stale: quote is newer than trade).
+      input.addData(Tagged(1L, ts("2024-01-01 09:58:00"), 1, 100.0))
+      query.processAllAvailable()
+      // Key-2 traffic moves the watermark to 10:04 (10:14 − 10 min):
+      // past a wrongly-shortened deadline, short of the correct 10:05.
+      input.addData(Tagged(2L, ts("2024-01-01 10:14:00"), 0, 99.0))
+      query.processAllAvailable()
+      // A trade just after: the held quote MUST still be there.
+      input.addData(Tagged(1L, ts("2024-01-01 10:04:30"), 1, 500.0))
+      query.processAllAvailable()
+      val out = spark.table("sasof_anchor").collect()
+        .map(r => (r.getAs[Double]("value"),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue)))
+        .sortBy(_._1)
+      assert(out.toSeq == Seq((100.0, None), (500.0, Some(10.0))), out.mkString(", "))
+    } finally query.stop()
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     import spark.implicits._
     val sqlCtx = spark.sqlContext
