@@ -252,12 +252,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // Positions explode first, the gram substring is a codegen'd
     // projection after — a `transform(sequence, i -> substring(text …))`
-    // HOF would build every gram inside an interpreted lambda
-    // re-reading `text` per element (measured 2.3× slower end-to-end).
+    // HOF would build every gram inside an interpreted lambda outside
+    // whole-stage codegen (the expression-hygiene rule at the top of
+    // this file; end-to-end the two measured within noise at sf0.1,
+    // where shuffles dominate — the codegen form is kept for the
+    // CPU-bound regime a wider corpus hits).
     // The pre-explode repartition spreads the ~len× fan-out across the
     // cluster when input splits < cores (one small parquet file read as
     // one partition single-threads the whole gram pipeline — measured
-    // 4× on 32 cores); it shuffles only compact text (1× input bytes),
+    // 2×: 6.2 s → 3.1 s at sf0.1); it shuffles only compact text (1× input bytes),
     // noise next to the ~40×-input gram shuffle that follows. The
     // partition count is EXPLICIT: AQE exempts user repartitions with a
     // fixed width from coalescing — without it the tiny text shuffle
@@ -480,7 +483,8 @@ object Dedup {
     * family is pluggable config, and xxhash64 skips the hex decode).
     * Cost is ONE md5 per posting — the earlier portable form computed
     * `Perms` md5s per posting and ran 3× the xxhash64 family; this one
-    * benches at parity.
+    * benches within ~25% of it (1.7 s vs 1.4 s in-run at sf0.1, the
+    * md5+hex-decode per posting being the remaining gap).
     */
   def minhashPairsPortable(documents: DataFrame, minJaccard: Double = 0.3,
                            maxBucket: Int = 1024): DataFrame = {
