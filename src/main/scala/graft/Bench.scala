@@ -89,12 +89,18 @@ object Bench {
     // Optional name filter (local profiling: `runMain graft.Bench q1,q2`);
     // a filtered run never arms the regression gate.
     val only = args.headOption.map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-        val times = (1 to passes).map(_ => timeOnce(name, fn))
-        name -> (if (times.contains(-1.0)) -1.0 else times.min)
-      }
+    // In a full run the 60+ earlier queries amortize JVM/codegen warmup;
+    // a filtered run has no such cushion and its first timed pass reads
+    // 1.5–2× hot (observed repeatedly) — warm each selected query once
+    // untimed so solo numbers are comparable to in-run ones.
+    if (only.isDefined) selected.foreach { case (name, fn) => timeOnce(name, fn) }
+    failures = 0
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to passes).map(_ => timeOnce(name, fn))
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    }
     val baseline = loadBaseline()
     // Run-wide drift: median of time/baseline over baselined queries,
     // clamped to ≥1 (a fast environment never tightens the gate). Printed
