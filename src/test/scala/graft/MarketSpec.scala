@@ -186,6 +186,33 @@ class MarketSpec extends AnyFunSuite with SparkSpec {
     assert(a((3L, d("2024-03-03"))).isNullAt(a((3L, d("2024-03-03"))).fieldIndex("ema_3")))
   }
 
+  test("streaming EMA matches the array fold on the real bar pipeline") {
+    // The fixture test proves bit-equality on hand data; this one runs
+    // both folds over the actual cleaned-events bar pipeline (150 keys,
+    // multi-partition), where the repartition + sortWithinPartitions
+    // path actually crosses partition boundaries.
+    val bars = operators.Bars.daily(operators.Cleaning.cleanEvents(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+    val spans = Seq(5, 12)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("user_id"), r.getAs[Date]("date"))
+    val a = Indicators.withEma(bars, spans).collect().map(r => key(r) -> r).toMap
+    val b = Indicators.withEmaStreaming(bars, spans).collect()
+    assert(b.nonEmpty && b.length == a.size)
+    b.foreach { r =>
+      val exp = a(key(r))
+      spans.foreach { sp =>
+        val c = s"ema_$sp"
+        val (en, bn) = (exp.isNullAt(exp.fieldIndex(c)), r.isNullAt(r.fieldIndex(c)))
+        assert(en == bn, s"$c null mismatch at ${key(r)}")
+        if (!en) assert(
+          java.lang.Double.doubleToLongBits(exp.getAs[Double](c)) ==
+            java.lang.Double.doubleToLongBits(r.getAs[Double](c)),
+          s"$c not bit-equal at ${key(r)}")
+      }
+    }
+  }
+
   test("array-fold EMA raises past the series-length ceiling") {
     val long = barsOf((1 to 10).map(_.toDouble))
     val e = intercept[Exception] {

@@ -107,6 +107,18 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       s"fan-out repartition must pin its width:\n$p")
   }
 
+  test("exchange cap: windowless top-k, broadcast liquidity decision, no cartesian") {
+    val universe = Seq((1L, "AAA", "HOSE"), (3L, "UP1", "UPCOM"), (4L, "UP2", "UPCOM"))
+      .toDF("entity_id", "symbol", "exchange")
+    val activity = Seq((3L, 5.0), (4L, 7.0)).toDF("entity_id", "liquidity")
+    val p = plan(graft.operators.Scope.capExchangeByLiquidity(
+      universe, activity, primary = Seq("HOSE"), capped = "UPCOM", capN = 1))
+    assert(!p.contains("Window"), s"cap must rank windowless:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row liquidity decision must broadcast, not cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+  }
+
   test("native as-of join: merge exec parity with the composed window form") {
     import graft.plans.AsOf
     val clean = graft.operators.Cleaning.cleanEvents(
