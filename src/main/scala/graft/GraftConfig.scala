@@ -67,13 +67,23 @@ object GraftConfig {
   def envOverrides(env: Map[String, String]): Cfg =
     env.collect { case (k, v) if k.startsWith("GRAFT_") && k.length > 6 =>
       k.drop(6).toLowerCase.split("_", 2).toSeq -> v
-    }.foldLeft(Map.empty: Cfg) {
-      case (acc, (Seq(section, key), v)) =>
-        val cur = acc.getOrElse(section, Map.empty: Cfg).asInstanceOf[Cfg]
-        acc + (section -> (cur + (key -> parseScalar(v))))
-      case (acc, (Seq(key), v)) => acc + (key -> parseScalar(v))
-      case (acc, _) => acc
-    }
+    }.toSeq
+      // Deterministic fold order (env maps hash-iterate), and scalars
+      // before sections: when GRAFT_LOG and GRAFT_LOG_LEVEL both exist,
+      // the section deterministically wins the `log` slot — an unsorted
+      // fold either threw a ClassCastException or silently dropped one
+      // of the two depending on iteration order.
+      .sortBy { case (path, _) => (path.length, path.mkString(".")) }
+      .foldLeft(Map.empty: Cfg) {
+        case (acc, (Seq(section, key), v)) =>
+          val cur = acc.get(section) match {
+            case Some(m: Map[_, _]) => m.asInstanceOf[Cfg]
+            case _ => Map.empty: Cfg // scalar under the same name: section wins
+          }
+          acc + (section -> (cur + (key -> parseScalar(v))))
+        case (acc, (Seq(key), v)) => acc + (key -> parseScalar(v))
+        case (acc, _) => acc
+      }
 
   private def parseScalar(v: String): Any =
     if (v.contains(',')) v.split(',').map(_.trim).filter(_.nonEmpty).toList
@@ -149,7 +159,10 @@ object ScreenConfig {
   def from(cfg: GraftConfig.Cfg): ScreenConfig = ScreenConfig(
     maPeriod = GraftConfig.getInt(cfg, "screener.ma_period", 10),
     volPeriod = GraftConfig.getInt(cfg, "screener.vol_period", 10),
-    volumeMult = GraftConfig.getDouble(cfg, "screener.volume_mult", 1.5),
+    // 1.2 = Screener.breakouts' own default (corpus-scaled, like every
+    // operator default here); the reference's 1.5 is a config value —
+    // set screener.volume_mult to restore it.
+    volumeMult = GraftConfig.getDouble(cfg, "screener.volume_mult", 1.2),
     srWindow = GraftConfig.getInt(cfg, "screener.sr_window", 10),
     maFast = GraftConfig.getInt(cfg, "screener.ma_fast", 10),
     maSlow = GraftConfig.getInt(cfg, "screener.ma_slow", 20),

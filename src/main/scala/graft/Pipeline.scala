@@ -14,9 +14,11 @@ import graft.sources.Tables
   * retries), which is the isolation model that actually survives a
   * 1000-executor run.
   *
-  * Every stage below derives from the single cleaned feed; Spark reuses
-  * the shared lineage per action, and at production scale the natural
-  * cut points (bars, enriched) are checkpoint/bucketed-table candidates
+  * Every stage below derives from the single cleaned feed; [[runDaily]]
+  * persists the two shared cut points (bars, enriched) for the span of
+  * the run — each output is its own Spark action, and without the cut
+  * every one would re-derive the feed→clean→bars lineage. At production
+  * scale the same cut points are checkpoint/bucketed-table candidates
   * (`Export.bucketedTable`).
   */
 object Pipeline {
@@ -117,10 +119,14 @@ object Pipeline {
   def runWeekly(spark: SparkSession, dir: String, outDir: String,
                 yearWeek: String): String = {
     val bars = Bars.daily(Cleaning.cleanEvents(Tables.events(spark, dir)))
+    // Two actions (write + the markdown collect) — cut once.
     val perf = Report.weeklyPerformance(bars)
-    Export.parquet(perf, s"${Export.snapshotPath(outDir, yearWeek)}/weekly",
-      maxFiles = 1)
-    Report.weeklyMarkdown(perf, yearWeek)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Export.parquet(perf, s"${Export.snapshotPath(outDir, yearWeek)}/weekly",
+        maxFiles = 1)
+      Report.weeklyMarkdown(perf, yearWeek)
+    } finally perf.unpersist()
   }
 
   /** Run the daily snapshot: parquet every output under
@@ -130,23 +136,34 @@ object Pipeline {
                notify: Notifier = Notify.log, retryAttempts: Int = 3): String =
     try {
       val o = build(spark, dir)
-      val base = Export.snapshotPath(outDir, stamp)
-      // Per-stage retry (reference daily loop + _run_with_retries):
-      // every export is an Overwrite write, so a retry is idempotent.
-      def stage(name: String)(a: => Unit): Unit =
-        withRetries(s"daily/$name", maxAttempts = retryAttempts, notify = notify)(a)
-      stage("bars")(Export.parquet(o.bars, s"$base/bars", partitionCols = Seq("date")))
-      stage("indicators")(Export.parquet(o.enriched, s"$base/indicators"))
-      stage("breadth")(Export.parquet(o.breadth, s"$base/breadth"))
-      stage("health")(Export.parquet(o.health, s"$base/health", maxFiles = 1))
-      stage("movers")(Export.parquet(o.movers, s"$base/movers", maxFiles = 1))
-      stage("signals")(Export.parquet(o.signals, s"$base/signals"))
-      stage("breakouts")(Export.parquet(o.breakouts, s"$base/breakouts"))
-      val md = Report.dailyMarkdown(
-        Breadth.marketSummary(o.breadth, o.bars), o.movers,
-        Breadth.marketRegime(o.breadth))
-      notify("info", s"daily snapshot $stamp complete: $base")
-      md
+      // The run fires ~10 actions (7 exports + the report's collects);
+      // without a cut each one re-derives the raw feed → clean → bars
+      // (→ indicators) lineage from scratch. Persist the two frames
+      // every downstream output branches from — the same caller-owned
+      // cut CorpusPipeline.curate uses — and release them on exit.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      o.bars.persist(lvl); o.enriched.persist(lvl)
+      try {
+        val base = Export.snapshotPath(outDir, stamp)
+        // Per-stage retry (reference daily loop + _run_with_retries):
+        // every export is an Overwrite write, so a retry is idempotent.
+        def stage(name: String)(a: => Unit): Unit =
+          withRetries(s"daily/$name", maxAttempts = retryAttempts, notify = notify)(a)
+        stage("bars")(Export.parquet(o.bars, s"$base/bars", partitionCols = Seq("date")))
+        stage("indicators")(Export.parquet(o.enriched, s"$base/indicators"))
+        stage("breadth")(Export.parquet(o.breadth, s"$base/breadth"))
+        stage("health")(Export.parquet(o.health, s"$base/health", maxFiles = 1))
+        stage("movers")(Export.parquet(o.movers, s"$base/movers", maxFiles = 1))
+        stage("signals")(Export.parquet(o.signals, s"$base/signals"))
+        stage("breakouts")(Export.parquet(o.breakouts, s"$base/breakouts"))
+        val md = Report.dailyMarkdown(
+          Breadth.marketSummary(o.breadth, o.bars), o.movers,
+          Breadth.marketRegime(o.breadth))
+        notify("info", s"daily snapshot $stamp complete: $base")
+        md
+      } finally {
+        o.bars.unpersist(); o.enriched.unpersist()
+      }
     } catch {
       case e: Throwable =>
         notify("error", s"daily snapshot $stamp failed: ${e.getMessage}")

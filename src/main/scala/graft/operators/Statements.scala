@@ -135,13 +135,20 @@ object Statements {
   def financialReport(customer: DataFrame, orders: DataFrame,
                       lineitem: DataFrame, reportType: String = "income_statement",
                       period: String = "quarterly",
-                      latestOnly: Boolean = false): DataFrame =
+                      latestOnly: Boolean = false,
+                      notify: graft.Pipeline.Notifier = graft.Pipeline.Notify.log): DataFrame =
     reportType.trim.toLowerCase match {
       case "balance" | "balance_sheet" | "bs" =>
         balanceSheet(customer, orders, period, latestOnly)
       case "cash_flow" | "cashflow" | "cf" =>
         cashFlow(orders, period, latestOnly)
-      case _ =>
+      case "income" | "income_statement" | "is" =>
+        incomeStatement(orders, lineitem, period, latestOnly)
+      case other =>
+        // The reference logs a warning before this fallback — a typo'd
+        // reportType must not silently ship the wrong statement.
+        notify("warning",
+          s"financialReport: unrecognized reportType '$other' — falling back to income_statement")
         incomeStatement(orders, lineitem, period, latestOnly)
     }
 

@@ -74,13 +74,17 @@ object Export {
     * column's type IS reported, that's exactly the silent corruption
     * this catches), no extra columns appear, and row counts match.
     * For JSON (the jsonl shard format) types are lossy by design, so
-    * only column presence and row count are checked. Returns a report
-    * rather than throwing — a daily pipeline wants to notify-and-
-    * continue per stage ([[graft.Pipeline.withRetries]] wraps the
-    * write; this validates it landed whole).
+    * only column presence and row count are checked. A write that ADDS
+    * columns the source lacks — [[jsonlShards]]' `shard_id` partition
+    * column — declares them via `addedCols` so they don't read as
+    * corruption. Returns a report rather than throwing — a daily
+    * pipeline wants to notify-and-continue per stage
+    * ([[graft.Pipeline.withRetries]] wraps the write; this validates
+    * it landed whole).
     */
   def validateRoundTrip(spark: SparkSession, source: DataFrame, path: String,
-                        format: String = "parquet"): RoundTrip = {
+                        format: String = "parquet",
+                        addedCols: Set[String] = Set.empty): RoundTrip = {
     val back = format match {
       case "parquet" => spark.read.parquet(path)
       case "json" => spark.read.json(path)
@@ -92,7 +96,8 @@ object Export {
     val typed = format == "parquet"
     val issues =
       (src.keySet -- dst.keySet).toSeq.sorted.map(c => s"missing column: $c") ++
-      (dst.keySet -- src.keySet).toSeq.sorted.map(c => s"unexpected column: $c") ++
+      (dst.keySet -- src.keySet -- addedCols).toSeq.sorted
+        .map(c => s"unexpected column: $c") ++
       (if (typed)
         (src.keySet & dst.keySet).toSeq.sorted.collect {
           case c if src(c) != dst(c) =>

@@ -101,7 +101,11 @@ object Report {
     sb.append(s"# Weekly Summary ($yearWeek)\n\n")
     sb.append("## Weekly Performance\n\n").append(table(rows)).append("\n\n")
     sb.append("## Top Performers\n\n").append(table(rows.take(5))).append("\n\n")
-    sb.append("## Underperformers\n\n").append(table(rows.reverse.take(5))).append("\n")
+    // Reverse only the RANKED rows: nulls sort last, so a blind
+    // rows.reverse would list n/a users as the "worst performers" and
+    // push genuine losers out of the table.
+    val ranked = rows.filter(_.getAs[Any]("weekly_return_pct") != null)
+    sb.append("## Underperformers\n\n").append(table(ranked.reverse.take(5))).append("\n")
     sb.toString
   }
 

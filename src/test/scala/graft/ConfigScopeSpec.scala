@@ -40,6 +40,13 @@ class ConfigScopeSpec extends AnyFunSuite with SparkSpec {
     // non-overridden siblings survive the merge
     assert(GraftConfig.getInt(cfg, "screener.ma_fast", 0) == 5)
     assert(GraftConfig.getStrings(cfg, "curate.langs", Nil) == Seq("en", "de"))
+    // A scalar and a section under the same name: the section wins
+    // deterministically (an order-dependent fold threw or dropped one).
+    val clash = GraftConfig.envOverrides(
+      Map("GRAFT_LOG" -> "debug", "GRAFT_LOG_LEVEL" -> "info"))
+    assert(GraftConfig.get(clash, "log.level").contains("info"))
+    // Empty config is a no-op: typed views carry the OPERATORS' defaults.
+    assert(ScreenConfig.from(Map.empty).volumeMult == 1.2)
   }
 
   test("config: validation lists every missing key at once") {

@@ -78,14 +78,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(bad.issues.exists(_.contains("unexpected column: close")))
     assert(bad.issues.exists(_.startsWith("type changed: user_id")))
     assert(bad.issues.exists(_.startsWith("row count:")))
-    // jsonl: presence + row count (types are lossy by format design)
-    Export.jsonlShards(
-      (1L to 4L).map(i => (i, "w w w", "en", "s", 5L))
-        .toDF("doc_id", "text", "lang", "source", "n_chars"),
-      s"$dir/corpus", budgetTokens = 5L)
-    val js = Export.validateRoundTrip(spark,
-      spark.read.json(s"$dir/corpus"), s"$dir/corpus", format = "json")
+    // jsonl: presence + row count (types are lossy by format design),
+    // validated against the SOURCE frame — the shard_id the write adds
+    // is declared, a truly unexpected column still fails.
+    val docs = (1L to 4L).map(i => (i, "w w w", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Export.jsonlShards(docs, s"$dir/corpus", budgetTokens = 5L)
+    val js = Export.validateRoundTrip(spark, docs, s"$dir/corpus",
+      format = "json", addedCols = Set("shard_id"))
     assert(js.ok && js.readRows == 4, js.issues.mkString("; "))
+    val undeclared = Export.validateRoundTrip(spark, docs, s"$dir/corpus", format = "json")
+    assert(!undeclared.ok &&
+      undeclared.issues.exists(_.contains("unexpected column: shard_id")))
   }
 
   test("pipeline: retries back off exponentially, then exhaust and rethrow") {
@@ -217,6 +221,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(md.contains("## Weekly Performance"))
     assert(md.contains("## Top Performers") && md.contains("## Underperformers"))
     assert(md.contains("| 1 | 30.00 | 13.00 |"))
+    // A null-return user (0.0 start close) must not displace the real
+    // worst performer from Underperformers.
+    val withNull = bars.union(Seq(
+      (4L, d("2024-01-05"), 0.0), (4L, d("2024-01-06"), 7.0))
+      .toDF("user_id", "date", "close"))
+    val md2 = Report.weeklyMarkdown(Report.weeklyPerformance(withNull), "2024-W01")
+    val under = md2.split("## Underperformers")(1)
+    assert(under.contains("| 2 | -10.00 |"), under)
+    assert(!under.contains("| 4 |"), s"null-return user listed as underperformer:\n$under")
   }
 
   test("report: per-symbol technical report with risk assessment") {
