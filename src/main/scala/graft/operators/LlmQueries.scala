@@ -142,6 +142,40 @@ object LlmQueries {
         .withColumn("avg_words", round(col("avg_words"), 6))
         .orderBy(col("lang"))),
 
+    // The synthetic corpus carries no digits/emails, so the scrub query
+    // plants deterministic PII (doc_id-derived email / IPv4 / account
+    // number / phone) the oracle rebuilds verbatim — the cross-engine
+    // check then exercises real extraction + redaction, not a no-op.
+    "pii_scrub" -> ((s, d) => {
+      val aug = docs(s, d).withColumn("text", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        pmod(col("doc_id"), lit(200L)).cast("string"), lit(".0.7 acct 9"),
+        lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 9, "0"),
+        lit(" tel +1 (555) 01"),
+        lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0")))
+      TextAnalysis.piiScrub(aug).orderBy(col("doc_id"))
+    }),
+
+    // Corpus-specific terms (the default list models NSFW filters and
+    // matches nothing synthetic); 0.05 splits the corpus ~170 keep /
+    // ~330 drop at sf0.01 so both outcomes are exercised.
+    "blocklist_filter" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(docs(s, d), Seq("slow", "merge"), maxRatio = 0.05)
+        .orderBy(col("doc_id"))),
+
+    // Seen corpus = src0–src4; the canonical bag-of-words key makes the
+    // check non-trivial (35 of 375 incoming docs collide at sf0.01 —
+    // no verbatim text repeats across sources, by construction).
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.incrementalNew(docs(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .orderBy(col("doc_id"))),
+
+    "length_profile" -> ((s, d) =>
+      TextAnalysis.lengthProfile(docs(s, d)).orderBy(col("lang"))),
+
     // The composed curation DAG with the oracle-friendly pair emitter
     // (ngram Jaccard; the minhash default is seeded-hash → rows-only).
     // The split column is deterministic engine-side hashing — excluded
@@ -882,5 +916,84 @@ object LlmQueries {
          |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
          |WHERE drops.doc_id IS NULL
          |ORDER BY ex.doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat(text,
+        |    ' contact user', CAST(doc_id AS VARCHAR),
+        |    '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
+        |    '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),
+        |    ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS t0
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM aug),
+        |s2 AS (
+        |  SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |    regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, n_email, n_ip,
+        |    CAST(len(regexp_extract_all(t2, '\b[0-9]{9,}\b')) AS INT) AS n_id,
+        |    regexp_replace(t2, '\b[0-9]{9,}\b', '<ID>', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT doc_id, n_email, n_ip, n_id,
+        |    CAST(len(regexp_extract_all(t3, '\+?[0-9][0-9() .-]{6,}[0-9]')) AS INT) AS n_phone,
+        |    regexp_replace(t3, '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+        |  FROM s3)
+        |SELECT doc_id, n_email, n_ip, n_id, n_phone,
+        |  n_email + n_ip + n_id + n_phone AS n_pii, clean_text
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    "blocklist_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> list_contains(['slow', 'merge'], x))) AS BIGINT) AS n_blocked
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_blocked,
+        |  round(CAST(n_blocked AS DOUBLE) / nullif(CAST(n_tokens AS DOUBLE), 0.0), 6) AS blocked_ratio,
+        |  CAST(n_tokens = 0 OR CAST(n_blocked AS DOUBLE) <= CAST(n_tokens AS DOUBLE) * 0.05 AS INT) AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH canon AS (
+        |  SELECT doc_id, source, lang,
+        |    array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))), ' ') AS ck
+        |  FROM documents),
+        |seen AS (
+        |  SELECT DISTINCT ck FROM canon
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
+        |SELECT c.doc_id, c.source, c.lang,
+        |  CASE WHEN s.ck IS NULL THEN 0 ELSE 1 END AS is_dup,
+        |  CASE WHEN s.ck IS NULL THEN 1 ELSE 0 END AS is_new
+        |FROM canon c LEFT JOIN seen s USING (ck)
+        |WHERE c.source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "length_profile" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w,
+        |    length(text) AS c
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(min(w) AS INT) AS min_words,
+        |  round(quantile_cont(w, 0.25), 6) AS p25_words,
+        |  round(quantile_cont(w, 0.5), 6) AS p50_words,
+        |  round(quantile_cont(w, 0.75), 6) AS p75_words,
+        |  round(quantile_cont(w, 0.9), 6) AS p90_words,
+        |  CAST(max(w) AS INT) AS max_words,
+        |  round(avg(w), 6) AS avg_words,
+        |  round(quantile_cont(c, 0.5), 6) AS p50_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

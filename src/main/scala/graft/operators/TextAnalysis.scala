@@ -252,6 +252,169 @@ object TextAnalysis {
         avg(col("__words")).as("avg_words"),
         countDistinct(col("source")).as("n_sources"))
 
+  /** PII patterns applied in order by [[piiScrub]] — each is (name,
+    * regex, replacement). The regexes stay inside the Java∩RE2 syntax
+    * subset (character classes, bounded repeats, `\b`) so a SQL engine
+    * can replay them verbatim. Order matters: IP before the long-digit
+    * ID rule before phone, so a dotted quad is never half-eaten by the
+    * looser digit-run patterns (replacement tokens carry no digits, so
+    * later stages never re-match redacted spans).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("id", "\\b[0-9]{9,}\\b", "<ID>"),
+    ("phone", "\\+?[0-9][0-9() .-]{6,}[0-9]", "<PHONE>"))
+
+  /** #47h pii_scrub: PII redaction — the privacy pass every
+    * training-data release runs before export. Patterns apply
+    * sequentially; each stage counts its matches on the
+    * previous stage's text (so a span redacted by an earlier, more
+    * specific rule is never double-counted by a looser one) and
+    * replaces them with a digit-free token. Output keeps the fully
+    * redacted text plus per-category counts and the total.
+    *
+    * Scale shape: embarrassingly parallel — one projection of chained
+    * `regexp_replace`/`regexp_extract_all` per document, no shuffle, no
+    * UDF; stays inside whole-stage codegen. Catalyst's projection
+    * collapse inlines the stage chain, so each count re-derives the
+    * replace prefix (≈11 linear regex passes vs the 8 a hand-fused
+    * operator would do) — linear per document either way, and the
+    * pruned-scan + single-stage plan is worth more at 100 TB than the
+    * constant factor.
+    */
+  def piiScrub(documents: DataFrame, textCol: String = "text",
+               patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
+    val start = documents.withColumn("__t0", col(textCol))
+    val (staged, lastCol) = patterns.zipWithIndex.foldLeft((start, "__t0")) {
+      case ((d, cur), ((name, pat, repl), i)) =>
+        val next = s"__t${i + 1}"
+        (d.withColumn(s"n_$name", size(regexp_extract_all(col(cur), lit(pat), lit(0))))
+          .withColumn(next, regexp_replace(col(cur), pat, repl)), next)
+    }
+    val countCols = patterns.map { case (n, _, _) => col(s"n_$n") }
+    staged.select(
+      col("doc_id") +: countCols :+
+        countCols.reduce(_ + _).as("n_pii") :+
+        col(lastCol).as("clean_text"): _*)
+  }
+
+  /** Default blocklist — stand-ins for the NSFW/unsafe wordlists real
+    * curation pipelines filter on (the synthetic corpus contains none
+    * of these; tests pass corpus-specific terms explicitly).
+    */
+  val DefaultBlocklist: Seq[String] = Seq("spam", "casino", "viagra", "xxx")
+
+  /** #47i blocklist_filter: banned-term filtering — per document, how
+    * many tokens hit a blocklist, the blocked share, and a keep/drop
+    * decision (`keep` = blocked share ≤ `maxRatio`; empty docs keep).
+    * The list folds into an `isin` predicate inside one array-filter
+    * projection — codegen'd, zero shuffle, the right shape for the
+    * O(100)-term curated lists this models. For vocabulary-scale lists
+    * (LHS millions of terms) use [[blocklistFilterJoined]]: `isin`
+    * compiles a linear scan per token, a broadcast join hashes.
+    */
+  def blocklistFilter(documents: DataFrame, terms: Seq[String] = DefaultBlocklist,
+                      maxRatio: Double = 0.05): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    documents
+      .select(col("doc_id"),
+        filter(Dedup.tokens(col("text")), t => t =!= "").as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        size(filter(col("__toks"), t => t.isin(terms: _*))).cast("bigint").as("n_blocked"))
+      .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+        round(col("n_blocked").cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)), 6).as("blocked_ratio"),
+        (col("n_tokens") === 0 ||
+          col("n_blocked").cast("double") <= col("n_tokens").cast("double") * maxRatio)
+          .cast("int").as("keep"))
+  }
+
+  /** Large-blocklist twin of [[blocklistFilter]]: explode tokens, LEFT
+    * broadcast-join the term table, one map-side-combinable per-doc
+    * aggregate — hash probes instead of a per-token linear `isin` scan.
+    * Spec-asserted row-equal to the array form on the same terms.
+    */
+  def blocklistFilterJoined(documents: DataFrame, terms: DataFrame,
+                            maxRatio: Double = 0.05): DataFrame = {
+    val marked = documents
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(terms.select(col("term").as("token"),
+        lit(1L).as("__hit"))), Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(coalesce(col("__hit"), lit(0L))).as("n_blocked"))
+    documents.select(col("doc_id"))
+      .join(marked, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"))
+      .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+        round(col("n_blocked").cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)), 6).as("blocked_ratio"),
+        (col("n_tokens") === 0 ||
+          col("n_blocked").cast("double") <= col("n_tokens").cast("double") * maxRatio)
+          .cast("int").as("keep"))
+  }
+
+  /** #47j length_profile: per-stratum document-length distribution —
+    * the corpus-profiling table (min/quantiles/max of words and the
+    * median char length) published beside every snapshot to catch
+    * truncation bugs and length-filter drift.
+    *
+    * Quantiles here are EXACT (`percentile`): Spark's exact percentile
+    * aggregates a value→count map, so memory tracks the DISTINCT value
+    * domain — document lengths are small bounded integers, so the map
+    * stays tiny even over 100 TB of rows, and exactness buys a
+    * cross-engine oracle (`quantile_cont` interpolates identically).
+    * For unbounded or continuous domains use [[lengthProfileApprox]]
+    * (t-digest sketch, fixed memory, no exactness guarantee).
+    */
+  def lengthProfile(documents: DataFrame, stratumCol: String = "lang"): DataFrame = {
+    val pcts = array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))
+    documents
+      .select(col(stratumCol),
+        size(filter(Dedup.tokens(col("text")), t => t =!= "")).as("__w"),
+        length(col("text")).as("__c"))
+      .groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("__w")).as("min_words"),
+        percentile(col("__w"), pcts).as("__wq"),
+        max(col("__w")).as("max_words"),
+        percentile(col("__c"), lit(0.5)).as("__cmed"),
+        round(avg(col("__w")), 6).as("avg_words"))
+      .select(col(stratumCol), col("n_docs"), col("min_words"),
+        round(element_at(col("__wq"), 1), 6).as("p25_words"),
+        round(element_at(col("__wq"), 2), 6).as("p50_words"),
+        round(element_at(col("__wq"), 3), 6).as("p75_words"),
+        round(element_at(col("__wq"), 4), 6).as("p90_words"),
+        col("max_words"), col("avg_words"),
+        round(col("__cmed"), 6).as("p50_chars"))
+  }
+
+  /** Sketch-based twin of [[lengthProfile]] for unbounded value
+    * domains: `percentile_approx` keeps a fixed-size sketch per group
+    * instead of the exact value→count map. Not oracle-comparable
+    * across engines (sketch merge order differs) — spec-checked against
+    * the exact form within tolerance instead.
+    */
+  def lengthProfileApprox(documents: DataFrame, stratumCol: String = "lang",
+                          accuracy: Int = 10000): DataFrame =
+    documents
+      .select(col(stratumCol),
+        size(filter(Dedup.tokens(col("text")), t => t =!= "")).as("__w"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("__w"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)),
+          lit(accuracy)).as("__wq"))
+      .select(col(stratumCol), col("n_docs"),
+        element_at(col("__wq"), 1).as("p25_words"),
+        element_at(col("__wq"), 2).as("p50_words"),
+        element_at(col("__wq"), 3).as("p75_words"),
+        element_at(col("__wq"), 4).as("p90_words"))
+
   /** #47 doc_fingerprint: polynomial rolling hash over word tokens —
     * term(w) = 131·len(w) + code(first char), fingerprint = left fold
     * h ← (31·h + term) mod 1e9+7. Bounded intermediates (< 2⁶³), engine-

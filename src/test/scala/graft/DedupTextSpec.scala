@@ -643,4 +643,86 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       math.min(1.0, 0.5 * 5) * 0.3
     assert(math.abs(out.getAs[Double]("quality_score") - expected) < 1e-6)
   }
+
+  test("pii scrub: redacts email, ip, id, phone in order; counts per stage") {
+    val out = TextAnalysis.piiScrub(docs(
+      1L -> "mail a.b+c@x-corp.co.uk or b@y.io from 192.168.0.1 acct 12345678901 tel +84 (28) 3822-9999",
+      2L -> "clean text with no pii at all",
+      3L -> "short run 1234567 is neither id nor phone")).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_email") == 2 && r1.getAs[Int]("n_ip") == 1)
+    assert(r1.getAs[Int]("n_id") == 1 && r1.getAs[Int]("n_phone") == 1)
+    assert(r1.getAs[Int]("n_pii") == 5)
+    assert(r1.getAs[String]("clean_text") ==
+      "mail <EMAIL> or <EMAIL> from <IP> acct <ID> tel <PHONE>")
+    // A clean document passes through byte-identical with zero counts.
+    assert(out(1).getAs[Int]("n_pii") == 0)
+    assert(out(1).getAs[String]("clean_text") == "clean text with no pii at all")
+    // 7 digits: too short for the id rule (9+) and the phone rule (8+ chars).
+    assert(out(2).getAs[Int]("n_pii") == 0)
+  }
+
+  test("pii scrub: ip wins over the digit-run rules; redacted spans never re-match") {
+    val out = TextAnalysis.piiScrub(docs(1L -> "host 10.20.30.40 then 999888777666"))
+      .collect().head
+    assert(out.getAs[Int]("n_ip") == 1 && out.getAs[Int]("n_id") == 1)
+    assert(out.getAs[Int]("n_phone") == 0, "tokens <IP>/<ID> must not re-match as phone")
+    assert(out.getAs[String]("clean_text") == "host <IP> then <ID>")
+  }
+
+  test("blocklist filter: counts, ratio and keep threshold; joined twin agrees") {
+    val d = docs(
+      1L -> "good words only here yes",                   // 0/5 → keep
+      2L -> "bad bad good good good good good good good", // 2/9 > 0.15 → drop
+      3L -> "bad good good good good good good")          // 1/7 ≤ 0.15 → keep
+    val arr = TextAnalysis.blocklistFilter(d, Seq("bad", "evil"), maxRatio = 0.15)
+      .orderBy("doc_id").collect()
+    assert(arr.map(_.getAs[Long]("n_blocked")).toSeq == Seq(0L, 2L, 1L))
+    assert(arr.map(_.getAs[Int]("keep")).toSeq == Seq(1, 0, 1))
+    val joined = TextAnalysis.blocklistFilterJoined(d,
+      Seq("bad", "evil").toDF("term"), maxRatio = 0.15)
+      .orderBy("doc_id").collect()
+    assert(joined.map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_blocked"),
+      r.getAs[Int]("keep"))).toSeq ==
+      arr.map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_blocked"),
+        r.getAs[Int]("keep"))).toSeq)
+  }
+
+  test("incremental dedup: canonical key collapses order/dup/case; bloom twin agrees") {
+    val d = Seq(
+      (1L, "Alpha beta GAMMA", "en", "seen", 16L),
+      (2L, "delta epsilon", "en", "seen", 13L),
+      (10L, "gamma beta alpha alpha", "en", "new", 22L), // reordered+repeated → dup of 1
+      (11L, "delta zeta", "en", "new", 10L),             // novel
+      (12L, "Delta Epsilon", "en", "new", 13L))          // case variant → dup of 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val seen = org.apache.spark.sql.functions.col("source") === "seen"
+    val exact = Dedup.incrementalNew(d, seen).orderBy("doc_id").collect()
+    assert(exact.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L, 12L))
+    assert(exact.map(_.getAs[Int]("is_new")).toSeq == Seq(0, 1, 0))
+    // The bloom pre-filtered path returns exactly the same rows: misses
+    // are definite-new (no false negatives), hits are join-confirmed.
+    val bloom = Dedup.incrementalNewBloom(d, seen, expectedItems = 100L)
+      .orderBy("doc_id").collect()
+    assert(bloom.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("is_dup"),
+      r.getAs[Int]("is_new"))).toSeq ==
+      exact.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("is_dup"),
+        r.getAs[Int]("is_new"))).toSeq)
+  }
+
+  test("length profile: exact quantiles on a hand-checked stratum") {
+    // Word counts 1..4 in one stratum: p25 = 1.75, p50 = 2.5, p75 = 3.25,
+    // p90 = 3.7 under the (n-1)p linear interpolation both engines use.
+    val d = docs(1L -> "a", 2L -> "a b", 3L -> "a b c", 4L -> "a b c d")
+    val r = TextAnalysis.lengthProfile(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Int]("min_words") == 1 && r.getAs[Int]("max_words") == 4)
+    assert(r.getAs[Double]("p25_words") == 1.75)
+    assert(r.getAs[Double]("p50_words") == 2.5)
+    assert(r.getAs[Double]("p75_words") == 3.25)
+    assert(r.getAs[Double]("p90_words") == 3.7)
+    // The sketch twin agrees within its accuracy envelope on small data.
+    val a = TextAnalysis.lengthProfileApprox(d).collect().head
+    assert(math.abs(a.getAs[Int]("p50_words") - 2.5) <= 1.0)
+  }
 }
