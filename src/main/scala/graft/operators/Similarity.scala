@@ -275,6 +275,195 @@ object Similarity {
     ivfSearch(e, cents, nProbe, nQueries, k)
   }
 
+  /** #43c ann_pq_topk: product-quantization ANN (ADC — asymmetric
+    * distance computation; Jégou et al. 2011, the FAISS IndexPQ shape).
+    * THE memory-scale path of the ANN family: each corpus vector is
+    * stored as `m` sub-space code bytes instead of 4·dim float bytes
+    * (64-dim float32 = 256 B → 8 B at m=8: 32×), so a 100 TB embedding
+    * corpus scans as ~3 TB of codes — the difference between an
+    * in-memory index and re-reading parquet per query batch.
+    *
+    * Build: vectors are unit-normalized, each of the `m` sub-vectors is
+    * quantized to its nearest of `ksub` codebook entries — the codebook
+    * is a driver-known model artifact (tiny by contract), so encoding
+    * is a literal-struct `array_min` projection over the corpus scan:
+    * zero Exchange, no UDF. Search: each query precomputes its
+    * ksub×m distance lookup table ONCE (on its own row); candidate
+    * scoring is then `m` array lookups + adds per pair — never a
+    * dot product against the corpus — and approximate cosine is
+    * 1 − d²/2 on the unit sphere. Ranking is two bounded stages:
+    * ADC top-(k·refine) via the map-side-truncating [[TopK]] aggregate,
+    * then an exact-cosine re-rank that reads full vectors for ONLY the
+    * k·refine·nQueries survivors (the FAISS refine stage) — the full
+    * corpus never ships float vectors anywhere.
+    *
+    * [[pqTopK]] fits the codebook with per-subspace Lloyd iterations on
+    * a driver-collected sample (at 100 TB a quantizer trains on a
+    * bounded sample and assigns everything — the fit input never scales
+    * with the corpus); [[pqTopKSeeded]] uses sampled data points as
+    * codes directly (zero-iteration init) and carries the cross-engine
+    * oracle, mirroring the [[ivfTopK]]/[[ivfTopKSeeded]] split.
+    */
+  def pqTopK(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+             nQueries: Int = 10, k: Int = 5, refine: Int = 4,
+             sampleN: Int = 256, iters: Int = 5): DataFrame = {
+    val e = withUnit(embeddings)
+    val sample = collectUnitVectors(e, sampleN, atLeast = ksub)
+    val dim = sample.head.length
+    val ds = subDim(dim, m)
+    val cb = Array.tabulate(m) { mi =>
+      fitSubCodebook(sample.map(_.slice(mi * ds, mi * ds + ds)), ksub, iters)
+    }
+    pqSearch(e, cb, nQueries, k, refine)
+  }
+
+  /** PQ with the PRECOMPUTED zero-iteration codebook (first `ksub`
+    * nonzero-norm unit vectors by vec_id, sliced per subspace —
+    * sampled-data-points-as-codes, the same cheap quantizer init as
+    * [[ivfTopKSeeded]]). Deterministic and engine-neutral: this variant
+    * carries the cross-engine oracle for the whole encode → LUT → ADC →
+    * refine machinery.
+    */
+  def pqTopKSeeded(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+                   nQueries: Int = 10, k: Int = 5, refine: Int = 4): DataFrame = {
+    val e = withUnit(embeddings)
+    val seeds = collectUnitVectors(e, ksub, atLeast = ksub)
+    val ds = subDim(seeds.head.length, m)
+    val cb = Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, mi * ds + ds)))
+    pqSearch(e, cb, nQueries, k, refine)
+  }
+
+  /** Corpus with unit-normalized double vector (zero-norm rows dropped —
+    * they have no direction to quantize).
+    */
+  private def withUnit(embeddings: DataFrame): DataFrame =
+    withNorm(embeddings).withColumn("u", transform(col("v"), x => x / col("nrm")))
+
+  private def subDim(dim: Int, m: Int): Int = {
+    require(m > 0 && dim % m == 0,
+      s"pq: dim $dim must divide evenly into m=$m subspaces")
+    dim / m
+  }
+
+  /** First-`n`-by-vec_id unit vectors, driver-side (bounded by contract:
+    * a quantizer training sample, never the corpus).
+    */
+  private def collectUnitVectors(e: DataFrame, n: Int, atLeast: Int): Array[Array[Double]] = {
+    val rows = e.orderBy(col("vec_id")).limit(n)
+      .select(col("v"), col("nrm")).collect()
+      .map(r => r.getSeq[Double](0).toArray.map(_ / r.getDouble(1)))
+    require(rows.length >= atLeast,
+      s"pq: corpus has only ${rows.length} nonzero vectors; need $atLeast")
+    require(rows.forall(_.length == rows.head.length),
+      "pq: embeddings must share one dimension")
+    rows
+  }
+
+  /** Per-subspace Lloyd fit on the driver sample: init = first `ksub`
+    * points, assign by (d², index)-lexicographic argmin, recompute
+    * means, empty cells keep their centroid. Deterministic — no RNG,
+    * no data-order dependence beyond the deterministic sample itself.
+    */
+  private def fitSubCodebook(points: Array[Array[Double]], ksub: Int,
+                             iters: Int): Array[Array[Double]] = {
+    var cents = points.take(ksub).map(_.clone)
+    for (_ <- 0 until iters) {
+      val assign = points.map { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      cents = cents.indices.map { c =>
+        val mine = points.indices.filter(assign(_) == c)
+        if (mine.isEmpty) cents(c)
+        else {
+          val s = new Array[Double](points.head.length)
+          mine.foreach { pi =>
+            var i = 0
+            while (i < s.length) { s(i) += points(pi)(i); i += 1 }
+          }
+          s.map(_ / mine.size)
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** Shared PQ search over a driver-known codebook
+    * (`cb(subspace)(code) = centroid sub-vector`).
+    */
+  private def pqSearch(e: DataFrame, cb: Array[Array[Array[Double]]],
+                       nQueries: Int, k: Int, refine: Int): DataFrame = {
+    val m = cb.length
+    val ds = cb(0)(0).length
+    // driver-side |c|² per code: same left-to-right 0.0-seeded sum as
+    // vec_dot, so both engines' d² arithmetic agrees bitwise.
+    val cn2 = cb.map(_.map(_.foldLeft(0.0)((s, x) => s + x * x)))
+    def subv(c: Column, mi: Int): Column = slice(c, mi * ds + 1, ds)
+
+    // Encode: per subspace, argmin over literal (d², code) structs —
+    // |u_m|² is constant per (row, subspace) so d² ranks on
+    // |c|² − 2⟨u_m, c⟩. One narrow projection over the corpus scan;
+    // the full-width vector drops out of the plan right here.
+    val codes = array((0 until m).map { mi =>
+      val structs = cb(mi).zipWithIndex.map { case (cv, ci) =>
+        struct((lit(cn2(mi)(ci)) - lit(2.0) * dot(subv(col("u"), mi), typedlit(cv)))
+          .as("d2"), lit(ci).as("c"))
+      }
+      array_min(array(structs: _*)).getField("c")
+    }: _*)
+    val corpus = e.select(col("vec_id").as("neighbor_id"), codes.as("codes"))
+
+    // Per-query LUT: lut(mi)(ci) = full d²(q_mi, c) including the |q_m|²
+    // term, so summed ADC is a true squared distance on the unit sphere
+    // and 1 − d²/2 a true approximate cosine. Computed once per query
+    // ROW (nQueries rows), never per pair.
+    val lut = array((0 until m).map { mi =>
+      val q = subv(col("u"), mi)
+      array(cb(mi).zipWithIndex.map { case (cv, ci) =>
+        dot(q, q) + lit(cn2(mi)(ci)) - lit(2.0) * dot(q, typedlit(cv))
+      }: _*)
+    }: _*)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), lut.as("lut"))
+
+    // ADC scan: m array lookups + a left-fold add chain per pair — the
+    // corpus side carries ONLY (id, codes). Broadcast the query side.
+    val adc = broadcast(queries.select(col("query_id"), col("lut")))
+      .join(corpus, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos", round(lit(1.0) -
+        (0 until m).map(mi => element_at(element_at(col("lut"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1)).reduce(_ + _) / lit(2.0), 6))
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
+    val shortlist = TopK.groupedWithRank(adc, Seq(col("query_id")), k * refine,
+        Seq(TopK.descNum(col("adc_cos")), col("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
+
+    // Refine: exact cosine for the shortlist only — full vectors join
+    // back for k·refine·nQueries rows, not the corpus. The shortlist is
+    // bounded by contract, so BROADCAST it into the corpus scan: the
+    // corpus side never shuffles for this join.
+    val refined = broadcast(shortlist
+      .join(broadcast(queries.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id")))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("neighbor_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("adc_cos"), col("cos_sim"))
+    TopK.groupedWithRank(refined, Seq(col("query_id")), k,
+        Seq(TopK.descNum(col("cos_sim")), col("neighbor_id")))
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_cos"),
+        col("cos_sim"))
+  }
+
   /** Shared IVF search over driver-known centroids (tiny by contract —
     * a quantizer is a model artifact, never corpus-sized).
     */

@@ -252,6 +252,36 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       "seeded quantizer probing ALL cells must equal brute force")
   }
 
+  test("PQ/ADC ANN: full refine is exact; shortlist recall holds; deterministic") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, nQueries = 10, k = 5))
+    // Refine wide enough to cover the corpus → ADC shortlisting cannot
+    // drop a true neighbor; the exact re-rank must reproduce brute force
+    // bit-for-bit (same rounded cosines, same tie-break).
+    def full(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rk", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full(Similarity.pqTopKSeeded(emb, refine = 1000)) ==
+      full(Similarity.cosineTopK(emb)),
+      "PQ with corpus-wide refine must equal brute force exactly")
+    // Default-parameter recall floors (measured 0.56 seeded / 0.58 fit at
+    // sf0.001, 0.46/0.48 at sf0.01 — random synthetic embeddings are the
+    // hard case for a 16-code-per-subspace quantizer).
+    val seeded = pairs(Similarity.pqTopKSeeded(emb))
+    val fit = pairs(Similarity.pqTopK(emb))
+    assert((exact intersect seeded).size >= 0.4 * exact.size,
+      s"seeded PQ recall < 0.4: ${(exact intersect seeded).size}/${exact.size}")
+    assert((exact intersect fit).size >= 0.4 * exact.size,
+      s"fitted PQ recall < 0.4: ${(exact intersect fit).size}/${exact.size}")
+    // Lloyd fit is driver-deterministic: same sample, same codebook.
+    assert(pairs(Similarity.pqTopK(emb)) == fit, "PQ fit must be deterministic")
+    // Dimension must split evenly into subspaces — fail loudly, not wrap.
+    val e = intercept[IllegalArgumentException](Similarity.pqTopK(emb, m = 7))
+    assert(e.getMessage.contains("divide evenly"))
+  }
+
   test("grouped top-k aggregate matches the window ranking it replaces") {
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window

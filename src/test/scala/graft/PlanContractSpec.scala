@@ -25,7 +25,8 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
     Seq(
       "cosine" -> Similarity.cosineTopK(emb),
       "lsh" -> Similarity.lshTopK(emb),
-      "ivf" -> Similarity.ivfTopK(emb)
+      "ivf" -> Similarity.ivfTopK(emb),
+      "pq" -> Similarity.pqTopK(emb)
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Window"),
@@ -240,5 +241,18 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
     // (probe side) are fine.
     val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
     assert(shuffles <= 1, s"expected at most the ranker's shuffle, got $shuffles:\n$p")
+  }
+
+  test("PQ encode/ADC/refine shuffles only inside the two bounded rankers") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = plan(Similarity.pqTopK(emb))
+    // Corpus→codes is a literal-codebook projection (no Exchange); the
+    // ADC join broadcasts the query LUTs; the refine join broadcasts the
+    // bounded shortlist into the corpus scan. The only shuffle Exchanges
+    // allowed are the two TopK rankers' (shortlist + final).
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected only the two rankers' shuffles, got $shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"refine must broadcast the bounded shortlist, not sort-merge the corpus:\n$p")
   }
 }
