@@ -143,6 +143,9 @@ object LlmQueries {
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.docFingerprint(docs(s, d)).orderBy(col("doc_id"))),
 
+    "lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(docs(s, d)).orderBy(col("doc_id"))),
+
     "vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(docs(s, d)).orderBy(col("lang"), col("rk"))),
 
@@ -954,6 +957,41 @@ object LlmQueries {
         |  list_reduce(list_transform(toks, w -> CAST(length(w) * 131 + ascii(w) AS BIGINT)),
         |    (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Bigram-LM replay: same tokenization, same add-one-smoothed
+    // P(w2|w1) with integer counts (exact in both engines), same
+    // Σ m·ln P / Σ m fold. ln/exp may differ by 1 ulp across libm
+    // implementations and the group-sum order differs — both vanish
+    // under the shared round(…, 6) policy.
+    "lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |bgl AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
+        |  FROM t),
+        |dbg AS (
+        |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2, count(*) AS m
+        |  FROM bgl GROUP BY doc_id, s.w1, s.w2),
+        |bc AS (SELECT w1, w2, sum(m) AS c12 FROM dbg GROUP BY w1, w2),
+        |cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+        |voc AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(tk) AS tok FROM t)),
+        |sc AS (
+        |  SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+        |    sum(d.m * ln((b.c12 + 1.0) / (c.c1 + voc.v))) / sum(d.m) AS lp
+        |  FROM dbg d
+        |  JOIN bc b ON d.w1 = b.w1 AND d.w2 = b.w2
+        |  JOIN cc c ON d.w1 = c.w1
+        |  CROSS JOIN voc
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logprob,
+        |  round(exp(-lp), 6) AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "corpus_pipeline" ->
       s"""WITH RECURSIVE b AS (

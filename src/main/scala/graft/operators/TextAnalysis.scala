@@ -415,6 +415,61 @@ object TextAnalysis {
         element_at(col("__wq"), 3).as("p75_words"),
         element_at(col("__wq"), 4).as("p90_words"))
 
+  /** #47k lm_score: n-gram language-model perplexity scoring — the
+    * CCNet-family quality filter (Wenzek et al. 2020): docs whose token
+    * transitions are improbable under a corpus-fitted LM are boilerplate
+    * / gibberish candidates, docs that are TOO probable are templates.
+    * Here the bigram LM is fitted on the scored corpus itself in the
+    * same job (self-perplexity); fitting on a reference corpus is the
+    * same plan with a second input.
+    *
+    * Model: add-one-smoothed bigram LM over [[Dedup.tokens]] words,
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V) with c(w1·) the
+    * bigram-context count (= Σ_w2 c(w1,w2)) and V the corpus unigram
+    * vocabulary. Per doc: avg_logprob = Σ m·ln P / Σ m over its bigram
+    * OCCURRENCES (m = per-doc multiplicity), ppl = exp(−avg_logprob).
+    * Docs with < 2 tokens have no bigram distribution and are excluded.
+    *
+    * Scale shape: one tokenize pass → per-doc bigram counts (map-side
+    * combinable: (doc, w1, w2) keys), model counts derived FROM those
+    * counts (never a second corpus scan), and scoring joins the per-doc
+    * counts to the model on the same (w1, w2)/(w1) keys the counts
+    * already shuffled on — co-partitioned, no replay of raw postings.
+    * V is a 1-row aggregate broadcast into the scorer. All counts stay
+    * exact integers; the only float steps are the probability divide,
+    * ln, and the Σ m·ln fold, rounded to 6 before ranking/compare.
+    */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+      .withColumn("__t", filter(col("__t"), t => t =!= ""))
+    // Per-doc bigram multiplicities: the ONLY pass over raw postings.
+    val dbg = toks.filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__bg"))
+      .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    // Model counts fold out of the per-doc counts (smaller input).
+    val bc = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
+    val cc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = toks.select(explode(col("__t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = dbg
+      .join(bc, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lnp", log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        (sum(col("m") * col("__lnp")) / sum(col("m"))).as("__lp"))
+    scored.select(col("doc_id"), col("n_bigrams"),
+      round(col("__lp"), 6).as("avg_logprob"),
+      round(exp(-col("__lp")), 6).as("ppl"))
+  }
+
   /** #47 doc_fingerprint: polynomial rolling hash over word tokens —
     * term(w) = 131·len(w) + code(first char), fingerprint = left fold
     * h ← (31·h + term) mod 1e9+7. Bounded intermediates (< 2⁶³), engine-

@@ -252,6 +252,28 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       "seeded quantizer probing ALL cells must equal brute force")
   }
 
+  test("LM perplexity score: hand-computed add-one bigram model") {
+    // Corpus: c(a,b)=4, c(b,a)=2, c(b,c)=1; contexts a·=4, b·=3; V=3.
+    val out = TextAnalysis.lmScore(docs(
+        0L -> "a b a b a b", 1L -> "a b c", 2L -> "c"))
+      .orderBy("doc_id").collect()
+    // doc 2 has one token — no bigram distribution, excluded.
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L))
+    val pAB = 5.0 / 7.0  // (4+1)/(4+3)
+    val pBA = 3.0 / 6.0  // (2+1)/(3+3)
+    val pBC = 2.0 / 6.0  // (1+1)/(3+3)
+    val lp0 = (3 * math.log(pAB) + 2 * math.log(pBA)) / 5
+    val lp1 = (math.log(pAB) + math.log(pBC)) / 2
+    assert(out(0).getAs[Long]("n_bigrams") == 5L)
+    assert(out(1).getAs[Long]("n_bigrams") == 2L)
+    assert(math.abs(out(0).getAs[Double]("avg_logprob") - lp0) <= 1e-6)
+    assert(math.abs(out(1).getAs[Double]("avg_logprob") - lp1) <= 1e-6)
+    assert(math.abs(out(0).getAs[Double]("ppl") - math.exp(-lp0)) <= 1e-5)
+    // The template doc (frequent transitions) must be more probable —
+    // lower perplexity — than the doc with a rare transition.
+    assert(out(0).getAs[Double]("ppl") < out(1).getAs[Double]("ppl"))
+  }
+
   test("PQ/ADC ANN: full refine is exact; shortlist recall holds; deterministic") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
