@@ -65,6 +65,12 @@ object LlmQueries {
         pointerJump = true)
         .orderBy(col("cluster_id"), col("id"))),
 
+    // SemDeDup with the seeded centroid artifact (the ivf/pq split):
+    // the whole assign → within-cell pair → CC → keep-diverse pipeline
+    // is oracle-checked; the k-means-fit quantizer keeps its spec.
+    "semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedupSeeded(emb(s, d)).orderBy(col("vec_id"))),
+
     "ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
 
@@ -471,6 +477,61 @@ object LlmQueries {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  CAST(id = cluster_id AS INT) AS is_canonical
          |FROM labels ORDER BY cluster_id, id""".stripMargin,
+
+    // SemDeDup replay: seeded centroids, (d2, cell) argmin assignment,
+    // cen_cos folded from the argmin's d2 ((n2−d2)/2/(nrm·sqrt(n2)) —
+    // the exact arithmetic the Spark plan runs), within-cell pairs at
+    // unrounded cosine ≥ τ, recursive-CTE components, keep = first of
+    // (cen_cos ASC, vec_id ASC) per cluster.
+    "semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x)) AS nrm
+         |  FROM e),
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+         |    list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x) AS n2
+         |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id LIMIT 16)),
+         |dist AS (
+         |  SELECT z.vec_id, z.nrm, z.v, b.cell, b.n2,
+         |    b.n2 - 2.0 * list_reduce(
+         |      list_transform(range(len(z.v)), i -> z.v[i+1] * b.cv[i+1]),
+         |      (s, x) -> s + x) AS d2
+         |  FROM nz z CROSS JOIN cb b),
+         |asg AS (
+         |  SELECT vec_id, nrm, v, cell,
+         |    round((n2 - d2) / 2.0 / (nrm * sqrt(n2)), 6) AS cen_cos
+         |  FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dist)
+         |  WHERE rn = 1),
+         |p AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]),
+         |      (s, x) -> s + x) / (a.nrm * b.nrm) >= 0.3),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM p
+         |          UNION ALL SELECT id2, id1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+         |lab AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |allv AS (
+         |  SELECT g.vec_id, g.cell, coalesce(l.cluster_id, g.vec_id) AS cluster_id,
+         |    g.cen_cos
+         |  FROM asg g LEFT JOIN lab l ON g.vec_id = l.id)
+         |SELECT vec_id, cell, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  cen_cos,
+         |  CAST((row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY cen_cos, vec_id) = 1) AS INT) AS is_kept
+         |FROM allv ORDER BY vec_id""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""$VecCte,

@@ -464,6 +464,112 @@ object Similarity {
         col("cos_sim"))
   }
 
+  /** #41b semantic_dedup: SemDeDup (Abbas et al. 2023) — semantic
+    * deduplication over embedding clusters. Near-duplicate SEMANTICS
+    * (paraphrases, re-renders, boilerplate variants) survive lexical
+    * dedup; SemDeDup catches them by clustering the embedding space
+    * coarsely and deduplicating within clusters only: candidate pairs
+    * are cell-bounded (nCells is the blowup dial — the paper runs
+    * ~100k clusters at web scale), never corpus-quadratic.
+    *
+    * Per cluster of cosine-≥-τ connected components, the KEPT member is
+    * the one with the LOWEST cosine to its cell centroid (the paper's
+    * diversity rule: keep the edge example, drop the redundant core;
+    * tie → min vec_id). Output covers every nonzero-norm vector:
+    * (vec_id, cell, cluster_id, cluster_size, cen_cos, is_kept) —
+    * singletons are their own kept cluster.
+    *
+    * Scale shape: cell assignment is the IVF literal-centroid argmin
+    * projection (zero Exchange; centroid cosine folds out of the SAME
+    * d² the argmin ranks on — no second dot product); within-cell pairs
+    * go through the [[nearDupPairs]] fail-loudly density guard
+    * (`maxCellRows`); cluster resolution is the hash-min
+    * [[Components.connectedComponents]] loop; keep-selection is a
+    * min-of-struct aggregate + join, never a cluster window.
+    * [[semanticDedup]] fits the quantizer with k-means on a sample;
+    * [[semanticDedupSeeded]] uses the first-nCells centroid artifact
+    * and carries the cross-engine oracle.
+    */
+  def semanticDedup(embeddings: DataFrame, nCells: Int = 16,
+                    tau: Double = 0.3, maxCellRows: Int = 10000,
+                    sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorm(embeddings)
+    val feat = e.select(array_to_vector(col("v")).as("features"))
+    val train = if (sampleFraction >= 1.0) feat
+                else feat.sample(withReplacement = false, sampleFraction, seed)
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").fit(train)
+    semanticDedupSearch(e, model.clusterCenters.map(_.toArray), tau, maxCellRows)
+  }
+
+  /** SemDeDup with the PRECOMPUTED first-nCells centroid artifact
+    * (engine-neutral, carries the oracle — the [[ivfTopKSeeded]] split).
+    */
+  def semanticDedupSeeded(embeddings: DataFrame, nCells: Int = 16,
+                          tau: Double = 0.3, maxCellRows: Int = 10000): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = e.orderBy(col("vec_id")).limit(nCells).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == nCells,
+      s"corpus has only ${cents.length} nonzero vectors; need $nCells centroids")
+    semanticDedupSearch(e, cents, tau, maxCellRows)
+  }
+
+  private def semanticDedupSearch(e: DataFrame, cents: Array[Array[Double]],
+                                  tau: Double, maxCellRows: Int): DataFrame = {
+    val cn2 = cents.map(_.foldLeft(0.0)((s, x) => s + x * x))
+    val cellStructs = cents.zipWithIndex.map { case (c, i) =>
+      struct((lit(cn2(i)) - lit(2.0) * dot(col("v"), typedlit(c))).as("d2"),
+        lit(i).as("cell"))
+    }
+    // ⟨v,c⟩ = (|c|² − d2)/2 — centroid cosine from the argmin's own d2,
+    // no second dot; |c| is a driver literal (IEEE sqrt, engine-exact).
+    val assigned = e
+      .withColumn("m", array_min(array(cellStructs: _*)))
+      .withColumn("cell", col("m.cell"))
+      .withColumn("cen_cos", round(
+        (element_at(typedlit(cn2), col("cell") + 1) - col("m.d2")) / lit(2.0)
+          / (col("nrm") * element_at(typedlit(cn2.map(math.sqrt)), col("cell") + 1)),
+        6))
+      .drop("m")
+    val guard = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .withColumn("__chk",
+        when(col("__n") > maxCellRows, raise_error(concat(
+          lit(s"semanticDedup: cell wider than maxCellRows=$maxCellRows (n="),
+          col("__n").cast("string"),
+          lit(") — the within-cell join would go quadratic; raise nCells"))))
+          .otherwise(lit(1)))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+        col("v").as("v1"), col("nrm").as("n1"))
+      .join(broadcast(guard), Seq("cell"))
+      .filter(col("__chk") === 1).drop("__n", "__chk")
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= tau)
+      .select(col("id1"), col("id2"))
+    val comp = Components.connectedComponents(pairs, "id1", "id2")
+      .select(col("id").as("vec_id"), col("label"))
+    val labeled = assigned
+      .select(col("vec_id"), col("cell"), col("cen_cos"))
+      .join(comp, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("vec_id")))
+      .drop("label")
+    // Keep = min (cen_cos, vec_id) per cluster: aggregate + join (a
+    // degenerate all-dup corpus is ONE cluster — a window would pin it
+    // to a task; the join side lets AQE skew-split).
+    val keep = labeled.groupBy(col("cluster_id")).agg(
+      min(struct(col("cen_cos"), col("vec_id"))).as("kb"),
+      count(lit(1)).as("cluster_size"))
+    labeled.join(keep, Seq("cluster_id"))
+      .select(col("vec_id"), col("cell"), col("cluster_id"),
+        col("cluster_size"), col("cen_cos"),
+        (col("vec_id") === col("kb.vec_id")).cast("int").as("is_kept"))
+  }
+
   /** Shared IVF search over driver-known centroids (tiny by contract —
     * a quantizer is a model artifact, never corpus-sized).
     */

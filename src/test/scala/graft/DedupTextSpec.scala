@@ -252,6 +252,36 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       "seeded quantizer probing ALL cells must equal brute force")
   }
 
+  test("SemDeDup: cluster invariants, diversity keep rule, density guard") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (df <- Seq(Similarity.semanticDedupSeeded(emb),
+                   Similarity.semanticDedup(emb))) {
+      val rows = df.collect()
+      // every nonzero-norm vector appears exactly once
+      assert(rows.length == 500 && rows.map(_.getAs[Long]("vec_id")).distinct.length == 500)
+      val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+      byCluster.foreach { case (cid, ms) =>
+        // exactly one kept member: the (cen_cos, vec_id)-min (diversity
+        // rule — keep the edge example, drop the redundant core)
+        val kept = ms.filter(_.getAs[Int]("is_kept") == 1)
+        assert(kept.length == 1, s"cluster $cid kept ${kept.length}")
+        val want = ms.map(r => (r.getAs[Double]("cen_cos"), r.getAs[Long]("vec_id"))).min
+        assert(kept.head.getAs[Long]("vec_id") == want._2)
+        // pairs are within-cell, so clusters never straddle cells
+        assert(ms.map(_.getAs[Int]("cell")).distinct.length == 1, s"cluster $cid straddles cells")
+        assert(ms.forall(_.getAs[Long]("cluster_size") == ms.length))
+        assert(cid == ms.map(_.getAs[Long]("vec_id")).min)
+      }
+    }
+    // k-means path is seed-deterministic
+    assert(Similarity.semanticDedup(emb).collect().toSet ==
+      Similarity.semanticDedup(emb).collect().toSet)
+    // degenerate cell density fails loudly, never goes quietly quadratic
+    val err = intercept[Exception](
+      Similarity.semanticDedupSeeded(emb, maxCellRows = 3).collect())
+    assert(err.getMessage.contains("maxCellRows"))
+  }
+
   test("LM perplexity score: hand-computed add-one bigram model") {
     // Corpus: c(a,b)=4, c(b,a)=2, c(b,c)=1; contexts a·=4, b·=3; V=3.
     val out = TextAnalysis.lmScore(docs(
