@@ -23,12 +23,24 @@ object StreamDedup {
 
   /** Within-watermark duplicate drop for document streams (content
     * identity = the exact-dedup hash of `operators.Dedup.exact`).
+    *
+    * Uses `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: the
+    * dedup key (content_hash) does not include the event-time column,
+    * and plain `dropDuplicates` only evicts state for keys that CONTAIN
+    * the watermark column — on a content-keyed stream its state grows
+    * with every distinct document ever seen. WithinWatermark expires
+    * each key once the watermark passes its first-seen time, so state
+    * is (ingest rate × watermark window), the only shape that survives
+    * an unbounded corpus feed. Semantics trade: duplicates separated by
+    * more than the watermark window BOTH survive — streaming dedup is a
+    * within-horizon guarantee; corpus-lifetime identity stays a batch
+    * pass ([[graft.operators.Dedup.exact]] / `dedupIncremental`).
     */
   def dedupDocuments(documents: DataFrame, watermark: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.functions._
     documents
       .withColumn("content_hash", sha2(col("text"), 256))
       .withWatermark("ingest_ts", watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
   }
 }

@@ -209,6 +209,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming document dedup: content-keyed state evicts within watermark") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ingest_ts", "doc_id", "text")
+    val query = graft.streaming.StreamDedup.dedupDocuments(docs, "1 hour")
+      .writeStream.format("memory").queryName("docdedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "alpha"),
+        (ts("2024-01-01 10:00:30"), 2L, "alpha"), // same-batch content dup
+        (ts("2024-01-01 10:01:00"), 3L, "beta"))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 10:20:00"), 4L, "alpha")) // cross-batch dup
+      query.processAllAvailable()
+      val out = spark.table("docdedup_stream").collect()
+      assert(out.map(_.getAs[String]("text")).sorted.toSeq == Seq("alpha", "beta"),
+        s"expected one row per content within the horizon, got ${out.toSeq}")
+      assert(out.filter(_.getAs[String]("text") == "alpha")
+        .forall(_.getAs[Long]("doc_id") == 1L),
+        "first occurrence wins on a content-keyed stream")
+    } finally query.stop()
+  }
+
   test("streaming indicators: EMA/SMA recursion across batches, stragglers dropped") {
     import graft.streaming.StreamIndicators
     import graft.streaming.StreamIndicators.Bar
