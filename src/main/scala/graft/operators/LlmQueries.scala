@@ -96,6 +96,13 @@ object LlmQueries {
       Similarity.pqTopKSeeded(emb(s, d))
         .orderBy(col("query_id"), col("rk"))),
 
+    // The composed FAISS production index: IVF prunes the scan, PQ
+    // compresses it. Seeded artifacts for both quantizers carry the
+    // oracle; the double-fit variant keeps its recall-floor spec.
+    "ann_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfpqTopKSeeded(emb(s, d))
+        .orderBy(col("query_id"), col("rk"))),
+
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -726,6 +733,102 @@ object LlmQueries {
          |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
          |  FROM ref)
          |SELECT query_id, rk, neighbor_id, adc_cos, cos_sim
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // IVF-PQ replay: the ann_ivf_topk coarse CTEs (raw-vector cells,
+    // probes) composed with the ann_pq_topk code CTEs (unit-vector
+    // codebook, per-subspace argmin encode, ADC fold) — candidates
+    // restricted to probed cells before the ADC join.
+    "ann_ivfpq_topk" ->
+      s"""$VecCte,
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+         |    list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x) AS cn2
+         |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id LIMIT 16)),
+         |casg AS (
+         |  SELECT vec_id, cell,
+         |    cn2 - 2.0 * list_reduce(list_transform(range(len(v)), i -> v[i+1] * cv[i+1]),
+         |      (s, x) -> s + x) AS d2
+         |  FROM nz CROSS JOIN cents),
+         |best AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM casg) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM casg WHERE vec_id < 10) WHERE rn <= 4),
+         |nzu AS (
+         |  SELECT vec_id, v, nrm, list_transform(v, x -> x / nrm) AS u
+         |  FROM nz),
+         |ms AS (SELECT unnest(range(8)) AS mi),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, u
+         |  FROM (SELECT vec_id, u FROM nzu ORDER BY vec_id LIMIT 16)),
+         |cbk AS (
+         |  SELECT t.mi, s.c,
+         |    list_transform(range(8), i -> s.u[t.mi * 8 + i + 1]) AS cv
+         |  FROM seeds s CROSS JOIN ms t),
+         |cb2 AS (
+         |  SELECT mi, c, cv,
+         |    list_reduce(list_transform(range(len(cv)), i -> cv[i+1] * cv[i+1]),
+         |      (acc, x) -> acc + x) AS cn2
+         |  FROM cbk),
+         |sub AS (
+         |  SELECT z.vec_id, t.mi,
+         |    list_transform(range(8), i -> z.u[t.mi * 8 + i + 1]) AS um
+         |  FROM nzu z CROSS JOIN ms t),
+         |enc AS (
+         |  SELECT vec_id, mi, c FROM (
+         |    SELECT s.vec_id, s.mi, b.c,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+         |        b.cn2 - 2.0 * list_reduce(
+         |          list_transform(range(len(s.um)), i -> s.um[i+1] * b.cv[i+1]),
+         |          (acc, x) -> acc + x),
+         |        b.c) AS rn
+         |    FROM sub s JOIN cb2 b USING (mi)) WHERE rn = 1),
+         |qsub AS (
+         |  SELECT vec_id AS query_id, mi, um,
+         |    list_reduce(list_transform(range(len(um)), i -> um[i+1] * um[i+1]),
+         |      (acc, x) -> acc + x) AS qn2
+         |  FROM sub WHERE vec_id < 10),
+         |dpair AS (
+         |  SELECT q.query_id, e2.vec_id AS neighbor_id, bb.cell, q.mi,
+         |    (q.qn2 + b.cn2) - 2.0 * list_reduce(
+         |      list_transform(range(len(q.um)), i -> q.um[i+1] * b.cv[i+1]),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM qsub q
+         |  JOIN probes p ON p.query_id = q.query_id
+         |  JOIN best bb ON bb.cell = p.cell AND bb.vec_id <> q.query_id
+         |  JOIN enc e2 ON e2.vec_id = bb.vec_id AND e2.mi = q.mi
+         |  JOIN cb2 b ON b.mi = q.mi AND b.c = e2.c),
+         |adc AS (
+         |  SELECT query_id, neighbor_id, cell,
+         |    round(1.0 - list_reduce(list(d2 ORDER BY mi), (acc, x) -> acc + x)
+         |      / 2.0, 6) AS adc_cos
+         |  FROM dpair GROUP BY query_id, neighbor_id, cell),
+         |short AS (
+         |  SELECT query_id, neighbor_id, cell, adc_cos FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS srn
+         |    FROM adc) WHERE srn <= 20),
+         |ref AS (
+         |  SELECT s.query_id, s.neighbor_id, s.cell, s.adc_cos,
+         |    round(list_reduce(
+         |      list_transform(range(len(q.v)), i -> q.v[i+1] * n.v[i+1]),
+         |      (acc, x) -> acc + x) / (q.nrm * n.nrm), 6) AS cos_sim
+         |  FROM short s
+         |  JOIN nz q ON q.vec_id = s.query_id
+         |  JOIN nz n ON n.vec_id = s.neighbor_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM ref)
+         |SELECT query_id, rk, neighbor_id, cell, adc_cos, cos_sim
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_cosine_topk" ->

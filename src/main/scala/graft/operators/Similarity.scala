@@ -333,6 +333,114 @@ object Similarity {
     pqSearch(e, cb, nQueries, k, refine)
   }
 
+  /** #43d ann_ivfpq_topk: IVF-PQ — the composed FAISS production index
+    * (IndexIVFPQ): the coarse quantizer prunes WHICH vectors each query
+    * scans (nProbe/nCells of the corpus), PQ compresses WHAT the scan
+    * reads (m code bytes per vector). Composed, a 100 TB embedding
+    * corpus serves queries from ~nProbe/nCells × 3 TB of codes — both
+    * scale levers at once, which is why this is the shape production
+    * vector stores actually deploy.
+    *
+    * Codes are computed on the raw unit vector, not the cell residual
+    * (FAISS `by_residual=false` mode): one encode for the whole corpus,
+    * cells only restrict candidates, and the ADC machinery is exactly
+    * [[pqTopK]]'s. Search: rank cells by the coarse argmin structs,
+    * probe `nProbe`, ADC-score only the candidates in probed cells,
+    * bounded-TopK shortlist, exact-cosine refine over the survivors.
+    *
+    * [[ivfpqTopK]] fits both quantizers on driver samples (k-means
+    * coarse + per-subspace Lloyd codebook); [[ivfpqTopKSeeded]] uses
+    * the first-n data points for both (the model-artifact deployment
+    * mode) and carries the cross-engine oracle.
+    */
+  def ivfpqTopK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, nQueries: Int = 10, k: Int = 5,
+                refine: Int = 4, sampleN: Int = 256, iters: Int = 5,
+                sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withUnit(embeddings)
+    val feat = e.select(array_to_vector(col("v")).as("features"))
+    val train = if (sampleFraction >= 1.0) feat
+                else feat.sample(withReplacement = false, sampleFraction, seed)
+    val coarse = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").fit(train).clusterCenters.map(_.toArray)
+    val sample = collectUnitVectors(e, sampleN, atLeast = ksub)
+    val ds = subDim(sample.head.length, m)
+    val cb = Array.tabulate(m) { mi =>
+      fitSubCodebook(sample.map(_.slice(mi * ds, mi * ds + ds)), ksub, iters)
+    }
+    ivfpqSearch(e, coarse, cb, nProbe, nQueries, k, refine)
+  }
+
+  /** IVF-PQ with both quantizers PRECOMPUTED from the first data points
+    * (coarse cells from raw vectors as in [[ivfTopKSeeded]], codebook
+    * from unit vectors as in [[pqTopKSeeded]]) — engine-neutral; carries
+    * the oracle for the composed prune + ADC + refine machinery.
+    */
+  def ivfpqTopKSeeded(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+                      m: Int = 8, ksub: Int = 16, nQueries: Int = 10,
+                      k: Int = 5, refine: Int = 4): DataFrame = {
+    val e = withUnit(embeddings)
+    val coarse = e.orderBy(col("vec_id")).limit(nCells).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(coarse.length == nCells,
+      s"corpus has only ${coarse.length} nonzero vectors; need $nCells centroids")
+    val seeds = collectUnitVectors(e, ksub, atLeast = ksub)
+    val ds = subDim(seeds.head.length, m)
+    val cb = Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, mi * ds + ds)))
+    ivfpqSearch(e, coarse, cb, nProbe, nQueries, k, refine)
+  }
+
+  private def ivfpqSearch(e: DataFrame, coarse: Array[Array[Double]],
+                          cb: Array[Array[Array[Double]]], nProbe: Int,
+                          nQueries: Int, k: Int, refine: Int): DataFrame = {
+    val m = cb.length
+    val cn2 = pqCn2(cb)
+    // Coarse cell argmin: the ivfSearch literal-struct projection (raw
+    // vectors, matching the seeded-cell artifact); PQ codes ride the
+    // SAME projection — one corpus pass emits (id, cell, codes).
+    val coarseN2 = coarse.map(_.foldLeft(0.0)((s, x) => s + x * x))
+    val cellStructs = coarse.zipWithIndex.map { case (c, i) =>
+      struct((lit(coarseN2(i)) - lit(2.0) * dot(col("v"), typedlit(c))).as("d2"),
+        lit(i).as("cell"))
+    }
+    val corpus = e
+      .withColumn("m", array_min(array(cellStructs: _*)))
+      .select(col("vec_id").as("neighbor_id"), col("m.cell").as("cell"),
+        pqCodesCol(cb, cn2).as("codes"))
+    val qbase = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), pqLutCol(cb, cn2).as("lut"),
+        slice(sort_array(array(cellStructs: _*)), 1, nProbe).as("pcs"))
+    val probes = qbase
+      .select(col("query_id"), col("lut"), explode(col("pcs")).as("pc"))
+      .select(col("query_id"), col("lut"), col("pc.cell").as("cell"))
+    // ADC only over candidates in probed cells: the broadcast probe
+    // table keys the corpus scan by cell — nProbe/nCells of the code
+    // table per query, never the whole corpus.
+    val adc = broadcast(probes).join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos", pqAdcCol(m))
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("adc_cos"))
+    val shortlist = TopK.groupedWithRank(adc, Seq(col("query_id")), k * refine,
+        Seq(TopK.descNum(col("adc_cos")), col("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("adc_cos"))
+    val refined = broadcast(shortlist
+      .join(broadcast(qbase.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id")))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("neighbor_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("adc_cos"), col("cos_sim"))
+    TopK.groupedWithRank(refined, Seq(col("query_id")), k,
+        Seq(TopK.descNum(col("cos_sim")), col("neighbor_id")))
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cell"),
+        col("adc_cos"), col("cos_sim"))
+  }
+
   /** Corpus with unit-normalized double vector (zero-norm rows dropped —
     * they have no direction to quantize).
     */
@@ -395,52 +503,76 @@ object Similarity {
     cents
   }
 
+  /** Driver-side |c|² per (subspace, code): same left-to-right
+    * 0.0-seeded sum as vec_dot, so both engines' d² arithmetic agrees
+    * bitwise.
+    */
+  private def pqCn2(cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cb.map(_.map(_.foldLeft(0.0)((s, x) => s + x * x)))
+
+  private def pqSubv(c: Column, mi: Int, ds: Int): Column =
+    slice(c, mi * ds + 1, ds)
+
+  /** Encode: per subspace, argmin over literal (d², code) structs —
+    * |u_m|² is constant per (row, subspace) so d² ranks on
+    * |c|² − 2⟨u_m, c⟩. One narrow projection over the corpus scan;
+    * the full-width vector drops out of the plan right here.
+    */
+  private def pqCodesCol(cb: Array[Array[Array[Double]]],
+                         cn2: Array[Array[Double]]): Column = {
+    val ds = cb(0)(0).length
+    array(cb.indices.map { mi =>
+      val structs = cb(mi).zipWithIndex.map { case (cv, ci) =>
+        struct((lit(cn2(mi)(ci)) - lit(2.0) * dot(pqSubv(col("u"), mi, ds), typedlit(cv)))
+          .as("d2"), lit(ci).as("c"))
+      }
+      array_min(array(structs: _*)).getField("c")
+    }: _*)
+  }
+
+  /** Per-query LUT: lut(mi)(ci) = full d²(q_mi, c) including the |q_m|²
+    * term, so summed ADC is a true squared distance on the unit sphere
+    * and 1 − d²/2 a true approximate cosine. Computed once per query
+    * ROW (nQueries rows), never per pair.
+    */
+  private def pqLutCol(cb: Array[Array[Array[Double]]],
+                       cn2: Array[Array[Double]]): Column = {
+    val ds = cb(0)(0).length
+    array(cb.indices.map { mi =>
+      val q = pqSubv(col("u"), mi, ds)
+      array(cb(mi).zipWithIndex.map { case (cv, ci) =>
+        dot(q, q) + lit(cn2(mi)(ci)) - lit(2.0) * dot(q, typedlit(cv))
+      }: _*)
+    }: _*)
+  }
+
+  /** ADC approximate cosine from `lut`/`codes` columns: m array lookups
+    * + a left-fold add chain (ascending subspace — the order the oracle
+    * replays), never a dot product against the corpus.
+    */
+  private def pqAdcCol(m: Int): Column =
+    round(lit(1.0) -
+      (0 until m).map(mi => element_at(element_at(col("lut"), mi + 1),
+        element_at(col("codes"), mi + 1) + 1)).reduce(_ + _) / lit(2.0), 6)
+
   /** Shared PQ search over a driver-known codebook
     * (`cb(subspace)(code) = centroid sub-vector`).
     */
   private def pqSearch(e: DataFrame, cb: Array[Array[Array[Double]]],
                        nQueries: Int, k: Int, refine: Int): DataFrame = {
     val m = cb.length
-    val ds = cb(0)(0).length
-    // driver-side |c|² per code: same left-to-right 0.0-seeded sum as
-    // vec_dot, so both engines' d² arithmetic agrees bitwise.
-    val cn2 = cb.map(_.map(_.foldLeft(0.0)((s, x) => s + x * x)))
-    def subv(c: Column, mi: Int): Column = slice(c, mi * ds + 1, ds)
-
-    // Encode: per subspace, argmin over literal (d², code) structs —
-    // |u_m|² is constant per (row, subspace) so d² ranks on
-    // |c|² − 2⟨u_m, c⟩. One narrow projection over the corpus scan;
-    // the full-width vector drops out of the plan right here.
-    val codes = array((0 until m).map { mi =>
-      val structs = cb(mi).zipWithIndex.map { case (cv, ci) =>
-        struct((lit(cn2(mi)(ci)) - lit(2.0) * dot(subv(col("u"), mi), typedlit(cv)))
-          .as("d2"), lit(ci).as("c"))
-      }
-      array_min(array(structs: _*)).getField("c")
-    }: _*)
-    val corpus = e.select(col("vec_id").as("neighbor_id"), codes.as("codes"))
-
-    // Per-query LUT: lut(mi)(ci) = full d²(q_mi, c) including the |q_m|²
-    // term, so summed ADC is a true squared distance on the unit sphere
-    // and 1 − d²/2 a true approximate cosine. Computed once per query
-    // ROW (nQueries rows), never per pair.
-    val lut = array((0 until m).map { mi =>
-      val q = subv(col("u"), mi)
-      array(cb(mi).zipWithIndex.map { case (cv, ci) =>
-        dot(q, q) + lit(cn2(mi)(ci)) - lit(2.0) * dot(q, typedlit(cv))
-      }: _*)
-    }: _*)
+    val cn2 = pqCn2(cb)
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      pqCodesCol(cb, cn2).as("codes"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), lut.as("lut"))
+        col("nrm").as("qn"), pqLutCol(cb, cn2).as("lut"))
 
-    // ADC scan: m array lookups + a left-fold add chain per pair — the
-    // corpus side carries ONLY (id, codes). Broadcast the query side.
+    // ADC scan: the corpus side carries ONLY (id, codes). Broadcast the
+    // query side.
     val adc = broadcast(queries.select(col("query_id"), col("lut")))
       .join(corpus, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_cos", round(lit(1.0) -
-        (0 until m).map(mi => element_at(element_at(col("lut"), mi + 1),
-          element_at(col("codes"), mi + 1) + 1)).reduce(_ + _) / lit(2.0), 6))
+      .withColumn("adc_cos", pqAdcCol(m))
       .select(col("query_id"), col("neighbor_id"), col("adc_cos"))
     val shortlist = TopK.groupedWithRank(adc, Seq(col("query_id")), k * refine,
         Seq(TopK.descNum(col("adc_cos")), col("neighbor_id")))

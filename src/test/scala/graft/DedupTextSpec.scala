@@ -252,6 +252,31 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       "seeded quantizer probing ALL cells must equal brute force")
   }
 
+  test("IVF-PQ ANN: all-probe full-refine is exact; pruned recall holds") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, nQueries = 10, k = 5))
+    // Probing every cell disables the IVF prune; corpus-wide refine
+    // disables the ADC shortlist — together they must reproduce brute
+    // force exactly (same rounded cosines, same tie-break).
+    def full(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rk", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full(Similarity.ivfpqTopKSeeded(emb, nProbe = 16, refine = 1000)) ==
+      full(Similarity.cosineTopK(emb)),
+      "IVF-PQ with all cells probed and corpus-wide refine must equal brute force")
+    // Default-parameter floors (measured 0.74 seeded / 0.52 fit at
+    // sf0.001, 0.56/0.44 at sf0.01; both paths are deterministic).
+    val seeded = pairs(Similarity.ivfpqTopKSeeded(emb))
+    val fit = pairs(Similarity.ivfpqTopK(emb))
+    assert((exact intersect seeded).size >= 0.4 * exact.size,
+      s"seeded IVF-PQ recall < 0.4: ${(exact intersect seeded).size}/${exact.size}")
+    assert((exact intersect fit).size >= 0.35 * exact.size,
+      s"fitted IVF-PQ recall < 0.35: ${(exact intersect fit).size}/${exact.size}")
+    assert(pairs(Similarity.ivfpqTopK(emb)) == fit, "IVF-PQ fit must be deterministic")
+  }
+
   test("SemDeDup: cluster invariants, diversity keep rule, density guard") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     for (df <- Seq(Similarity.semanticDedupSeeded(emb),

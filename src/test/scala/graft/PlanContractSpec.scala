@@ -26,7 +26,8 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       "cosine" -> Similarity.cosineTopK(emb),
       "lsh" -> Similarity.lshTopK(emb),
       "ivf" -> Similarity.ivfTopK(emb),
-      "pq" -> Similarity.pqTopK(emb)
+      "pq" -> Similarity.pqTopK(emb),
+      "ivfpq" -> Similarity.ivfpqTopKSeeded(emb)
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Window"),
@@ -245,14 +246,18 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
 
   test("PQ encode/ADC/refine shuffles only inside the two bounded rankers") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
-    val p = plan(Similarity.pqTopK(emb))
-    // Corpus→codes is a literal-codebook projection (no Exchange); the
-    // ADC join broadcasts the query LUTs; the refine join broadcasts the
-    // bounded shortlist into the corpus scan. The only shuffle Exchanges
-    // allowed are the two TopK rankers' (shortlist + final).
-    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
-    assert(shuffles <= 2, s"expected only the two rankers' shuffles, got $shuffles:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"refine must broadcast the bounded shortlist, not sort-merge the corpus:\n$p")
+    // Corpus→(cell,)codes is a literal-codebook projection (no
+    // Exchange); the ADC join broadcasts the query LUTs/probes; the
+    // refine join broadcasts the bounded shortlist into the corpus
+    // scan. The only shuffle Exchanges allowed are the two TopK
+    // rankers' (shortlist + final).
+    Seq("pq" -> Similarity.pqTopK(emb),
+        "ivfpq" -> Similarity.ivfpqTopKSeeded(emb)).foreach { case (name, df) =>
+      val p = plan(df)
+      val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+      assert(shuffles <= 2, s"$name: expected only the two rankers' shuffles, got $shuffles:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: refine must broadcast the bounded shortlist, not sort-merge the corpus:\n$p")
+    }
   }
 }
