@@ -162,6 +162,9 @@ object LlmQueries {
     "vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(docs(s, d)).orderBy(col("lang"), col("rk"))),
 
+    "bpe_pairs" -> ((s, d) =>
+      Bpe.bpePairs(docs(s, d)).orderBy(col("rk"))),
+
     "corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d))
         .withColumn("avg_words", round(col("avg_words"), 6))
@@ -1105,6 +1108,25 @@ object LlmQueries {
         |  FROM c)
         |SELECT lang, rk, token, CAST(n_occurrences AS BIGINT) AS n_occurrences
         |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |  FROM documents),
+        |freqs AS (
+        |  SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+        |syms AS (
+        |  SELECT list_append(regexp_split_to_array(w, ''), '</w>') AS l, freq
+        |  FROM freqs),
+        |pairs AS (
+        |  SELECT l[i] AS lhs, l[i+1] AS rhs, sum(freq) AS pair_count
+        |  FROM syms, unnest(generate_series(1, len(l)-1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY pair_count DESC, lhs, rhs) AS rk
+        |  FROM pairs)
+        |SELECT rk, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     "corpus_stats" ->
       """SELECT lang,
