@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema (binary payload + metadata struct),
   * partition-batched processing via mapPartitions, fixed-width feature
-  * output — is real and tested. The codec itself is STUBBED: this
-  * container has no image/audio libraries, so [[StubCodec]] produces a
-  * deterministic fake "decode" (byte statistics + a hash-seeded pseudo
-  * embedding) with the exact call shape a real decoder (JPEG → pixels,
-  * PCM → frames) would have. The seam is the [[MediaCodec]] trait every
-  * operator takes as a parameter — a real deployment implements it once
-  * (wrapping its native library) and nothing else changes.
+  * output — is real and tested, behind the [[MediaCodec]] trait every
+  * operator takes as a parameter. Two implementations ship:
+  * [[ImageIoCodec]], a REAL image decoder on the JDK's own
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — spec-verified against
+  * hand-computed pixels), and [[StubCodec]], a deterministic byte-level
+  * stand-in used where tests need payloads that aren't encoded images
+  * (and documenting the call shape for codecs this container can't back,
+  * e.g. H.264). A deployment with native video/audio libraries
+  * implements the trait once; the operators, schemas and partition
+  * shapes do not change.
   *
   * Scale shape: payload bytes never shuffle — media rows are processed
   * where they are read (mapPartitions, no keyed exchange); the output is
@@ -72,6 +75,109 @@ object Multimodal {
         val from = math.min(srcRow * meta.width, payload.length)
         val until = math.min(from + meta.width, payload.length)
         (i, srcRow, java.util.Arrays.copyOfRange(payload, from, until))
+      }
+    }
+  }
+
+  /** A REAL image codec on the JDK's own `javax.imageio` (PNG/JPEG/BMP/
+    * GIF decoders ship with Java SE — no external library): proof the
+    * [[MediaCodec]] seam takes a production implementation unchanged.
+    *
+    * - `decode`: payload → `BufferedImage` → integer-luminance
+    *   (299·R+587·G+114·B)/1000 statistics — histogram over
+    *   [[HistogramBins]], mean, and an 8-dim embedding from a 2×4
+    *   mean-pooled luminance grid (pixel → cell by index arithmetic, so
+    *   images narrower than the grid still pool deterministically).
+    *   Decoded dimensions come from the payload, not the declared meta —
+    *   a real codec trusts the bytes.
+    * - `resize`: nearest-neighbor rescale via `Graphics2D` (interpolation
+    *   hint pinned for determinism), re-encoded as PNG regardless of the
+    *   input format — callers tracking formats should rewrite meta to
+    *   `image/png` after a resize.
+    * - `sampleFrames`: n evenly-spaced DECODED luminance rows (same
+    *   row-grid contract as [[StubCodec]], but over real pixels).
+    *
+    * Throws `IllegalArgumentException` on an undecodable payload — media
+    * corpora carry corrupt files, and a silent zero-feature row would
+    * poison downstream stats; route records through a try/filter quarantine
+    * stage if dropping is the desired policy.
+    */
+  object ImageIoCodec extends MediaCodec {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def read(payload: Array[Byte], meta: MediaMeta): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null,
+        s"undecodable ${meta.kind}/${meta.format} payload (${payload.length} bytes)")
+      img
+    }
+
+    private def luminance(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    def decode(payload: Array[Byte], meta: MediaMeta): (Array[Long], Double, Array[Float]) = {
+      val img = read(payload, meta)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Long](HistogramBins)
+      val cellSum = new Array[Long](8)
+      val cellN = new Array[Long](8)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum = luminance(img.getRGB(x, y))
+          hist(lum * HistogramBins / 256) += 1
+          sum += lum
+          val cell = (y * 2 / h) * 4 + (x * 4 / w)
+          cellSum(cell) += lum
+          cellN(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val emb = Array.tabulate(8) { i =>
+        if (cellN(i) == 0) 0f
+        else (cellSum(i).toDouble / cellN(i) / 255.0).toFloat
+      }
+      (hist, if (n > 0) sum.toDouble / n else 0.0, emb)
+    }
+
+    def resize(payload: Array[Byte], meta: MediaMeta,
+               targetW: Int, targetH: Int): Array[Byte] = {
+      val img = read(payload, meta)
+      val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+    def sampleFrames(payload: Array[Byte], meta: MediaMeta,
+                     n: Int): Iterator[(Int, Int, Array[Byte])] = {
+      val img = read(payload, meta)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val frames = math.min(n, h)
+      (0 until frames).iterator.map { i =>
+        val srcRow = i * h / frames
+        val bytes = new Array[Byte](w)
+        var x = 0
+        while (x < w) {
+          bytes(x) = luminance(img.getRGB(x, srcRow)).toByte
+          x += 1
+        }
+        (i, srcRow, bytes)
       }
     }
   }

@@ -95,4 +95,89 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // n beyond the frame count: every frame once, none invented.
     assert(Multimodal.frameSample(Seq(rec).toDS(), 100).collect().length == 6)
   }
+
+  // --- ImageIoCodec: the real JDK decoder against hand-computed pixels ---
+
+  private def png(pixels: Array[Array[Int]]): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    val h = pixels.length; val w = pixels(0).length
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val Black = 0x000000; private val White = 0xffffff
+  private val Red = 0xff0000; private val Blue = 0x0000ff
+
+  test("ImageIoCodec.decode: real PNG, hand-computed luminance stats") {
+    // Luminance (299R+587G+114B)/1000: black 0, white 255, red 76, blue 29.
+    val payload = png(Array(Array(Black, White), Array(Red, Blue)))
+    val meta = Multimodal.MediaMeta("image", "image/png", 2, 2)
+    val (hist, mean, emb) = Multimodal.ImageIoCodec.decode(payload, meta)
+    assert(mean == (0 + 255 + 76 + 29) / 4.0)
+    // Bins lum*16/256: 0→0, 255→15, 76→4, 29→1.
+    assert(hist(0) == 1L && hist(15) == 1L && hist(4) == 1L && hist(1) == 1L)
+    assert(hist.sum == 4L)
+    // 2×4 pooling grid on a 2×2 image: x=0→cell col 0, x=1→col 2.
+    assert(emb(0) == 0f / 255f)          // black
+    assert(emb(2) == 1f)                 // white (255/255)
+    assert(emb(4) == (76.0 / 255.0).toFloat)  // red
+    assert(emb(6) == (29.0 / 255.0).toFloat)  // blue
+    assert(emb(1) == 0f && emb(3) == 0f && emb(5) == 0f && emb(7) == 0f)
+  }
+
+  test("ImageIoCodec flows through featurize unchanged (real PNG payloads)") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L,
+        Multimodal.MediaMeta("image", "image/png", 2, 2),
+        png(Array(Array(White, White), Array(White, White)))),
+      Multimodal.MediaRecord(2L,
+        Multimodal.MediaMeta("image", "image/png", 2, 1),
+        png(Array(Array(Black, Black)))))
+    val out = Multimodal.extractFeatures(recs.toDS(), Multimodal.ImageIoCodec)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).mean_byte == 255.0 && out(0).histogram(15) == 4L)
+    assert(out(1).mean_byte == 0.0 && out(1).histogram(0) == 2L)
+  }
+
+  test("ImageIoCodec.resize: nearest-neighbor, PNG round-trip, pixel-exact") {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    // 4×4 quadrant image → 2×2: each output pixel samples one quadrant.
+    val q = Array(
+      Array(Black, Black, White, White),
+      Array(Black, Black, White, White),
+      Array(Red, Red, Blue, Blue),
+      Array(Red, Red, Blue, Blue))
+    val meta = Multimodal.MediaMeta("image", "image/png", 4, 4)
+    val resized = Multimodal.ImageIoCodec.resize(png(q), meta, 2, 2)
+    val img = ImageIO.read(new ByteArrayInputStream(resized))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    val rgb = (x: Int, y: Int) => img.getRGB(x, y) & 0xffffff
+    assert(rgb(0, 0) == Black && rgb(1, 0) == White)
+    assert(rgb(0, 1) == Red && rgb(1, 1) == Blue)
+  }
+
+  test("ImageIoCodec.sampleFrames: decoded luminance rows, evenly spaced") {
+    val payload = png(Array(
+      Array(Black, Black), Array(White, White),
+      Array(Red, Red), Array(Blue, Blue)))
+    val meta = Multimodal.MediaMeta("image", "image/png", 2, 4)
+    val frames = Multimodal.ImageIoCodec.sampleFrames(payload, meta, 2).toSeq
+    assert(frames.map(f => (f._1, f._2)) == Seq((0, 0), (1, 2)))
+    assert(frames(0)._3.toSeq == Seq[Byte](0, 0))
+    assert(frames(1)._3.toSeq == Seq[Byte](76, 76))
+  }
+
+  test("ImageIoCodec rejects an undecodable payload loudly") {
+    val meta = Multimodal.MediaMeta("image", "image/png", 1, 1)
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode(Array[Byte](1, 2, 3), meta)
+    }
+  }
 }
