@@ -182,6 +182,149 @@ object Multimodal {
     }
   }
 
+  /** A REAL audio codec on the JDK's own `javax.sound.sampled` (WAV/PCM
+    * parsing ships with Java SE — no external library) — the audio twin
+    * of [[ImageIoCodec]] on the same [[MediaCodec]] seam.
+    *
+    * Samples are decoded to signed 16-bit PCM (the JDK converts 8-bit/
+    * endianness variants via `AudioSystem.getAudioInputStream(format,
+    * in)`), then mixed down to mono by averaging channels. Features:
+    * - `decode`: histogram over [[HistogramBins]] amplitude bins (sample
+    *   +32768 mapped onto [0, 65536)), mean ABSOLUTE amplitude
+    *   normalized to [0, 1] (loudness, not DC offset), and an 8-dim
+    *   embedding of per-window RMS over 8 equal time windows — the
+    *   classic cheap audio fingerprint.
+    * - `resize`: linear-interpolation resample to targetW × targetH
+    *   total samples, re-encoded as 16-bit mono WAV at the source rate
+    *   (duration changes, rate doesn't — "resize" is the sample-count
+    *   contract the trait declares).
+    * - `sampleFrames`: n evenly-spaced fixed-width windows of raw
+    *   little-endian 16-bit mono PCM bytes.
+    *
+    * Undecodable payloads throw `IllegalArgumentException`, same
+    * quarantine contract as [[ImageIoCodec]].
+    */
+  object WavCodec extends MediaCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    /** payload → (mono 16-bit samples, sample rate). */
+    private[graft] def readPcm(payload: Array[Byte], meta: MediaMeta): (Array[Int], Float) = {
+      val in =
+        try AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"undecodable ${meta.kind}/${meta.format} payload (${payload.length} bytes)", e)
+        }
+      val src = in.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+        src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      val bytes = pcm.readAllBytes()
+      val ch = src.getChannels
+      val nFrames = bytes.length / (2 * ch)
+      val mono = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var sum = 0; var c = 0
+        while (c < ch) {
+          val o = (f * ch + c) * 2
+          sum += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+          c += 1
+        }
+        mono(f) = sum / ch
+        f += 1
+      }
+      (mono, src.getSampleRate)
+    }
+
+    def decode(payload: Array[Byte], meta: MediaMeta): (Array[Long], Double, Array[Float]) = {
+      val (pcm, _) = readPcm(payload, meta)
+      val hist = new Array[Long](HistogramBins)
+      val winSumSq = new Array[Double](8)
+      val winN = new Array[Long](8)
+      var absSum = 0L
+      val n = pcm.length
+      var i = 0
+      while (i < n) {
+        val s = pcm(i)
+        hist((s + 32768) * HistogramBins / 65536) += 1
+        absSum += math.abs(s)
+        val w = (i.toLong * 8 / n).toInt
+        winSumSq(w) += s.toDouble * s
+        winN(w) += 1
+        i += 1
+      }
+      val emb = Array.tabulate(8) { w =>
+        if (winN(w) == 0) 0f
+        else (math.sqrt(winSumSq(w) / winN(w)) / 32768.0).toFloat
+      }
+      (hist, if (n > 0) absSum.toDouble / n / 32768.0 else 0.0, emb)
+    }
+
+    private def encodeWav(pcm: Array[Int], rate: Float): Array[Byte] = {
+      val bytes = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        val s = math.max(-32768, math.min(32767, pcm(i)))
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def resize(payload: Array[Byte], meta: MediaMeta,
+               targetW: Int, targetH: Int): Array[Byte] = {
+      val (pcm, rate) = readPcm(payload, meta)
+      val target = targetW * targetH
+      val out = new Array[Int](target)
+      if (pcm.nonEmpty) {
+        var i = 0
+        while (i < target) {
+          // Linear interpolation over the source index space.
+          val pos = if (target == 1) 0.0
+            else i.toDouble * (pcm.length - 1) / (target - 1)
+          val lo = pos.toInt
+          val hi = math.min(lo + 1, pcm.length - 1)
+          val frac = pos - lo
+          out(i) = math.round(pcm(lo) * (1 - frac) + pcm(hi) * frac).toInt
+          i += 1
+        }
+      }
+      encodeWav(out, rate)
+    }
+
+    def sampleFrames(payload: Array[Byte], meta: MediaMeta,
+                     n: Int): Iterator[(Int, Int, Array[Byte])] = {
+      val (pcm, _) = readPcm(payload, meta)
+      val width = math.max(1, meta.width)
+      val nWindows = math.max(1, pcm.length / width)
+      val frames = math.min(n, nWindows)
+      (0 until frames).iterator.map { i =>
+        val srcWin = i * nWindows / frames
+        val from = srcWin * width
+        val until = math.min(from + width, pcm.length)
+        val bytes = new Array[Byte]((until - from) * 2)
+        var j = from
+        while (j < until) {
+          val s = pcm(j)
+          bytes(2 * (j - from)) = (s & 0xff).toByte
+          bytes(2 * (j - from) + 1) = ((s >> 8) & 0xff).toByte
+          j += 1
+        }
+        (i, srcWin, bytes)
+      }
+    }
+  }
+
   /** Wrap documents as media records: payload = utf-8 bytes of the text
     * (the deterministic stand-in for real image/audio bytes), metadata
     * derived from doc fields.

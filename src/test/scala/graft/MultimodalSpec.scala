@@ -180,4 +180,78 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Multimodal.ImageIoCodec.decode(Array[Byte](1, 2, 3), meta)
     }
   }
+
+  // --- WavCodec: the real JDK WAV/PCM decoder against known samples ---
+
+  private def wav(samples: Array[Int], channels: Int = 1,
+                  rate: Float = 8000f): Array[Byte] = {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, channels, channels * 2, rate, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
+      samples.length.toLong / channels)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val wavMeta = Multimodal.MediaMeta("audio", "audio/wav", 2, 1)
+
+  test("WavCodec.decode: square wave, hand-computed amplitude stats") {
+    // 8 samples: +16384 ×4 then −16384 ×4.
+    val payload = wav(Array.fill(4)(16384) ++ Array.fill(4)(-16384))
+    val (hist, mean, emb) = Multimodal.WavCodec.decode(payload, wavMeta)
+    assert(mean == 0.5)                       // |16384| / 32768
+    // Bins (s+32768)*16/65536: +16384 → 12, −16384 → 4.
+    assert(hist(12) == 4L && hist(4) == 4L && hist.sum == 8L)
+    // Every eighth-window holds one sample of magnitude 16384 → RMS 0.5.
+    assert(emb.length == 8)
+    assert(emb.forall(_ == 0.5f))
+  }
+
+  test("WavCodec downmixes stereo to mono by channel average") {
+    // One stereo frame: L=100, R=200 → mono 150.
+    val payload = wav(Array(100, 200), channels = 2)
+    val (pcm, rate) = Multimodal.WavCodec.readPcm(payload, wavMeta)
+    assert(pcm.toSeq == Seq(150) && rate == 8000f)
+  }
+
+  test("WavCodec.resize: linear resample, WAV round-trip, sample-exact") {
+    val payload = wav(Array(0, 100, 200, 300))
+    val resized = Multimodal.WavCodec.resize(payload, wavMeta, 7, 1)
+    val (pcm, _) = Multimodal.WavCodec.readPcm(resized, wavMeta)
+    assert(pcm.toSeq == Seq(0, 50, 100, 150, 200, 250, 300))
+  }
+
+  test("WavCodec.sampleFrames: evenly-spaced PCM windows of meta.width samples") {
+    val payload = wav(Array(1, 2, 3, 4, 5, 6, 7, 8))
+    // meta.width = 2 → 4 windows; n=2 → windows 0 and 2.
+    val frames = Multimodal.WavCodec.sampleFrames(payload, wavMeta, 2).toSeq
+    assert(frames.map(f => (f._1, f._2)) == Seq((0, 0), (1, 2)))
+    def le(b: Array[Byte]) = b.grouped(2).map(p =>
+      ((p(0) & 0xff) | (p(1) << 8)).toShort.toInt).toSeq
+    assert(le(frames(0)._3) == Seq(1, 2))
+    assert(le(frames(1)._3) == Seq(5, 6))
+  }
+
+  test("WavCodec flows through featurize on the shared seam") {
+    import spark.implicits._
+    val rec = Multimodal.MediaRecord(9L, wavMeta,
+      wav(Array.fill(8)(16384)))
+    val out = Multimodal.extractFeatures(Seq(rec).toDS(), Multimodal.WavCodec)
+      .collect().head
+    assert(out.mean_byte == 0.5 && out.histogram(12) == 8L)
+  }
+
+  test("WavCodec rejects an undecodable payload loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode(Array[Byte](1, 2, 3, 4), wavMeta)
+    }
+  }
 }
