@@ -165,6 +165,20 @@ object LlmQueries {
     "bpe_pairs" -> ((s, d) =>
       Bpe.bpePairs(docs(s, d)).orderBy(col("rk"))),
 
+    // #50's oracle-checkable face: the full media plumbing (documents →
+    // MediaRecord → mapPartitions featurize) with the byte-level
+    // StubCodec, whose histogram/mean are pure arithmetic DuckDB can
+    // recompute from the same utf-8 bytes (corpus is printable ASCII, so
+    // char stats == byte stats). ImageIoCodec/WavCodec take the same
+    // seam, spec-verified against hand-computed pixels/samples.
+    "media_features" -> ((s, d) => {
+      val feats = graft.ops.Multimodal.featurize(docs(s, d)).toDF()
+      feats.select(col("doc_id"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          posexplode(col("histogram")).as(Seq("bin", "bin_count")))
+        .orderBy(col("doc_id"), col("bin"))
+    }),
+
     "corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d))
         .withColumn("avg_words", round(col("avg_words"), 6))
@@ -1127,6 +1141,23 @@ object LlmQueries {
         |  FROM pairs)
         |SELECT rk, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "media_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS n_bytes,
+        |    round(list_sum(list_transform(regexp_split_to_array(text, ''),
+        |            c -> ascii(c))) * 1.0 / length(text), 6) AS mean_byte,
+        |    regexp_split_to_array(text, '') AS cs
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, ascii(c) * 16 // 256 AS bin, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(cs) AS c FROM d) GROUP BY 1, 2),
+        |bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+        |SELECT d.doc_id, d.n_bytes, d.mean_byte, b.bin AS bin,
+        |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS bin_count
+        |FROM d CROSS JOIN bins b
+        |LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = b.bin
+        |ORDER BY d.doc_id, b.bin""".stripMargin,
 
     "corpus_stats" ->
       """SELECT lang,
