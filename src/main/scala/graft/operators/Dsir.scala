@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  * score raw documents by how much more likely their hashed n-gram
+  * features are under a target distribution than under the raw corpus
+  * distribution, then resample proportionally. The modern data-selection
+  * stage of an LLM training pipeline (select web text that "looks like"
+  * a curated target set).
+  *
+  * Spark-first scale shape: the ONLY corpus-scale pass is one
+  * unigram+bigram posting explode folded immediately to per-doc BUCKET
+  * multiplicities (map-side-combinable groupBy on (doc_id, bucket)).
+  * Both feature distributions then fold FROM that per-doc frame — the
+  * target by filtering the flag, the raw over everything — into tables
+  * bounded by [[Buckets]] rows, which join back per-bucket. At 100 TB
+  * the model is KBs (2×1024 counts) while the corpus pass stays one
+  * shuffle keyed on (doc_id, bucket); nothing corpus-sized is ever
+  * collected or broadcast.
+  *
+  * Hashing is the portable md5 32-bit fold of the minhash family
+  * ([[Dedup.minhashPairsPortable]]) mod [[Buckets]], so DuckDB replays
+  * the bucket assignment byte-for-byte and the `dsir_weights` row is
+  * hash-checked cross-engine. Probabilities are add-one smoothed per
+  * bucket; the only float steps are the two ln's and the Σ m·ln fold,
+  * rounded to 6 (the round-6 policy shared with [[TextAnalysis.lmScore]]).
+  */
+object Dsir {
+
+  val Buckets = 1024
+
+  /** Unigram + bigram postings (one row per OCCURRENCE), hashed to
+    * buckets: the single corpus-scale pass.
+    */
+  private def bucketPostings(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+      .withColumn("__t", filter(col("__t"), t => t =!= ""))
+    val uni = toks.select(col("doc_id"), explode(col("__t")).as("g"))
+    val bi = toks.filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => concat_ws(" ", element_at(col("__t"), i),
+          element_at(col("__t"), i + 1)))).as("g"))
+    uni.unionAll(bi).select(col("doc_id"),
+      (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+        % lit(Buckets)).as("bucket"))
+  }
+
+  /** #47m dsir_weights: per-document importance log-weight
+    * ln p_target(doc) − ln p_raw(doc) under hashed-n-gram bucket
+    * unigram models. `isTarget` marks the rows whose feature
+    * distribution defines the target (e.g. `col("lang") === "en"`);
+    * weights are emitted for EVERY document (target rows included —
+    * selection downstream decides the pool). Output:
+    * (doc_id, n_grams, log_weight).
+    */
+  def weights(documents: DataFrame, isTarget: Column): DataFrame = {
+    // Per-doc bucket multiplicities: the one corpus-scale aggregate.
+    val dbk = bucketPostings(documents)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("m"))
+    val flags = documents.select(col("doc_id"), isTarget.as("__is_target"))
+    val flagged = dbk.join(flags, Seq("doc_id"))
+    // Feature distributions fold FROM the per-doc counts (≤ Buckets rows
+    // each) — no second pass over raw postings.
+    val rc = flagged.groupBy(col("bucket")).agg(
+      sum(col("m")).as("cr"),
+      sum(when(col("__is_target"), col("m")).otherwise(0L)).as("ct"))
+    val tot = rc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    // Per-bucket log likelihood ratio, add-one smoothed; bucket tables
+    // are bounded by Buckets rows → broadcast back into the doc frame.
+    val lr = rc.crossJoin(broadcast(tot)).select(
+      col("bucket"),
+      (log((col("ct") + lit(1.0)) / (col("nt") + lit(Buckets)))
+        - log((col("cr") + lit(1.0)) / (col("nr") + lit(Buckets)))).as("lw"))
+    dbk.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_grams"),
+        round(sum(col("m") * col("lw")), 6).as("log_weight"))
+  }
+
+  /** Gumbel-top-k importance resampling — the paper's "sample without
+    * replacement ∝ exp(log_weight)" step, derandomized: each doc's
+    * Gumbel noise g = −ln(−ln(u)) comes from a uniform u folded from
+    * md5(doc_id) (u ∈ (0,1), never 0 or 1 by the +1/+2 shift), so the
+    * draw is reproducible across engines and runs. Top-k by perturbed
+    * weight via the bounded TakeOrdered shape — no global sort of the
+    * corpus ([[TopK.withRank]]).
+    */
+  def resample(weighted: DataFrame, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967298.0)   // (h+1)/(2^32+2)
+    val perturbed = weighted.withColumn("__g",
+      col("log_weight") - log(-log(u)))
+    TopK.withRank(perturbed, k,
+        Seq(TopK.descNum(col("__g")), col("doc_id")))
+      .select(col("rk"), col("doc_id"), col("n_grams"), col("log_weight"))
+  }
+}

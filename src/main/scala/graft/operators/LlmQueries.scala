@@ -165,6 +165,11 @@ object LlmQueries {
     "bpe_pairs" -> ((s, d) =>
       Bpe.bpePairs(docs(s, d)).orderBy(col("rk"))),
 
+    // DSIR importance weights against the lang='en' target slice — the
+    // hashed-feature fit and scoring replayed exactly by the oracle.
+    "dsir_weights" -> ((s, d) =>
+      Dsir.weights(docs(s, d), col("lang") === "en").orderBy(col("doc_id"))),
+
     // #50's oracle-checkable face: the full media plumbing (documents →
     // MediaRecord → mapPartitions featurize) with the byte-level
     // StubCodec, whose histogram/mean are pure arithmetic DuckDB can
@@ -1141,6 +1146,40 @@ object LlmQueries {
         |  FROM pairs)
         |SELECT rk, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(tk) AS g FROM t
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS g
+         |  FROM t WHERE len(tk) >= 2),
+         |dbk AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+         |      % ${Dsir.Buckets} AS bucket,
+         |    count(*) AS m
+         |  FROM grams GROUP BY 1, 2),
+         |rc AS (
+         |  SELECT d.bucket, sum(d.m) AS cr,
+         |    sum(CASE WHEN doc.lang = 'en' THEN d.m ELSE 0 END) AS ct
+         |  FROM dbk d JOIN documents doc USING (doc_id)
+         |  GROUP BY d.bucket),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM rc),
+         |lr AS (
+         |  SELECT bucket,
+         |    ln((ct + 1.0) / (nt + ${Dsir.Buckets}))
+         |      - ln((cr + 1.0) / (nr + ${Dsir.Buckets})) AS lw
+         |  FROM rc CROSS JOIN tot)
+         |SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_grams,
+         |  round(sum(d.m * l.lw), 6) AS log_weight
+         |FROM dbk d JOIN lr l USING (bucket)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "media_features" ->
       """WITH d AS (
