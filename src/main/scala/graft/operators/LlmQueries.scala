@@ -170,6 +170,12 @@ object LlmQueries {
     "dsir_weights" -> ((s, d) =>
       Dsir.weights(docs(s, d), col("lang") === "en").orderBy(col("doc_id"))),
 
+    // BM25 retrieval ranking for a fixed term set drawn from the corpus
+    // vocabulary — the lexical twin of the ANN rankers.
+    "bm25_topk" -> ((s, d) =>
+      Bm25.topk(docs(s, d), Seq("table", "scan", "join", "window"))
+        .orderBy(col("rk"))),
+
     // #50's oracle-checkable face: the full media plumbing (documents →
     // MediaRecord → mapPartitions featurize) with the byte-level
     // StubCodec, whose histogram/mean are pure arithmetic DuckDB can
@@ -1180,6 +1186,36 @@ object LlmQueries {
          |  round(sum(d.m * l.lw), 6) AS log_weight
          |FROM dbk d JOIN lr l USING (bucket)
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |d AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, g AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS g FROM d)
+        |  WHERE g IN ('table', 'scan', 'join', 'window')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, count(*) AS n_terms_matched,
+        |    round(sum(
+        |      ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN dfq q USING (term) CROSS JOIN stats s
+        |  GROUP BY tf.doc_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT rk, doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+        |  score
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     "media_features" ->
       """WITH d AS (

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bm25
+
+class Bm25Spec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "cat dog"),      // dl=2
+    (2L, "cat cat cat"),  // dl=3
+    (3L, "bird")          // dl=1
+  ).toDF("doc_id", "text")
+
+  private def bm25(tf: Int, dl: Int, df: Int, n: Int, avgdl: Double,
+                   k1: Double = 1.2, b: Double = 0.75): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+  }
+  private def r6(x: Double) = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("single term: hand-computed scores, tf and length normalization") {
+    val out = Bm25.topk(docs, Seq("cat"), k = 10).orderBy("rk").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L)) // d3 absent
+    // N=3, avgdl=2, df(cat)=2.
+    assert(out(0).getAs[Double]("score") == r6(bm25(3, 3, 2, 3, 2.0)))
+    assert(out(1).getAs[Double]("score") == r6(bm25(1, 2, 2, 3, 2.0)))
+    assert(out.forall(_.getAs[Long]("n_terms_matched") == 1L))
+  }
+
+  test("multi-term: per-term contributions sum; matched-term count") {
+    val out = Bm25.topk(docs, Seq("cat", "dog"), k = 10).orderBy("rk").collect()
+    val d1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(d1.getAs[Long]("n_terms_matched") == 2L)
+    // df(dog)=1: the rarer term carries the larger idf.
+    assert(d1.getAs[Double]("score") ==
+      r6(bm25(1, 2, 2, 3, 2.0) + bm25(1, 2, 1, 3, 2.0)))
+  }
+
+  test("terms absent from the corpus match nothing; empty query rejected") {
+    assert(Bm25.topk(docs, Seq("zebra")).count() == 0)
+    intercept[IllegalArgumentException] { Bm25.topk(docs, Seq.empty) }
+  }
+
+  test("ranks are dense and deterministic on ties") {
+    val tie = Seq((1L, "cat"), (2L, "cat")).toDF("doc_id", "text")
+    val out = Bm25.topk(tie, Seq("cat")).orderBy("rk").collect()
+    assert(out.map(r => (r.getAs[Int]("rk"), r.getAs[Long]("doc_id"))).toSeq ==
+      Seq((1, 1L), (2, 2L)))  // equal scores tie-break on doc_id
+  }
+}
