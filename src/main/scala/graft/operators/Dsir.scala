@@ -32,19 +32,23 @@ object Dsir {
   val Buckets = 1024
 
   /** Unigram + bigram postings (one row per OCCURRENCE), hashed to
-    * buckets: the single corpus-scale pass.
+    * buckets, carrying the target flag as a PROJECTION of the document
+    * row — so the fit never joins a corpus-cardinality flag table back
+    * on doc_id (the flag rides the one posting pass instead).
     */
-  private def bucketPostings(documents: DataFrame): DataFrame = {
+  private def bucketPostings(documents: DataFrame, isTarget: Column): DataFrame = {
     val toks = documents
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), isTarget.as("__is_target"),
+        Dedup.tokens(col("text")).as("__t"))
       .withColumn("__t", filter(col("__t"), t => t =!= ""))
-    val uni = toks.select(col("doc_id"), explode(col("__t")).as("g"))
+    val uni = toks.select(col("doc_id"), col("__is_target"),
+      explode(col("__t")).as("g"))
     val bi = toks.filter(size(col("__t")) >= 2)
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id"), col("__is_target"), explode(transform(
         sequence(lit(1), size(col("__t")) - 1),
         i => concat_ws(" ", element_at(col("__t"), i),
           element_at(col("__t"), i + 1)))).as("g"))
-    uni.unionAll(bi).select(col("doc_id"),
+    uni.unionAll(bi).select(col("doc_id"), col("__is_target"),
       (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
         % lit(Buckets)).as("bucket"))
   }
@@ -59,14 +63,18 @@ object Dsir {
     */
   def weights(documents: DataFrame, isTarget: Column): DataFrame = {
     // Per-doc bucket multiplicities: the one corpus-scale aggregate.
-    val dbk = bucketPostings(documents)
-      .groupBy(col("doc_id"), col("bucket"))
+    // The flag is functionally dependent on doc_id, so grouping by it
+    // adds no cardinality — and saves a corpus-sized doc_id join.
+    // Persisted: this frame feeds BOTH the distribution fit and the
+    // final scoring join — without the cut the posting explode re-scans
+    // the corpus per consumer (plan-contract-asserted at 2 scans).
+    val dbk = bucketPostings(documents, isTarget)
+      .groupBy(col("doc_id"), col("__is_target"), col("bucket"))
       .agg(count(lit(1)).as("m"))
-    val flags = documents.select(col("doc_id"), isTarget.as("__is_target"))
-    val flagged = dbk.join(flags, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Feature distributions fold FROM the per-doc counts (≤ Buckets rows
     // each) — no second pass over raw postings.
-    val rc = flagged.groupBy(col("bucket")).agg(
+    val rc = dbk.groupBy(col("bucket")).agg(
       sum(col("m")).as("cr"),
       sum(when(col("__is_target"), col("m")).otherwise(0L)).as("ct"))
     val tot = rc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))

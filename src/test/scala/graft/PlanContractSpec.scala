@@ -260,4 +260,52 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
         s"$name: refine must broadcast the bounded shortlist, not sort-merge the corpus:\n$p")
     }
   }
+
+  test("BM25: query-term filter precedes the explode; df/stats broadcast; no window") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.operators.Bm25.topk(docs, Seq("table", "scan")))
+    assert(!p.contains("Window"), s"bm25 must rank without a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"df/stats are q-row and 1-row tables — they must broadcast:\n$p")
+    // The explode's Generate must consume an array already filtered to
+    // the query terms (fan-out carries matches, not the corpus).
+    val gen = p.linesIterator.find(l =>
+      l.contains("Generate explode") && l.contains("filter")).getOrElse("")
+    assert(gen.nonEmpty, s"expected explode over the term-filtered array:\n$p")
+  }
+
+  test("DSIR: fit tables broadcast back; no corpus-cardinality flag join") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.operators.Dsir.weights(docs, col("lang") === "en"))
+    assert(!p.contains("SortMergeJoin"),
+      s"bucket tables are ≤Buckets rows — they must broadcast:\n$p")
+    // One posting pass: the per-doc bucket frame is persisted and every
+    // consumer reads the cache — the only parquet scans in the plan are
+    // the two union legs INSIDE the cached recipe (which the plan text
+    // reprints under each InMemoryTableScan reference).
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).size
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(cacheReads >= 2, s"both consumers must read the persisted frame:\n$p")
+    assert(scans <= 2 * cacheReads,
+      s"no parquet scan outside the cached posting pass ($scans scans, $cacheReads cache reads):\n$p")
+  }
+
+  test("BPE pair stats: two map-side-combinable shuffles, no window, no join") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.operators.Bpe.bpePairs(docs))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"bpe_pairs is two aggregates over projections:\n$p")
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    // word count + pair count (+ the k-row rank aggregate's single
+    // partition exchange at most).
+    assert(shuffles <= 3, s"expected word/pair-count shuffles only, got $shuffles:\n$p")
+  }
+
+  test("media featurize: payload bytes never shuffle before features") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.ops.Multimodal.featurize(docs).toDF())
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles == 0,
+      s"featurize is a single mapPartitions pass over the scan:\n$p")
+  }
 }
