@@ -101,8 +101,11 @@ object Dsir {
   def resample(weighted: DataFrame, k: Int): DataFrame = {
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967298.0)   // (h+1)/(2^32+2)
+    // Rounded to 6 before ranking (ties then break on doc_id): the
+    // perturbed key compares UNROUNDED nowhere, so a sub-ulp libm ln
+    // difference can never flip a cross-engine rank.
     val perturbed = weighted.withColumn("__g",
-      col("log_weight") - log(-log(u)))
+      round(col("log_weight") - log(-log(u)), 6))
     TopK.withRank(perturbed, k,
         Seq(TopK.descNum(col("__g")), col("doc_id")))
       .select(col("rk"), col("doc_id"), col("n_grams"), col("log_weight"))

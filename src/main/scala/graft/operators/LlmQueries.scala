@@ -18,6 +18,44 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** Shared CTE body for the DSIR oracles: hashed unigram+bigram bucket
+    * fit against the lang='en' target, per-doc log-weights in `w`.
+    */
+  private val dsirWeightsCte: String =
+    s"""t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '') AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(tk) AS g FROM t
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> tk[i] || ' ' || tk[i+1])) AS g
+       |  FROM t WHERE len(tk) >= 2),
+       |dbk AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+       |      % ${Dsir.Buckets} AS bucket,
+       |    count(*) AS m
+       |  FROM grams GROUP BY 1, 2),
+       |rc AS (
+       |  SELECT d.bucket, sum(d.m) AS cr,
+       |    sum(CASE WHEN doc.lang = 'en' THEN d.m ELSE 0 END) AS ct
+       |  FROM dbk d JOIN documents doc USING (doc_id)
+       |  GROUP BY d.bucket),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM rc),
+       |lr AS (
+       |  SELECT bucket,
+       |    ln((ct + 1.0) / (nt + ${Dsir.Buckets}))
+       |      - ln((cr + 1.0) / (nr + ${Dsir.Buckets})) AS lw
+       |  FROM rc CROSS JOIN tot),
+       |w AS (
+       |  SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_grams,
+       |    round(sum(d.m * l.lw), 6) AS log_weight
+       |  FROM dbk d JOIN lr l USING (bucket)
+       |  GROUP BY d.doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy(col("canonical_id"))),
@@ -169,6 +207,13 @@ object LlmQueries {
     // hashed-feature fit and scoring replayed exactly by the oracle.
     "dsir_weights" -> ((s, d) =>
       Dsir.weights(docs(s, d), col("lang") === "en").orderBy(col("doc_id"))),
+
+    // The paper's resampling step on those weights — derandomized
+    // Gumbel-top-k, the draw replayed exactly by the oracle.
+    "dsir_resample" -> ((s, d) =>
+      Dsir.resample(
+        Dsir.weights(docs(s, d), col("lang") === "en"), k = 50)
+        .orderBy(col("rk"))),
 
     // BM25 retrieval ranking for a fixed term set drawn from the corpus
     // vocabulary — the lexical twin of the ANN rankers.
@@ -1154,38 +1199,22 @@ object LlmQueries {
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     "dsir_weights" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         |      x -> x <> '') AS tk
-         |  FROM documents),
-         |grams AS (
-         |  SELECT doc_id, unnest(tk) AS g FROM t
-         |  UNION ALL
-         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-         |    i -> tk[i] || ' ' || tk[i+1])) AS g
-         |  FROM t WHERE len(tk) >= 2),
-         |dbk AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
-         |      % ${Dsir.Buckets} AS bucket,
-         |    count(*) AS m
-         |  FROM grams GROUP BY 1, 2),
-         |rc AS (
-         |  SELECT d.bucket, sum(d.m) AS cr,
-         |    sum(CASE WHEN doc.lang = 'en' THEN d.m ELSE 0 END) AS ct
-         |  FROM dbk d JOIN documents doc USING (doc_id)
-         |  GROUP BY d.bucket),
-         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM rc),
-         |lr AS (
-         |  SELECT bucket,
-         |    ln((ct + 1.0) / (nt + ${Dsir.Buckets}))
-         |      - ln((cr + 1.0) / (nr + ${Dsir.Buckets})) AS lw
-         |  FROM rc CROSS JOIN tot)
-         |SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_grams,
-         |  round(sum(d.m * l.lw), 6) AS log_weight
-         |FROM dbk d JOIN lr l USING (bucket)
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $dsirWeightsCte
+         |SELECT doc_id, n_grams, log_weight FROM w ORDER BY doc_id""".stripMargin,
+
+    "dsir_resample" ->
+      s"""WITH $dsirWeightsCte,
+         |g AS (
+         |  SELECT *,
+         |    round(log_weight - ln(-ln(
+         |      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |         AS BIGINT) + 1.0) / 4294967298.0)), 6) AS pg
+         |  FROM w),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY pg DESC, doc_id) AS rk
+         |  FROM g)
+         |SELECT rk, doc_id, n_grams, log_weight
+         |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin,
 
     "bm25_topk" ->
       """WITH t AS (
