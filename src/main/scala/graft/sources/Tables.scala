@@ -25,18 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to
-    * microsecond timestamps (`div 1000` = the same truncation DuckDB's
-    * `CAST(ts_ns AS TIMESTAMP)` applies — both engines agree on values).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * GraftSession.builder — loaders never mutate session conf.
+  /** `events.ts` arrives in whatever physical type the generator used —
+    * parquet TIMESTAMP(NANOS) (read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * GraftSession.builder; truncated here to micros, the same truncation
+    * DuckDB's `CAST(ts_ns AS TIMESTAMP)` applies) or TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (Spark reads TIMESTAMP_NTZ; cast to
+    * session-time TIMESTAMP — value-preserving under the UTC session
+    * timezone and identical to DuckDB's naive read). Downstream
+    * operators always see a plain TIMESTAMP column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
