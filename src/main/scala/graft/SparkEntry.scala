@@ -14,7 +14,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
     MarketQueries.queries ++ BreadthQueries.queries ++ ScreenerQueries.queries ++
-    AnalyticsQueries.queries ++ FundamentalsQueries.queries ++ LlmQueries.queries
+    AnalyticsQueries.queries ++ FundamentalsQueries.queries ++ LlmQueries.queries ++
+    TextSignalsQueries.queries
 
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
@@ -29,7 +30,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = relationalOracles ++ MarketQueries.oracles ++
     BreadthQueries.oracles ++ ScreenerQueries.oracles ++ AnalyticsQueries.oracles ++
-    FundamentalsQueries.oracles ++ LlmQueries.oracles
+    FundamentalsQueries.oracles ++ LlmQueries.oracles ++ TextSignalsQueries.oracles
 
   private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

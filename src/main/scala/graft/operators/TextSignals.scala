@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-signal operators for training-data curation, rounding out the
+  * text-analysis surface (SURVEY §2 #45c/45d/46b/47k/47l): winnowing
+  * fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS local
+  * fingerprinting scheme), corpus-level duplicate n-gram fraction (the
+  * Gopher/Dolma repetition filter at corpus grain), a hashed-feature
+  * linear quality classifier (the fastText-style scoring shape), vocab
+  * OOV-rate profiling, and per-document TF-IDF keyword extraction.
+  *
+  * Every operator hashes through the portable md5 32-bit fold shared
+  * with [[Dsir]] / [[Dedup.minhashPairsPortable]], so each carries a
+  * full cross-engine DuckDB oracle (no seeded-JVM-hash rows). Float
+  * policy matches the repo round-6 rule: integer/exact arithmetic as
+  * far as possible (the classifier folds integer weights and divides
+  * once), `round(_, 6)` at the output boundary, and rank keys are
+  * pre-rounded so cross-engine 1-ulp `ln` drift cannot flip an order.
+  */
+object TextSignals {
+
+  /** Portable 32-bit hash: first 8 hex digits of md5 as an unsigned
+    * BIGINT — replayable in any engine with md5 (DuckDB:
+    * `CAST(concat('0x', substr(md5(g),1,8)) AS BIGINT)`).
+    */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def tokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+      .withColumn("__t", filter(col("__t"), t => t =!= ""))
+
+  /** Token k-grams joined by single spaces, built from a MATERIALIZED
+    * token-array reference (fan-out lesson, SURVEY §5).
+    */
+  private def kgram(t: Column, i: Column, k: Int): Column =
+    concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j))): _*)
+
+  /** Winnowing packs (hash, position) into one BIGINT so a plain window
+    * `min` implements "min hash, rightmost position on ties": the low
+    * [[PosBits]] bits carry (2^21−1 − pos), so among equal hashes the
+    * LARGEST position wins the min. Positions are guarded below.
+    */
+  private val PosBits = 21
+  private val PosCap = 1L << PosBits
+
+  /** #47k winnow_fingerprint: winnowing document fingerprints
+    * (Schleimer, Wilkerson, Aiken 2003) — hash every k-token gram, slide
+    * a w-hash window, record the minimum of each window (rightmost on
+    * ties); the distinct (position, hash) picks are the fingerprint set.
+    * Guarantees a shared run of w+k−1 tokens always yields a shared
+    * fingerprint — the local-fingerprint dual of [[Dedup]]'s global
+    * minhash. Output is one row per document: gram count, fingerprint
+    * count, density and an order-free checksum (Σ selected hashes, tie
+    * duplicates included per the (pos,hash) set semantics).
+    *
+    * Scale shape: one projection fans tokens→grams (explicit positions,
+    * no self-join), the window partitions by doc_id ordered by pos —
+    * per-doc frames bounded by document length (the indicator-window
+    * shape: key cardinality ≫ executors, skew-safe at bar... doc grain).
+    * The encode guard raises past 2^21 grams per document rather than
+    * silently corrupting the packed key.
+    */
+  def winnowFingerprints(documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val toks = tokens(documents)
+    val nG = size(col("__t")) - (k - 1)
+    val agg = winnowSelect(documents, k, w).groupBy("doc_id").agg(
+      count(lit(1)).as("n_fps"), sum(col("fp_hash")).as("fp_checksum"))
+    toks.select(col("doc_id"), greatest(nG, lit(0)).cast("long").as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_fps"), lit(0L)).cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("fp_density"),
+        coalesce(col("fp_checksum"), lit(0L)).as("fp_checksum"))
+  }
+
+  /** The selected fingerprint set behind [[winnowFingerprints]]: one row
+    * per distinct (fp_pos, fp_hash) pick — the frame a plagiarism /
+    * local-overlap matcher would band-join on (winnowing's guarantee:
+    * any shared run of w+k−1 tokens shares at least one pick's hash).
+    */
+  def winnowSelect(documents: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val toks = tokens(documents)
+    val nG = size(col("__t")) - (k - 1)
+    val grams = toks.filter(size(col("__t")) >= k)
+      .select(col("doc_id"),
+        when(nG >= lit(PosCap), raise_error(concat(
+          lit(s"winnowFingerprints: doc "), col("doc_id").cast("string"),
+          lit(s" exceeds $PosCap grams — packed (hash,pos) key would overflow"))))
+          .otherwise(nG).as("__n"),
+        posexplode(transform(sequence(lit(1), nG),
+          i => kgram(col("__t"), i, k))).as(Seq("__p0", "__g")))
+      .select(col("doc_id"), col("__n"), (col("__p0") + 1).as("pos"),
+        h32(col("__g")).as("h"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    val enc = col("h") * lit(PosCap) + (lit(PosCap - 1) - col("pos"))
+    grams
+      .withColumn("__mn", min(enc).over(byPos))
+      // Only fully-formed windows select (first w−1 prefixes are covered
+      // by the window ending at w); short docs (< w grams) keep their
+      // one whole-doc window, so every non-empty doc fingerprints.
+      .filter(col("pos") >= least(lit(w), col("__n")))
+      .select(col("doc_id"), shiftright(col("__mn"), PosBits).as("fp_hash"),
+        (lit(PosCap - 1) - col("__mn") % lit(PosCap)).as("fp_pos"))
+      .distinct()
+  }
+
+  /** #45c dup_ngram_frac: corpus-level duplicate n-gram fraction — per
+    * document, the share of its n-gram OCCURRENCES whose gram also
+    * appears in at least one other document (the cross-document twin of
+    * [[TextAnalysis.docRepetition]]'s within-doc rate; the Gopher-rules
+    * "duplicate n-gram fraction" filter at corpus scale).
+    *
+    * Scale shape: grams shuffle as 8-byte hashes, never strings; the
+    * per-(doc, gram) fold combines map-side, the gram-grain doc count is
+    * a second bounded fold, and the join back runs on the hash key. A
+    * gram repeated millions of times corpus-wide is ONE row at gram
+    * grain — no skew amplification (the chunk_dedup argument).
+    */
+  def dupNgramFrac(documents: DataFrame, n: Int = 8): DataFrame = {
+    val toks = tokens(documents)
+    val nG = size(col("__t")) - (n - 1)
+    val grams = toks.filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), nG),
+        i => kgram(col("__t"), i, n))).as("__g"))
+      .select(col("doc_id"), h32(col("__g")).as("h"))
+    val perDocGram = grams.groupBy("doc_id", "h").agg(count(lit(1)).as("__m"))
+    val gramDocs = perDocGram.groupBy("h").agg(count(lit(1)).as("__nd"))
+    val agg = perDocGram.join(gramDocs, "h")
+      .groupBy("doc_id").agg(
+        sum(col("__m")).as("n_grams"),
+        sum(when(col("__nd") >= 2, col("__m")).otherwise(lit(0L))).as("n_dup"))
+    toks.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(col("n_dup").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Demo weight for a hash bucket: an affine integer scramble of the
+    * bucket id into [−10^6, 10^6] (Knuth multiplicative constant). A
+    * TRAINED model would be a broadcast `buckets`-row table joined on
+    * the bucket id; the plan shape (one posting pass, integer fold per
+    * doc) is identical — the pure-function weight just makes the row
+    * engine-replayable without shipping a model artifact.
+    */
+  private def bucketWeight(b: Column): Column =
+    (b * lit(2654435761L)) % lit(2000001L) - lit(1000000L)
+
+  /** #45d quality_classifier: hashed bag-of-words linear scorer — the
+    * fastText-style quality-classifier shape every web-corpus pipeline
+    * runs (hash tokens into `buckets` features, fold feature weights,
+    * squash to a keep probability). Weights fold as EXACT integers
+    * (Σ w_int, one double division at the end), so the only float steps
+    * are one divide and one sigmoid — cross-engine-stable under the
+    * round-6 policy. Empty docs score 0 → prob 0.5 → kept.
+    *
+    * Scale shape: the weight is computed inline from the bucket id, so
+    * the whole operator is one posting explode + map-side-combinable
+    * groupBy(doc_id) — no model join, no broadcast, no shuffle wider
+    * than (doc_id, partial sums).
+    */
+  def qualityClassifier(documents: DataFrame, buckets: Int = 4096): DataFrame = {
+    val toks = tokens(documents)
+    val agg = toks.select(col("doc_id"), explode(col("__t")).as("__tok"))
+      .select(col("doc_id"), bucketWeight(h32(col("__tok")) % lit(buckets)).as("__w"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__ws"))
+    val score = col("__ws").cast("double") / (col("n_tokens") * lit(1000000.0))
+    toks.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(score, 6), lit(0.0)).as("score"),
+        coalesce(round(lit(1.0) / (lit(1.0) + exp(-score)), 6), lit(0.5)).as("prob"),
+        coalesce(col("__ws") >= 0, lit(true)).as("keep"))
+  }
+
+  /** #46b oov_rate: vocabulary-coverage profile — build the corpus
+    * top-`vocabSize` token vocabulary (count desc, token asc — total
+    * order) and report each document's out-of-vocabulary token fraction.
+    * The tokenizer-coverage check run before committing a vocab to a
+    * training run; high OOV flags misencoded or off-domain documents.
+    *
+    * Scale shape: the (doc, token) fold combines map-side and is
+    * persisted — it feeds both the vocab derivation and the coverage
+    * fold, and recomputing it would re-scan the corpus. The vocab is
+    * `orderBy.limit` (TakeOrderedAndProject: per-partition heaps, no
+    * global window) and joins back BROADCAST — corpus rows never
+    * reshuffle for membership.
+    */
+  def oovRate(documents: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val toks = tokens(documents)
+    val tokCounts = toks.select(col("doc_id"), explode(col("__t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__m"))
+      .persist()
+    val vocab = tokCounts.groupBy("tok").agg(sum(col("__m")).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    val agg = tokCounts.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id").agg(
+        sum(col("__m")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__m")).otherwise(lit(0L))).as("n_oov"))
+    toks.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("oov_rate"))
+  }
+
+  /** #47l tfidf_keywords: per-document top-k TF-IDF terms — keyword
+    * extraction for corpus browsing/routing. idf is the smoothed
+    * `ln((N+1)/(df+1)) + 1` (never negative, never divides by zero);
+    * the rank key is the ROUNDED score (desc) then term (asc), so a
+    * 1-ulp cross-engine `ln` difference cannot reorder near-ties.
+    *
+    * Scale shape: tf folds map-side per (doc, term); df is a bounded
+    * term-grain fold joined back on the term key; N rides a broadcast
+    * 1-row aggregate (the [[Relational]] share-of-total shape). Ranking
+    * is the bounded [[TopK.groupedWithRank]] partial-aggregate top-k —
+    * the map side truncates to k per doc BEFORE the shuffle, the same
+    * no-window shape as the ANN rankers.
+    */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = tokens(documents)
+    val tf = toks.select(col("doc_id"), explode(col("__t")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("__N"))
+    val scored = tf.join(dfq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("__N") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    TopK.groupedWithRank(scored, Seq(col("doc_id")), k,
+      Seq(TopK.descNum(col("score")), col("term")))
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-contract wrappers + DuckDB oracles for the [[TextSignals]]
+  * corpus-signal operators (SURVEY §2 #45c/45d/46b/47k/47l). All five
+  * hash through the portable md5 fold, so every row is a full
+  * rows/schema/hash cross-engine check.
+  */
+object TextSignalsQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Shared token CTE: the DuckDB replay of [[Dedup.tokens]] + empty
+    * filter (the [[Dsir]] oracle's `t` block).
+    */
+  private val tokCte: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winnow_fingerprint" -> ((s, d) =>
+      TextSignals.winnowFingerprints(docs(s, d)).orderBy(col("doc_id"))),
+
+    "dup_ngram_frac" -> ((s, d) =>
+      TextSignals.dupNgramFrac(docs(s, d)).orderBy(col("doc_id"))),
+
+    "quality_classifier" -> ((s, d) =>
+      TextSignals.qualityClassifier(docs(s, d)).orderBy(col("doc_id"))),
+
+    "oov_rate" -> ((s, d) =>
+      TextSignals.oovRate(docs(s, d)).orderBy(col("doc_id"))),
+
+    "tfidf_keywords" -> ((s, d) =>
+      TextSignals.tfidfKeywords(docs(s, d)).orderBy(col("doc_id"), col("rk"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    // Winnowing replay: zipped unnests carry (pos, gram) in lockstep;
+    // the packed key makes "min hash, rightmost pos on ties" a plain
+    // window min with the same 4-row frame.
+    "winnow_fingerprint" ->
+      s"""WITH $tokCte,
+         |g AS (
+         |  SELECT doc_id, len(tk) - 3 AS n,
+         |    unnest(range(1, len(tk) - 2)) AS pos,
+         |    unnest(list_transform(range(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS gr
+         |  FROM t WHERE len(tk) >= 4),
+         |e AS (
+         |  SELECT doc_id, n, pos,
+         |    CAST(concat('0x', substr(md5(gr), 1, 8)) AS BIGINT) * 2097152
+         |      + (2097151 - pos) AS kc
+         |  FROM g),
+         |m AS (
+         |  SELECT doc_id, n, pos,
+         |    min(kc) OVER (PARTITION BY doc_id ORDER BY pos
+         |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+         |  FROM e),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, mn // 2097152 AS fp_hash,
+         |    2097151 - (mn % 2097152) AS fp_pos
+         |  FROM m WHERE pos >= least(4, n)),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_fps, sum(fp_hash) AS cks
+         |  FROM sel GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(greatest(len(tk) - 3, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(a.n_fps, 0) AS BIGINT) AS n_fps,
+         |  CASE WHEN len(tk) - 3 > 0
+         |    THEN round(coalesce(a.n_fps, 0) / (len(tk) - 3), 6)
+         |    ELSE 0.0 END AS fp_density,
+         |  CAST(coalesce(a.cks, 0) AS BIGINT) AS fp_checksum
+         |FROM t LEFT JOIN a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dup_ngram_frac" ->
+      s"""WITH $tokCte,
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(gr), 1, 8)) AS BIGINT) AS h
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+         |        || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS gr
+         |    FROM t WHERE len(tk) >= 8)),
+         |dg AS (SELECT doc_id, h, count(*) AS m FROM g GROUP BY 1, 2),
+         |nd AS (SELECT h, count(*) AS ndocs FROM dg GROUP BY 1),
+         |a AS (
+         |  SELECT doc_id, sum(m) AS n_grams,
+         |    sum(CASE WHEN ndocs >= 2 THEN m ELSE 0 END) AS n_dup
+         |  FROM dg JOIN nd USING (h) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+         |  CASE WHEN coalesce(a.n_grams, 0) > 0
+         |    THEN round(a.n_dup / a.n_grams, 6) ELSE 0.0 END AS dup_frac
+         |FROM t LEFT JOIN a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Integer weight fold: Σ w_int is exact in both engines; the only
+    // float steps are the final divide and the sigmoid.
+    "quality_classifier" ->
+      s"""WITH $tokCte,
+         |p AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t)),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum((b * 2654435761) % 2000001 - 1000000) AS ws
+         |  FROM p GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(round(a.ws / (a.n_tokens * 1000000.0), 6), 0.0) AS score,
+         |  coalesce(round(1.0 / (1.0 + exp(-(a.ws / (a.n_tokens * 1000000.0)))), 6),
+         |    0.5) AS prob,
+         |  coalesce(a.ws >= 0, TRUE) AS keep
+         |FROM t LEFT JOIN a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "oov_rate" ->
+      s"""WITH $tokCte,
+         |tc AS (
+         |  SELECT doc_id, tok, count(*) AS m
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+         |v AS (
+         |  SELECT tok FROM (SELECT tok, sum(m) AS cnt FROM tc GROUP BY 1)
+         |  ORDER BY cnt DESC, tok LIMIT 500),
+         |a AS (
+         |  SELECT tc.doc_id, sum(m) AS n_tokens,
+         |    sum(CASE WHEN v.tok IS NULL THEN m ELSE 0 END) AS n_oov
+         |  FROM tc LEFT JOIN v ON tc.tok = v.tok GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |    THEN round(a.n_oov / a.n_tokens, 6) ELSE 0.0 END AS oov_rate
+         |FROM t LEFT JOIN a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Rank key is the ROUNDED score then term — pre-rounding keeps a
+    // 1-ulp ln() divergence from flipping near-tied ranks cross-engine.
+    "tfidf_keywords" ->
+      s"""WITH $tokCte,
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |s AS (
+         |  SELECT doc_id, term, tf, df,
+         |    round(tf * (ln((nd + 1.0) / (df + 1)) + 1), 6) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, tf, df, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, term) AS rk
+         |  FROM s)
+         |SELECT doc_id, rk, term, tf, df, score
+         |FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+  )
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextSignals
+
+class TextSignalsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Test-side replica of [[TextSignals.h32]]: first 8 md5 hex digits as
+    * an unsigned 32-bit value.
+    */
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("winnow: doc shorter than k grams → zero row; k tokens → one fingerprint") {
+    val out = TextSignals.winnowFingerprints(docs(
+      1L -> "a b c",          // 3 tokens < k=4 → 0 grams
+      2L -> "a b c d"         // exactly one 4-gram
+    )).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_grams") == 0L && r1.getAs[Long]("n_fps") == 0L)
+    assert(r1.getAs[Double]("fp_density") == 0.0 && r1.getAs[Long]("fp_checksum") == 0L)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_grams") == 1L && r2.getAs[Long]("n_fps") == 1L)
+    assert(r2.getAs[Double]("fp_density") == 1.0)
+    assert(r2.getAs[Long]("fp_checksum") == md5h32("a b c d"))
+  }
+
+  test("winnow: short doc (< w grams) selects the whole-doc minimum once") {
+    // 5 tokens → grams "a b c d"@1, "b c d e"@2; n=2 < w=4 → only the
+    // window ending at pos 2 selects, picking the smaller hash.
+    val out = TextSignals.winnowFingerprints(docs(1L -> "a b c d e")).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_grams") == 2L && r.getAs[Long]("n_fps") == 1L)
+    assert(r.getAs[Long]("fp_checksum") ==
+      math.min(md5h32("a b c d"), md5h32("b c d e")))
+  }
+
+  test("winnow guarantee: shared w+k-1 token run shares a fingerprint hash") {
+    // Both docs contain the 7-token run "p q r s t u v" (w+k-1 = 7), in
+    // different surrounding contexts; winnowing must pick at least one
+    // common gram hash from inside the run.
+    val sel = TextSignals.winnowSelect(docs(
+      1L -> "m1 m2 m3 p q r s t u v n1 n2",
+      2L -> "z9 p q r s t u v z8 z7 z6 z5"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("fp_hash")))
+    val h1 = sel.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = sel.filter(_._1 == 2L).map(_._2).toSet
+    assert((h1 & h2).nonEmpty)
+  }
+
+  test("winnow: rightmost-on-tie — repeated gram collapses to distinct picks") {
+    // "a b a b a b a b a b" → every 4-gram alternates between two texts
+    // ("a b a b" / "b a b a"); selections dedupe to ≤ n distinct
+    // (pos, hash) picks and density stays in (0, 1].
+    val out = TextSignals.winnowFingerprints(docs(
+      1L -> "a b a b a b a b a b")).collect().head
+    val n = out.getAs[Long]("n_grams")
+    val f = out.getAs[Long]("n_fps")
+    assert(n == 7L && f >= 1L && f <= n)
+  }
+
+  test("dup_ngram_frac: exact duplicate grams across docs, none within") {
+    val run = (1 to 8).map(i => s"w$i").mkString(" ")   // one 8-gram
+    val out = TextSignals.dupNgramFrac(docs(
+      1L -> s"$run w9",                                 // grams: run@1, w2..w9@2
+      2L -> run,                                        // the shared gram
+      3L -> (11 to 18).map(i => s"u$i").mkString(" "),  // unique gram
+      4L -> "short doc"                                 // no grams
+    )).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("n_grams") == 2L &&
+      byId(1L).getAs[Long]("n_dup") == 1L &&
+      byId(1L).getAs[Double]("dup_frac") == 0.5)
+    assert(byId(2L).getAs[Long]("n_dup") == 1L &&
+      byId(2L).getAs[Double]("dup_frac") == 1.0)
+    assert(byId(3L).getAs[Long]("n_dup") == 0L &&
+      byId(3L).getAs[Double]("dup_frac") == 0.0)
+    assert(byId(4L).getAs[Long]("n_grams") == 0L &&
+      byId(4L).getAs[Double]("dup_frac") == 0.0)
+  }
+
+  test("quality_classifier: integer weight fold matches the hand-computed sigmoid") {
+    def w(tok: String): Long =
+      (md5h32(tok) % 4096L) * 2654435761L % 2000001L - 1000000L
+    val out = TextSignals.qualityClassifier(docs(
+      1L -> "alpha beta",
+      2L -> "!!!"                       // no tokens
+    )).orderBy("doc_id").collect()
+    val r1 = out(0)
+    val ws = w("alpha") + w("beta")
+    val score = ws.toDouble / 2e6
+    assert(r1.getAs[Long]("n_tokens") == 2L)
+    assert(r1.getAs[Double]("score") ==
+      BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r1.getAs[Double]("prob") ==
+      BigDecimal(1.0 / (1.0 + math.exp(-score)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r1.getAs[Boolean]("keep") == (ws >= 0))
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_tokens") == 0L && r2.getAs[Double]("score") == 0.0)
+    assert(r2.getAs[Double]("prob") == 0.5 && r2.getAs[Boolean]("keep"))
+  }
+
+  test("quality_classifier: score is a mean — repetition does not move it") {
+    val once = TextSignals.qualityClassifier(docs(1L -> "zeta"))
+      .collect().head.getAs[Double]("score")
+    val thrice = TextSignals.qualityClassifier(docs(1L -> "zeta zeta zeta"))
+      .collect().head.getAs[Double]("score")
+    assert(once == thrice)
+  }
+
+  test("oov_rate: top-V vocab by (count desc, token asc), per-doc OOV share") {
+    // totals: a=4, b=3, c=1 → vocab(V=2) = {a, b}; doc3 "b c" → 1/2 OOV.
+    val out = TextSignals.oovRate(docs(
+      1L -> "a a a", 2L -> "a b b", 3L -> "b c"), vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("oov_rate") == 0.0)
+    assert(out(1).getAs[Double]("oov_rate") == 0.0)
+    assert(out(2).getAs[Long]("n_oov") == 1L &&
+      out(2).getAs[Double]("oov_rate") == 0.5)
+  }
+
+  test("tfidf_keywords: hand-computed smoothed idf, rank by rounded score then term") {
+    // N=3; df: x=2, y=2, z=1, q=1; idf = ln((N+1)/(df+1)) + 1.
+    val out = TextSignals.tfidfKeywords(docs(
+      1L -> "x x y", 2L -> "x z", 3L -> "y y q q q"))
+      .orderBy("doc_id", "rk").collect()
+    def idf(df: Int) = math.log(4.0 / (df + 1)) + 1
+    def sc(tf: Int, df: Int) =
+      BigDecimal(tf * idf(df)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[String]("term")).toSeq == Seq("x", "y"))
+    assert(d1.head.getAs[Double]("score") == sc(2, 2))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    // z: 1·(ln2+1)=1.693147 beats x: 1·(ln(4/3)+1)=1.287682.
+    assert(d2.map(_.getAs[String]("term")).toSeq == Seq("z", "x"))
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.map(_.getAs[String]("term")).toSeq == Seq("q", "y"))
+    assert(d3.head.getAs[Double]("score") == sc(3, 1))
+    assert(out.forall(_.getAs[Int]("rk") <= 3))
+  }
+
+  test("tfidf_keywords: identical rounded scores break ties by term ascending") {
+    // Two singleton terms in one doc: same tf=1, same df=1 → equal
+    // scores; rank must order "aa" before "bb".
+    val out = TextSignals.tfidfKeywords(docs(1L -> "bb aa cc"))
+      .orderBy("rk").collect()
+    assert(out.map(_.getAs[String]("term")).toSeq == Seq("aa", "bb", "cc"))
+  }
+}
