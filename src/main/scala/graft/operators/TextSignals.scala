@@ -173,21 +173,25 @@ object TextSignals {
     * Scale shape: the weight is computed inline from the bucket id, so
     * the whole operator is one posting explode + map-side-combinable
     * groupBy(doc_id) — no model join, no broadcast, no shuffle wider
-    * than (doc_id, partial sums).
+    * than (doc_id, partial sums). A null sentinel rides the explode so
+    * token-less documents keep a group — no join back to the corpus
+    * just to emit their zero rows.
     */
   def qualityClassifier(documents: DataFrame, buckets: Int = 4096): DataFrame = {
     val toks = tokens(documents)
-    val agg = toks.select(col("doc_id"), explode(col("__t")).as("__tok"))
-      .select(col("doc_id"), bucketWeight(h32(col("__tok")) % lit(buckets)).as("__w"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__ws"))
-    val score = col("__ws").cast("double") / (col("n_tokens") * lit(1000000.0))
-    toks.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+    val agg = toks
       .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(round(score, 6), lit(0.0)).as("score"),
-        coalesce(round(lit(1.0) / (lit(1.0) + exp(-score)), 6), lit(0.5)).as("prob"),
-        coalesce(col("__ws") >= 0, lit(true)).as("keep"))
+        explode(concat(array(lit(null).cast("string")), col("__t"))).as("__tok"))
+      .groupBy("doc_id").agg(
+        count(col("__tok")).as("n_tokens"), // count() skips the sentinel
+        sum(when(col("__tok").isNotNull,
+          bucketWeight(h32(col("__tok")) % lit(buckets))).otherwise(lit(0L))).as("__ws"))
+    val score = col("__ws").cast("double") / (col("n_tokens") * lit(1000000.0))
+    agg.select(col("doc_id"), col("n_tokens"),
+      when(col("n_tokens") > 0, round(score, 6)).otherwise(lit(0.0)).as("score"),
+      when(col("n_tokens") > 0, round(lit(1.0) / (lit(1.0) + exp(-score)), 6))
+        .otherwise(lit(0.5)).as("prob"),
+      (col("__ws") >= 0).as("keep"))
   }
 
   /** #46b oov_rate: vocabulary-coverage profile — build the corpus

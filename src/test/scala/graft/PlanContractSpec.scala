@@ -308,4 +308,30 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles == 0,
       s"featurize is a single mapPartitions pass over the scan:\n$p")
   }
+
+  test("corpus signals: doc-partitioned window, joinless classifier, bounded tfidf") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // winnow: the selection window must partition by doc_id — a global
+    // window would single-task the whole corpus.
+    val pw = plan(graft.operators.TextSignals.winnowFingerprints(docs))
+    val winLine = pw.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert(winLine.contains("doc_id"),
+      s"winnow window must partition by doc_id: $winLine")
+    // classifier: sentinel-row shape — one corpus scan, no join at all.
+    val pq = plan(graft.operators.TextSignals.qualityClassifier(docs))
+    assert(!pq.contains("Join"), s"classifier must not join:\n$pq")
+    assert("Scan parquet".r.findAllIn(pq).size == 1,
+      s"classifier is one scan + one fold:\n$pq")
+    // tfidf: ranked by the bounded TopKStruct aggregate, never a window.
+    val pt = plan(graft.operators.TextSignals.tfidfKeywords(docs))
+    assert(!pt.contains("Window") && pt.contains("ObjectHashAggregate"),
+      s"tfidf must rank via the bounded aggregate:\n$pt")
+    // oov: vocab membership joins back broadcast; dup-ngram never
+    // goes pairwise.
+    val po = plan(graft.operators.TextSignals.oovRate(docs))
+    assert(po.contains("BroadcastHashJoin"),
+      s"oov_rate must broadcast the vocab:\n$po")
+    val pd = plan(graft.operators.TextSignals.dupNgramFrac(docs))
+    assert(!pd.contains("Cartesian"), s"dup_ngram_frac must stay keyed:\n$pd")
+  }
 }
