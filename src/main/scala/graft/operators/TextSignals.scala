@@ -229,6 +229,64 @@ object TextSignals {
           .otherwise(lit(0.0)).as("oov_rate"))
   }
 
+  /** #47q chunk_split: overlapping token-window chunking — the
+    * RAG-retrieval / context-window sequence-prep primitive (split every
+    * document into `chunkTokens`-token windows advancing by `stride`,
+    * overlap = chunkTokens − stride). Chunk 0 starts at token 1; the
+    * last chunk is the first window that reaches the document's end
+    * (shorter than `chunkTokens` only when the doc itself is). Each
+    * chunk carries its token span, the portable 32-bit hash (the key
+    * [[Dedup]]'s exact pass would dedup chunks on) and the normalized
+    * text.
+    *
+    * Scale shape: a pure projection + explode off the one materialized
+    * token array — zero shuffle, zero join; output partitioning follows
+    * the scan. The per-doc fan-out is n/stride rows, bounded by doc
+    * length.
+    */
+  def chunkSplit(documents: DataFrame, chunkTokens: Int = 128,
+                 stride: Int = 96): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val toks = tokens(documents)
+    val nT = size(col("__t"))
+    // Extra strides past the first window, integer-exact in both engines:
+    // (n - chunk + stride - 1) div stride.
+    val nExtra = when(nT > chunkTokens,
+      floor(((nT - chunkTokens + (stride - 1)).cast("double")) / stride).cast("int"))
+      .otherwise(lit(0))
+    toks.filter(nT > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nExtra),
+          c => slice(col("__t"), c * stride + 1, lit(chunkTokens)))).as(Seq("chunk_id", "__c")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_tok"),
+        size(col("__c")).as("n_tokens"),
+        h32(concat_ws(" ", col("__c"))).as("chunk_hash"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
+  /** #47r text_normalize: deterministic text canonicalization — the
+    * first pass of every corpus release (control chars → space,
+    * whitespace-run collapse, trim, lowercase) plus before/after stats
+    * and a changed flag. Patterns stay inside the Java∩RE2 syntax
+    * subset (explicit classes, no `\\s` — Java and RE2 disagree on
+    * vertical tab) so the oracle replays them verbatim, the
+    * [[TextAnalysis.piiScrub]] policy.
+    *
+    * Scale shape: embarrassingly parallel — one chained-regex
+    * projection, no shuffle, stays inside whole-stage codegen.
+    */
+  def textNormalize(documents: DataFrame): DataFrame = {
+    val ctrl = regexp_replace(col("text"), "[\\x00-\\x1f\\x7f]", " ")
+    val norm = lower(trim(regexp_replace(ctrl, " +", " ")))
+    documents.select(col("doc_id"),
+      length(col("text")).as("n_chars_raw"),
+      length(norm).as("n_chars_norm"),
+      (norm =!= col("text")).as("changed"),
+      norm.as("norm_text"))
+  }
+
   /** #47l tfidf_keywords: per-document top-k TF-IDF terms — keyword
     * extraction for corpus browsing/routing. idf is the smoothed
     * `ln((N+1)/(df+1)) + 1` (never negative, never divides by zero);

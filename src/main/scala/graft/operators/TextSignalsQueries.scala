@@ -39,6 +39,12 @@ object TextSignalsQueries {
 
     "tfidf_keywords" -> ((s, d) =>
       TextSignals.tfidfKeywords(docs(s, d)).orderBy(col("doc_id"), col("rk"))),
+
+    "chunk_split" -> ((s, d) =>
+      TextSignals.chunkSplit(docs(s, d)).orderBy(col("doc_id"), col("chunk_id"))),
+
+    "text_normalize" -> ((s, d) =>
+      TextSignals.textNormalize(docs(s, d)).orderBy(col("doc_id"))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -144,6 +150,46 @@ object TextSignalsQueries {
          |    THEN round(a.n_oov / a.n_tokens, 6) ELSE 0.0 END AS oov_rate
          |FROM t LEFT JOIN a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Chunk replay: DuckDB list slices are 1-based with INCLUSIVE ends,
+    // so window c covers tk[c*96+1 : c*96+128] (clamped past the doc
+    // end, matching Spark's slice overflow behavior).
+    "chunk_split" ->
+      s"""WITH $tokCte,
+         |d AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+         |c AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, 1 + CASE WHEN n > 128
+         |      THEN (n - 128 + 95) // 96 ELSE 0 END)) AS chunk_id,
+         |    tk, n
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id, chunk_id,
+         |    tk[chunk_id * 96 + 1 : least(chunk_id * 96 + 128, n)] AS ck
+         |  FROM c)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |  CAST(chunk_id * 96 + 1 AS INT) AS start_tok,
+         |  CAST(len(ck) AS INT) AS n_tokens,
+         |  CAST(concat('0x', substr(md5(array_to_string(ck, ' ')), 1, 8))
+         |    AS BIGINT) AS chunk_hash,
+         |  array_to_string(ck, ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same Java∩RE2 patterns the Spark plan runs, with DuckDB's 'g'
+    // flag supplying the replace-all Spark applies by default.
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    lower(trim(regexp_replace(
+        |      regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |      ' +', ' ', 'g'))) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_raw,
+        |  CAST(length(norm) AS INT) AS n_chars_norm,
+        |  norm <> text AS changed,
+        |  norm AS norm_text
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // Rank key is the ROUNDED score then term — pre-rounding keeps a
     // 1-ulp ln() divergence from flipping near-tied ranks cross-engine.

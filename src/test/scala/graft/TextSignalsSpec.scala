@@ -150,6 +150,49 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_.getAs[Int]("rk") <= 3))
   }
 
+  test("chunk_split: stride windows, clamped tail, full coverage, empty doc dropped") {
+    // 6 tokens, chunk=3, stride=2 → windows [1..3], [3..5], [5..6].
+    val out = TextSignals.chunkSplit(docs(
+      1L -> "t1 t2 t3 t4 t5 t6",
+      2L -> "a b",               // shorter than one chunk
+      3L -> "!!!"                // no tokens → no rows
+    ), chunkTokens = 3, stride = 2).orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Int]("start_tok")).toSeq == Seq(1, 3, 5))
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("t1 t2 t3", "t3 t4 t5", "t5 t6"))
+    assert(d1.map(_.getAs[Int]("n_tokens")).toSeq == Seq(3, 3, 2))
+    assert(d1.head.getAs[Long]("chunk_hash") == md5h32("t1 t2 t3"))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getAs[String]("chunk_text") == "a b")
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
+
+  test("chunk_split: every token position is covered by some chunk") {
+    val n = 403
+    val text = (1 to n).map(i => s"tok$i").mkString(" ")
+    val covered = TextSignals.chunkSplit(docs(1L -> text)).collect()
+      .flatMap { r =>
+        val s = r.getAs[Int]("start_tok")
+        s until (s + r.getAs[Int]("n_tokens"))
+      }.toSet
+    assert(covered == (1 to n).toSet)
+  }
+
+  test("text_normalize: control chars, whitespace runs, case; unchanged stays flagged false") {
+    val out = TextSignals.textNormalize(docs(
+      1L -> "  Hello\tWorld  extra ",
+      2L -> "already clean"
+    )).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[String]("norm_text") == "hello world extra")
+    assert(r1.getAs[Boolean]("changed"))
+    assert(r1.getAs[Int]("n_chars_norm") == "hello world extra".length)
+    val r2 = out(1)
+    assert(r2.getAs[String]("norm_text") == "already clean")
+    assert(!r2.getAs[Boolean]("changed"))
+  }
+
   test("tfidf_keywords: identical rounded scores break ties by term ascending") {
     // Two singleton terms in one doc: same tf=1, same df=1 → equal
     // scores; rank must order "aa" before "bb".
