@@ -229,6 +229,66 @@ object TextSignals {
           .otherwise(lit(0.0)).as("oov_rate"))
   }
 
+  /** Rule codes in report order — fixed so `reasons` strings are
+    * deterministic and machine-parseable.
+    */
+  val GopherRules: Seq[String] = Seq("too_short", "too_long", "word_len",
+    "long_word", "low_alpha", "no_stop", "symbol")
+
+  /** #45e gopher_filter: the Gopher repetition-free quality-rule battery
+    * (Rae et al. 2021 §A1.1, the rule set Dolma/RefinedWeb descend
+    * from), adapted to this corpus's scale: word-count bounds [5, 10^5],
+    * mean word length [2, 12], max word length ≤ 30, ≥70% words contain
+    * a letter, ≥2 stopword hits (union of the [[TextAnalysis.Stopwords]]
+    * profiles — the corpus is multilingual), symbol share ≤ 20%. Emits
+    * every metric, each failed rule's code in fixed [[GopherRules]]
+    * order, and the keep verdict — the auditable form a curation run
+    * logs, where a bare boolean hides WHY a document died.
+    *
+    * Scale shape: one projection over a materialized whitespace-word
+    * array — no shuffle, no join; ratio thresholds are single int/int
+    * IEEE divisions, portable cross-engine. The within-doc repetition
+    * rules live in [[TextAnalysis.docRepetition]] and the corpus-grain
+    * one in [[dupNgramFrac]] — composable, not duplicated here.
+    */
+  def gopherFilter(documents: DataFrame): DataFrame = {
+    val allStops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+    val base = documents.select(col("doc_id"), col("text"),
+      filter(split(col("text"), "[ \\t\\n\\r\\f]+"), w => w =!= "").as("__w"),
+      filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("__lt"))
+    val nWords = size(col("__w"))
+    val wordChars = length(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", ""))
+    val m = base.select(col("doc_id"),
+      nWords.as("n_words"),
+      when(nWords > 0, round(wordChars.cast("double") / nWords, 6))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      coalesce(array_max(transform(col("__w"), w => length(w))), lit(0))
+        .as("max_word_len"),
+      when(nWords > 0,
+        round(size(filter(col("__w"), w => w.rlike("[a-zA-Z]"))).cast("double") / nWords, 6))
+        .otherwise(lit(0.0)).as("alpha_share"),
+      size(filter(col("__lt"), t => t.isin(allStops: _*))).as("stop_hits"),
+      when(length(col("text")) > 0,
+        round(length(regexp_replace(col("text"), "[a-zA-Z0-9 \\t\\n\\r\\f]", ""))
+          .cast("double") / length(col("text")), 6))
+        .otherwise(lit(0.0)).as("symbol_share"))
+    val fails = array(
+      when(col("n_words") < 5, lit("too_short")),
+      when(col("n_words") > 100000, lit("too_long")),
+      when(col("mean_word_len") < 2 || col("mean_word_len") > 12, lit("word_len")),
+      when(col("max_word_len") > 30, lit("long_word")),
+      when(col("alpha_share") < 0.7, lit("low_alpha")),
+      when(col("stop_hits") < 2, lit("no_stop")),
+      when(col("symbol_share") > 0.2, lit("symbol")))
+    m.withColumn("__f", filter(fails, f => f.isNotNull))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("max_word_len"), col("alpha_share"), col("stop_hits"),
+        col("symbol_share"),
+        size(col("__f")).as("n_fail"),
+        (size(col("__f")) === 0).as("keep"),
+        array_join(col("__f"), ",").as("reasons"))
+  }
+
   /** #47q chunk_split: overlapping token-window chunking — the
     * RAG-retrieval / context-window sequence-prep primitive (split every
     * document into `chunkTokens`-token windows advancing by `stride`,

@@ -40,6 +40,9 @@ object TextSignalsQueries {
     "tfidf_keywords" -> ((s, d) =>
       TextSignals.tfidfKeywords(docs(s, d)).orderBy(col("doc_id"), col("rk"))),
 
+    "gopher_filter" -> ((s, d) =>
+      TextSignals.gopherFilter(docs(s, d)).orderBy(col("doc_id"))),
+
     "chunk_split" -> ((s, d) =>
       TextSignals.chunkSplit(docs(s, d)).orderBy(col("doc_id"), col("chunk_id"))),
 
@@ -150,6 +153,51 @@ object TextSignalsQueries {
          |    THEN round(a.n_oov / a.n_tokens, 6) ELSE 0.0 END AS oov_rate
          |FROM t LEFT JOIN a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Rule thresholds compare the ROUNDED metrics on both sides, so the
+    // verdict flags are exactly as portable as the metrics themselves.
+    "gopher_filter" -> {
+      val stops = graft.operators.TextAnalysis.Stopwords.values.flatten
+        .toSeq.distinct.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH w AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+         |      x -> x <> '') AS wl,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |      x -> x <> '') AS lt
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(wl) AS n_words,
+         |    CASE WHEN len(wl) > 0 THEN round(
+         |      length(regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g')) / len(wl), 6)
+         |      ELSE 0.0 END AS mean_word_len,
+         |    coalesce(list_max(list_transform(wl, x -> length(x))), 0) AS max_word_len,
+         |    CASE WHEN len(wl) > 0 THEN round(
+         |      len(list_filter(wl, x -> regexp_matches(x, '[a-zA-Z]'))) / len(wl), 6)
+         |      ELSE 0.0 END AS alpha_share,
+         |    len(list_filter(lt, x -> list_contains($stops, x))) AS stop_hits,
+         |    CASE WHEN length(text) > 0 THEN round(
+         |      length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))
+         |        / length(text), 6)
+         |      ELSE 0.0 END AS symbol_share
+         |  FROM w),
+         |f AS (
+         |  SELECT *, list_filter([
+         |    CASE WHEN n_words < 5 THEN 'too_short' END,
+         |    CASE WHEN n_words > 100000 THEN 'too_long' END,
+         |    CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_len' END,
+         |    CASE WHEN max_word_len > 30 THEN 'long_word' END,
+         |    CASE WHEN alpha_share < 0.7 THEN 'low_alpha' END,
+         |    CASE WHEN stop_hits < 2 THEN 'no_stop' END,
+         |    CASE WHEN symbol_share > 0.2 THEN 'symbol' END], x -> x IS NOT NULL) AS fl
+         |  FROM m)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+         |  CAST(max_word_len AS INT) AS max_word_len, alpha_share,
+         |  CAST(stop_hits AS INT) AS stop_hits, symbol_share,
+         |  CAST(len(fl) AS INT) AS n_fail, len(fl) = 0 AS keep,
+         |  coalesce(array_to_string(fl, ','), '') AS reasons
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     // Chunk replay: DuckDB list slices are 1-based with INCLUSIVE ends,
     // so window c covers tk[c*96+1 : c*96+128] (clamped past the doc

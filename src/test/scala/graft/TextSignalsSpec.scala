@@ -150,6 +150,34 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_.getAs[Int]("rk") <= 3))
   }
 
+  test("gopher_filter: rule battery fires per-rule codes in fixed order") {
+    val out = TextSignals.gopherFilter(docs(
+      1L -> "The cat sat on the mat and it is very big today",  // clean
+      2L -> "Tiny doc",                                          // <5 words, <2 stops
+      3L -> ("the of " + "x" * 35 + " and is here now ok"),      // 35-char word
+      4L -> "@@@@ #### $$$$ %%%% ^^^^ the of"                    // symbols
+    )).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep") &&
+      byId(1L).getAs[Int]("n_fail") == 0 &&
+      byId(1L).getAs[String]("reasons") == "")
+    assert(!byId(2L).getAs[Boolean]("keep") &&
+      byId(2L).getAs[String]("reasons") == "too_short,no_stop")
+    assert(byId(3L).getAs[String]("reasons").contains("long_word"))
+    val r4 = byId(4L)
+    assert(!r4.getAs[Boolean]("keep") &&
+      r4.getAs[String]("reasons").contains("symbol") &&
+      r4.getAs[Double]("alpha_share") < 0.7)
+  }
+
+  test("gopher_filter: empty text fails short and stop rules, ratios stay 0") {
+    val r = TextSignals.gopherFilter(docs(1L -> "")).collect().head
+    assert(r.getAs[Int]("n_words") == 0 && !r.getAs[Boolean]("keep"))
+    assert(r.getAs[Double]("mean_word_len") == 0.0 &&
+      r.getAs[Double]("symbol_share") == 0.0)
+    assert(r.getAs[String]("reasons") == "too_short,word_len,low_alpha,no_stop")
+  }
+
   test("chunk_split: stride windows, clamped tail, full coverage, empty doc dropped") {
     // 6 tokens, chunk=3, stride=2 → windows [1..3], [3..5], [5..6].
     val out = TextSignals.chunkSplit(docs(
