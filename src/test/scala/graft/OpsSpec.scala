@@ -61,6 +61,41 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(shardDirs.toSeq == Seq("shard_id=0", "shard_id=1"))
   }
 
+  test("jsonl ingest: corrupt lines quarantine, good rows parse, shards re-ingest") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    // Hand-authored feed: two good lines, one broken JSON, one missing
+    // the text column — the file an upstream producer actually ships.
+    val f = new java.io.File(s"$dir/feed.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s", "n_chars": 10}""")
+    w.println("""{"doc_id": 2, "text": "gamma", "lang": "en", "source": "s", "n_chars": 5}""")
+    w.println("""{"doc_id": 3, "text": BROKEN""")
+    w.println("""{"doc_id": 4, "lang": "en", "source": "s", "n_chars": 0}""")
+    w.close()
+    val good = graft.sources.Jsonl.documents(spark, f.toString)
+    assert(good.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+    assert(good.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val bad = graft.sources.Jsonl.corrupt(spark, f.toString).collect()
+    assert(bad.length == 2)
+    // The broken line's raw text is preserved verbatim for audit.
+    assert(bad.exists(r => Option(r.getAs[String]("raw_line"))
+      .exists(_.contains("BROKEN"))))
+    // The schema-valid-but-textless line quarantines too (parsed, so no
+    // raw_line — its doc_id names it).
+    assert(bad.exists(r => r.getAs[String]("raw_line") == null &&
+      r.getAs[Long]("doc_id") == 4L))
+
+    // Export → re-ingest: what jsonlShards writes, documents() reads
+    // back whole (partition layout tolerated, canonical columns).
+    val docs = (1L to 4L).map(i => (i, "w w w", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Export.jsonlShards(docs, s"$dir/corpus", budgetTokens = 5L)
+    val back = graft.sources.Jsonl.documents(spark, s"$dir/corpus")
+    assert(back.count() == 4)
+    assert(graft.sources.Jsonl.corrupt(spark, s"$dir/corpus").isEmpty)
+    assert(back.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("export: round-trip validation passes a clean write, names every defect") {
     val dir = Files.createTempDirectory("graft-rt").toString
     val df = Seq((d("2024-01-01"), 1L, 10.0), (d("2024-01-02"), 2L, 11.0))
