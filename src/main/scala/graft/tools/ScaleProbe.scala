@@ -146,6 +146,21 @@ object ScaleProbe {
         f"doc_repetition=$tRep%.2f stratified_sample=$tStrat%.2f " +
         f"chunk_dedup=$tChunk%.2f keep_best=$tKeepBest%.2f corpus_mix=$tMix%.2f " +
         f"vocab_topk=$tVocab%.2f spans=$tSpans%.2f spans_clean=$tSpansClean%.2f")
+      // Corpus signals (round 8): the cipher keeps per-copy token/gram
+      // structure (dup_ngram cross-copy overlap ~0, winnow picks and
+      // tfidf vocab diverge per copy) — the sweep measures the plans,
+      // not fixture artifacts.
+      val tWinnow = noopTime(TextSignals.winnowFingerprints(docs))
+      val tDupNgram = noopTime(TextSignals.dupNgramFrac(docs))
+      val tQc = noopTime(TextSignals.qualityClassifier(docs))
+      val tOov = noopTime(TextSignals.oovRate(docs))
+      val tTfidf = noopTime(TextSignals.tfidfKeywords(docs))
+      val tChunkSplit = noopTime(TextSignals.chunkSplit(docs))
+      val tNorm = noopTime(TextSignals.textNormalize(docs))
+      val tGopher = noopTime(TextSignals.gopherFilter(docs))
+      println(f"[scale-signal] k=$k winnow=$tWinnow%.2f dup_ngram=$tDupNgram%.2f " +
+        f"quality_cls=$tQc%.2f oov=$tOov%.2f tfidf=$tTfidf%.2f " +
+        f"chunk_split=$tChunkSplit%.2f normalize=$tNorm%.2f gopher=$tGopher%.2f")
     }
     spark.stop()
   }

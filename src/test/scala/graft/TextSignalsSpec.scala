@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextSignals
@@ -219,6 +220,69 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     val r2 = out(1)
     assert(r2.getAs[String]("norm_text") == "already clean")
     assert(!r2.getAs[Boolean]("changed"))
+  }
+
+  test("winnow property: planted shared runs always fingerprint-collide (seeded random docs)") {
+    // 20 random docs over a 30-token vocab; pairs (2i, 2i+1) carry the
+    // same planted 7-token run (w+k-1) at random offsets — the winnowing
+    // guarantee says every such pair must share a fingerprint hash.
+    val rnd = new scala.util.Random(42)
+    def tok() = s"v${rnd.nextInt(30)}"
+    val rows = (0 until 10).flatMap { i =>
+      val run = (0 until 7).map(_ => s"run${i}_${rnd.nextInt(1000)}")
+      Seq(2L * i, 2L * i + 1).map { id =>
+        val pre = Seq.fill(rnd.nextInt(20))(tok())
+        val post = Seq.fill(rnd.nextInt(20))(tok())
+        id -> (pre ++ run ++ post).mkString(" ")
+      }
+    }
+    val sel = TextSignals.winnowSelect(docs(rows: _*))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp_hash")).toSet }
+    (0 until 10).foreach { i =>
+      val (a, b) = (sel(2L * i), sel(2L * i + 1))
+      assert((a & b).nonEmpty, s"pair $i shares a 7-token run but no fingerprint")
+    }
+  }
+
+  test("chunk property: random lengths — full coverage and stride reconstruction") {
+    val rnd = new scala.util.Random(7)
+    val lens = (1 to 12).map(_ => 1 + rnd.nextInt(400))
+    val rows = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"d${i}x$j").mkString(" "))
+    }
+    val chunks = TextSignals.chunkSplit(docs(rows: _*))
+      .collect().groupBy(_.getLong(0))
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val cs = chunks(i.toLong).sortBy(_.getAs[Int]("chunk_id"))
+      val covered = cs.flatMap { r =>
+        val s = r.getAs[Int]("start_tok")
+        s until (s + r.getAs[Int]("n_tokens"))
+      }.toSet
+      assert(covered == (1 to n).toSet, s"doc $i len $n coverage hole")
+      // Reconstruction: each chunk's first `stride` tokens, then the
+      // last chunk's tail, replay the token sequence exactly.
+      val toks = cs.init.flatMap(_.getAs[String]("chunk_text").split(" ").take(96)) ++
+        cs.last.getAs[String]("chunk_text").split(" ")
+      assert(toks.toSeq == (1 to n).map(j => s"d${i}x$j"),
+        s"doc $i len $n reconstruction mismatch")
+    }
+  }
+
+  test("normalize property: idempotent on random noisy strings (seeded)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "aB c\tD\n e!@#  XyZ 09."
+    val rows = (0 until 25).map { i =>
+      (i.toLong, (0 until rnd.nextInt(80)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val once = TextSignals.textNormalize(docs(rows: _*))
+      .select(col("doc_id"), col("norm_text"))
+    val again = TextSignals.textNormalize(
+      once.select(col("doc_id"), col("norm_text").as("text")))
+      .orderBy("doc_id").collect()
+    assert(again.forall(!_.getAs[Boolean]("changed")),
+      "normalize must be a fixed point of itself")
   }
 
   test("tfidf_keywords: identical rounded scores break ties by term ascending") {
