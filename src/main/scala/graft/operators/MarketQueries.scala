@@ -105,6 +105,9 @@ object MarketQueries {
     "data_quality" -> ((s, d) =>
       Quality.dataQuality(Tables.events(s, d)).orderBy(col("user_id"))),
 
+    "feature_matrix" -> ((s, d) =>
+      ordered(Features.featureMatrix(bars(s, d)))),
+
     "ind_returns" -> ((s, d) => {
       val df = Indicators.withReturns(bars(s, d), Seq(5, 10))
         .select("user_id", "date", "close", "daily_return_pct",
@@ -389,6 +392,46 @@ object MarketQueries {
          |  round(obv, 6) AS obv,
          |  round(volume * delta, 6) AS volume_price_trend
          |FROM v ORDER BY user_id, date""".stripMargin,
+
+    // Leakage-safe ML matrix: every feature window ends at CURRENT ROW,
+    // only the label looks forward; complete-case filter on the FINAL
+    // feature values (a null-ma dist is null — same predicate Spark runs).
+    "feature_matrix" ->
+      s"""$BarsCte,
+         |b AS (
+         |  SELECT user_id, date, close, volume,
+         |    close / nullif(lag(close, 1) OVER wk, 0) - 1 AS ret1,
+         |    close / nullif(lag(close, 5) OVER wk, 0) - 1 AS mom5,
+         |    CASE WHEN count(close) OVER w5 = 5 THEN avg(close) OVER w5 END AS ma5,
+         |    CASE WHEN count(close) OVER w20 = 20 THEN avg(close) OVER w20 END AS ma20,
+         |    CASE WHEN count(volume) OVER w20 = 20 THEN avg(volume) OVER w20 END AS vma20,
+         |    lead(close, 1) OVER wk AS nxt
+         |  FROM bars
+         |  WINDOW
+         |    wk AS (PARTITION BY user_id ORDER BY date),
+         |    w5 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |    w20 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |c AS (
+         |  SELECT *,
+         |    CASE WHEN count(ret1) OVER r20 = 20
+         |      THEN stddev_samp(ret1) OVER r20 END AS vol20,
+         |    (close - ma5) / nullif(ma5, 0) AS dist5,
+         |    (close - ma20) / nullif(ma20, 0) AS dist20,
+         |    volume / nullif(vma20, 0) AS vratio,
+         |    nxt / nullif(close, 0) - 1 AS lab
+         |  FROM b
+         |  WINDOW r20 AS (PARTITION BY user_id ORDER BY date
+         |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, date,
+         |  round(ret1, 6) AS ret_1, round(mom5, 6) AS mom_5,
+         |  round(dist5, 6) AS dist_ma_5, round(dist20, 6) AS dist_ma_20,
+         |  round(vol20, 6) AS vol_20, round(vratio, 6) AS volume_ratio,
+         |  round(lab, 6) AS label_fwd
+         |FROM c
+         |WHERE ret1 IS NOT NULL AND mom5 IS NOT NULL AND dist5 IS NOT NULL
+         |  AND dist20 IS NOT NULL AND vol20 IS NOT NULL
+         |  AND vratio IS NOT NULL AND lab IS NOT NULL
+         |ORDER BY user_id, date""".stripMargin,
 
     // isodow <= 5 ≡ Spark's dayofweek ∉ {1=Sun, 7=Sat}: Mon–Fri.
     "data_quality" ->

@@ -271,4 +271,31 @@ class MarketSpec extends AnyFunSuite with SparkSpec {
     val m2 = col1(df, "momentum_2")
     assert(m2.take(2).forall(_.isEmpty) && math.abs(m2(2).get - 0.21) < 1e-12)
   }
+
+  test("feature matrix: leakage-safe — a future bar mutation moves only the label") {
+    // 30 daily bars, one key; closes vary so no division degenerates.
+    def mk(closes: Seq[Double]) =
+      closes.zipWithIndex.map { case (c, i) =>
+        (1L, d(f"2024-01-${i + 1}%02d"), c, 100L + i)
+      }.toDF("user_id", "date", "close", "volume")
+    val closes = (1 to 30).map(i => 100.0 + 3 * math.sin(i) + i * 0.5)
+    val a = graft.operators.Features.featureMatrix(mk(closes))
+      .orderBy("date").collect()
+    // Warmup: ret_1 needs 2 bars, mom_5 needs 6, ma/vol need 20, vol_20
+    // needs 21 (20 returns); label needs a next bar → rows are days
+    // 21..29.
+    assert(a.length == 9)
+    assert(a.head.getAs[Date]("date") == d("2024-01-21"))
+    // Mutate ONLY the last close: every feature row before day 29 must
+    // be bit-identical; day 29's label (and nothing else of day 29)
+    // moves.
+    val b = graft.operators.Features.featureMatrix(
+      mk(closes.init :+ (closes.last + 50.0))).orderBy("date").collect()
+    assert(b.length == 9)
+    a.init.zip(b.init).foreach { case (x, y) => assert(x == y) }
+    val (x29, y29) = (a.last, b.last)
+    Seq("ret_1", "mom_5", "dist_ma_5", "dist_ma_20", "vol_20", "volume_ratio")
+      .foreach(c => assert(x29.getAs[Double](c) == y29.getAs[Double](c), c))
+    assert(x29.getAs[Double]("label_fwd") != y29.getAs[Double]("label_fwd"))
+  }
 }
