@@ -29,6 +29,15 @@ object CorpusPipeline {
     * cluster survivor from lowest-id to highest-quality-score
     * ([[Dedup.keepBest]]) — near-dup members differ, and real curation
     * keeps the cleanest variant, not an arbitrary one.
+    *
+    * Opt-in round-8 stages (all projection-form — they extend the
+    * stage-1 single pass, never add a shuffle or join):
+    * `normalizeFirst` canonicalizes text ([[TextSignals.textNormalize]])
+    * before anything hashes or gates, so dedup keys see canonical
+    * bytes; `gopherRules` ANDs the Gopher rule-battery verdict
+    * ([[TextSignals.withGopher]]) into the gate; `classifierGate` ANDs
+    * the hashed linear classifier's verdict (inline integer-fold form,
+    * [[TextSignals.classifierKeepCol]]).
     */
   def curate(documents: DataFrame,
              minQuality: Double = 0.55,
@@ -36,10 +45,32 @@ object CorpusPipeline {
              pairsOf: DataFrame => DataFrame = d => Dedup.minhashPairs(d),
              valFrac: Double = 0.05,
              testFrac: Double = 0.05,
-             keepBestQuality: Boolean = false): DataFrame = {
-    // 1. Annotate + gate: one projection, both predicates in one pass.
-    val gated = TextAnalysis.withQuality(documents)
-      .filter(col("lang").isin(langs: _*) && col("quality_score") >= minQuality)
+             keepBestQuality: Boolean = false,
+             normalizeFirst: Boolean = false,
+             gopherRules: Boolean = false,
+             classifierGate: Boolean = false): DataFrame = {
+    // 0. Optional canonicalization — BEFORE hashing/gating so exact
+    //    dedup collapses case/whitespace variants of the same content.
+    val canonical =
+      if (!normalizeFirst) documents
+      else documents
+        .withColumn("text", operators.TextSignals.normalizeExpr(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // 1. Annotate + gate: one projection, every enabled predicate in the
+    //    same pass (the optional gates are appended columns, not joins).
+    val annotated = {
+      val q = TextAnalysis.withQuality(canonical)
+      if (gopherRules) operators.TextSignals.withGopher(q) else q
+    }
+    val gate = Seq(
+      Some(col("lang").isin(langs: _*) && col("quality_score") >= minQuality),
+      if (gopherRules) Some(col("gopher_keep")) else None,
+      if (classifierGate) Some(operators.TextSignals.classifierKeepCol(
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))) else None
+    ).flatten.reduce(_ && _)
+    val gated = annotated.filter(gate)
+      .drop("n_words", "mean_word_len", "max_word_len", "alpha_share",
+        "stop_hits", "symbol_share", "n_fail", "gopher_keep", "reasons")
     // 2. Exact dedup, keep-lowest-id: one shuffle on the content hash.
     //    Persisted: this frame feeds BOTH the pair emitter (materialized
     //    eagerly by the CC loop below) and the final anti-join — the cut

@@ -251,27 +251,43 @@ object TextSignals {
     * rules live in [[TextAnalysis.docRepetition]] and the corpus-grain
     * one in [[dupNgramFrac]] — composable, not duplicated here.
     */
-  def gopherFilter(documents: DataFrame): DataFrame = {
+  def gopherFilter(documents: DataFrame): DataFrame =
+    withGopher(documents)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("max_word_len"), col("alpha_share"), col("stop_hits"),
+        col("symbol_share"), col("n_fail"), col("gopher_keep").as("keep"),
+        col("reasons"))
+
+  /** [[gopherFilter]] as an APPENDING projection (originals kept, keep
+    * verdict in `gopher_keep`) — the composable form [[graft.CorpusPipeline]]
+    * gates on without a doc-grain self-join, the
+    * [[TextAnalysis.withQuality]] pattern.
+    */
+  def withGopher(documents: DataFrame): DataFrame = {
     val allStops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
-    val base = documents.select(col("doc_id"), col("text"),
-      filter(split(col("text"), "[ \\t\\n\\r\\f]+"), w => w =!= "").as("__w"),
-      filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("__lt"))
+    val base = documents
+      .withColumn("__w", filter(split(col("text"), "[ \\t\\n\\r\\f]+"), w => w =!= ""))
+      .withColumn("__lt", filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))
     val nWords = size(col("__w"))
     val wordChars = length(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", ""))
-    val m = base.select(col("doc_id"),
-      nWords.as("n_words"),
-      when(nWords > 0, round(wordChars.cast("double") / nWords, 6))
-        .otherwise(lit(0.0)).as("mean_word_len"),
-      coalesce(array_max(transform(col("__w"), w => length(w))), lit(0))
-        .as("max_word_len"),
-      when(nWords > 0,
-        round(size(filter(col("__w"), w => w.rlike("[a-zA-Z]"))).cast("double") / nWords, 6))
-        .otherwise(lit(0.0)).as("alpha_share"),
-      size(filter(col("__lt"), t => t.isin(allStops: _*))).as("stop_hits"),
-      when(length(col("text")) > 0,
-        round(length(regexp_replace(col("text"), "[a-zA-Z0-9 \\t\\n\\r\\f]", ""))
-          .cast("double") / length(col("text")), 6))
-        .otherwise(lit(0.0)).as("symbol_share"))
+    val m = base
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        when(nWords > 0, round(wordChars.cast("double") / nWords, 6))
+          .otherwise(lit(0.0)))
+      .withColumn("max_word_len",
+        coalesce(array_max(transform(col("__w"), w => length(w))), lit(0)))
+      .withColumn("alpha_share",
+        when(nWords > 0,
+          round(size(filter(col("__w"), w => w.rlike("[a-zA-Z]"))).cast("double") / nWords, 6))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_hits",
+        size(filter(col("__lt"), t => t.isin(allStops: _*))))
+      .withColumn("symbol_share",
+        when(length(col("text")) > 0,
+          round(length(regexp_replace(col("text"), "[a-zA-Z0-9 \\t\\n\\r\\f]", ""))
+            .cast("double") / length(col("text")), 6))
+          .otherwise(lit(0.0)))
     val fails = array(
       when(col("n_words") < 5, lit("too_short")),
       when(col("n_words") > 100000, lit("too_long")),
@@ -281,13 +297,21 @@ object TextSignals {
       when(col("stop_hits") < 2, lit("no_stop")),
       when(col("symbol_share") > 0.2, lit("symbol")))
     m.withColumn("__f", filter(fails, f => f.isNotNull))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("max_word_len"), col("alpha_share"), col("stop_hits"),
-        col("symbol_share"),
-        size(col("__f")).as("n_fail"),
-        (size(col("__f")) === 0).as("keep"),
-        array_join(col("__f"), ",").as("reasons"))
+      .withColumn("n_fail", size(col("__f")))
+      .withColumn("gopher_keep", size(col("__f")) === 0)
+      .withColumn("reasons", array_join(col("__f"), ","))
+      .drop("__w", "__lt", "__f")
   }
+
+  /** Inline (projection-form) classifier keep verdict over a MATERIALIZED
+    * token-array column: the integer weight fold as an `aggregate` HOF —
+    * interpreted per row, but ZERO shuffle, which is the right trade
+    * inside a gate predicate ([[qualityClassifier]]'s explode+fold stays
+    * the reporting form; same weights, same verdict — spec-asserted).
+    */
+  def classifierKeepCol(tokensCol: Column, buckets: Int = 4096): Column =
+    aggregate(tokensCol, lit(0L),
+      (acc, t) => acc + bucketWeight(h32(t) % lit(buckets))) >= 0
 
   /** #47q chunk_split: overlapping token-window chunking — the
     * RAG-retrieval / context-window sequence-prep primitive (split every
@@ -337,9 +361,15 @@ object TextSignals {
     * Scale shape: embarrassingly parallel — one chained-regex
     * projection, no shuffle, stays inside whole-stage codegen.
     */
+  /** The canonicalization expression itself — shared by [[textNormalize]]
+    * and [[graft.CorpusPipeline]]'s `normalizeFirst` stage.
+    */
+  def normalizeExpr(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), " +", " ")))
+
   def textNormalize(documents: DataFrame): DataFrame = {
-    val ctrl = regexp_replace(col("text"), "[\\x00-\\x1f\\x7f]", " ")
-    val norm = lower(trim(regexp_replace(ctrl, " +", " ")))
+    val norm = normalizeExpr(col("text"))
     documents.select(col("doc_id"),
       length(col("text")).as("n_chars_raw"),
       length(norm).as("n_chars_norm"),

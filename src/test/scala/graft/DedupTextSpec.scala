@@ -702,6 +702,43 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"expected best-quality survivor $bestOf13 and 6, got $best")
   }
 
+  test("corpus pipeline: opt-in normalize/gopher/classifier gates compose") {
+    import org.apache.spark.sql.functions.{col, filter, lower, split}
+    import graft.operators.TextSignals
+    val good = ("the cat and the dog sat in the house and it was warm " * 3).trim
+    val longw = "the cat and the dog sat by the " + "x" * 35 + " and it was here"
+    val rows = Seq(
+      (1L, "  " + good.toUpperCase + "  ", "en", "src0"), // normalizes to `good`
+      (4L, longw, "en", "src0"),                 // quality-OK, gopher long_word
+      (6L, "the bird flew to the sea and it was far away from home today", "en", "src1"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.5)
+    // normalizeFirst: the survivor's text is canonical bytes — dedup and
+    // every downstream hash see the normalized form.
+    val norm = CorpusPipeline.curate(rows, pairsOf = pairs, normalizeFirst = true)
+      .collect()
+    assert(norm.find(_.getAs[Long]("doc_id") == 1L).get
+      .getAs[String]("text") == good)
+    // gopherRules: the 35-char-word doc dies only when the battery is on.
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    val plain = ids(CorpusPipeline.curate(rows, pairsOf = pairs))
+    val goph = ids(CorpusPipeline.curate(rows, pairsOf = pairs, gopherRules = true))
+    assert(plain.contains(4L) && !goph.contains(4L) && goph.contains(6L))
+    // classifierGate: inline HOF verdict ≡ the explode+fold reporting
+    // verdict, and the pipeline applies exactly it.
+    val keepMap = TextSignals.qualityClassifier(rows).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val inlineMap = rows.select(col("doc_id"), TextSignals.classifierKeepCol(
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("k")).toMap
+    assert(inlineMap == keepMap)
+    val cls = ids(CorpusPipeline.curate(rows, pairsOf = pairs, classifierGate = true))
+    assert(cls == plain.filter(keepMap))
+  }
+
   test("banded LSH near-dup pairs: exact parity on identical-direction clusters") {
     // Scaled copies share the hyperplane signature exactly (sign(⟨v,r⟩)
     // is scale-invariant), so every true pair is a candidate in every
