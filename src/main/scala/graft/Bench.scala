@@ -160,8 +160,11 @@ object Bench {
     // The driver's capture lost the JSON line on both gated rounds (r3,
     // r4 record `parsed: null`) — persist it to a file too, and re-print
     // it as the very last stdout line after the gate decides, so a rc!=0
-    // exit still leaves parseable numbers.
-    try {
+    // exit still leaves parseable numbers. FULL runs only: a filtered
+    // profiling run must not clobber the suite-wide artifact with a
+    // partial total (that happened — three round-8 seeding runs each
+    // overwrote the 100-query snapshot).
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_result.json", "UTF-8")
       try w.println(jsonLine) finally w.close()
     } catch { case e: Throwable =>

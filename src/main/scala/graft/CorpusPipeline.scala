@@ -51,13 +51,16 @@ object CorpusPipeline {
              classifierGate: Boolean = false): DataFrame = {
     // 0. Optional canonicalization — BEFORE hashing/gating so exact
     //    dedup collapses case/whitespace variants of the same content.
+    //    (n_chars needs no recompute: withQuality overwrites it.)
     val canonical =
       if (!normalizeFirst) documents
-      else documents
-        .withColumn("text", operators.TextSignals.normalizeExpr(col("text")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      else documents.withColumn("text", operators.TextSignals.normalizeExpr(col("text")))
     // 1. Annotate + gate: one projection, every enabled predicate in the
     //    same pass (the optional gates are appended columns, not joins).
+    //    The gopher annotation columns are dropped after gating so the
+    //    output schema matches the default path (withQuality's columns,
+    //    n_words included, stay — withGopher's same-named overwrite wins
+    //    when the battery is on).
     val annotated = {
       val q = TextAnalysis.withQuality(canonical)
       if (gopherRules) operators.TextSignals.withGopher(q) else q
@@ -66,11 +69,12 @@ object CorpusPipeline {
       Some(col("lang").isin(langs: _*) && col("quality_score") >= minQuality),
       if (gopherRules) Some(col("gopher_keep")) else None,
       if (classifierGate) Some(operators.TextSignals.classifierKeepCol(
-        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))) else None
+        operators.TextSignals.tokensCol(col("text")))) else None
     ).flatten.reduce(_ && _)
+    val gopherOnlyCols = Seq("mean_word_len", "max_word_len", "alpha_share",
+      "stop_hits", "symbol_share", "n_fail", "gopher_keep", "reasons")
     val gated = annotated.filter(gate)
-      .drop("n_words", "mean_word_len", "max_word_len", "alpha_share",
-        "stop_hits", "symbol_share", "n_fail", "gopher_keep", "reasons")
+      .drop((if (gopherRules) gopherOnlyCols else Nil): _*)
     // 2. Exact dedup, keep-lowest-id: one shuffle on the content hash.
     //    Persisted: this frame feeds BOTH the pair emitter (materialized
     //    eagerly by the CC loop below) and the final anti-join — the cut

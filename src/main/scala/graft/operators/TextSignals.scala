@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-signal operators for training-data curation, rounding out the
-  * text-analysis surface (SURVEY §2 #45c/45d/46b/47k/47l): winnowing
+  * text-analysis surface (SURVEY §2 #45c/45d/45e/46b/47o–47r): winnowing
   * fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS local
   * fingerprinting scheme), corpus-level duplicate n-gram fraction (the
   * Gopher/Dolma repetition filter at corpus grain), a hashed-feature
@@ -28,9 +28,17 @@ object TextSignals {
     */
   def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** The canonical token-array expression every signal folds over:
+    * [[Dedup.tokens]] with empties removed. Public so composition sites
+    * (the [[graft.CorpusPipeline]] classifier gate) use THIS expression
+    * rather than re-deriving it — a tokenizer change must move every
+    * consumer together.
+    */
+  def tokensCol(text: Column): Column =
+    filter(Dedup.tokens(text), t => t =!= "")
+
   private def tokens(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
-      .withColumn("__t", filter(col("__t"), t => t =!= ""))
+    documents.select(col("doc_id"), tokensCol(col("text")).as("__t"))
 
   /** Token k-grams joined by single spaces, built from a MATERIALIZED
     * token-array reference (fan-out lesson, SURVEY §5).
@@ -46,7 +54,7 @@ object TextSignals {
   private val PosBits = 21
   private val PosCap = 1L << PosBits
 
-  /** #47k winnow_fingerprint: winnowing document fingerprints
+  /** #47o winnow_fingerprint: winnowing document fingerprints
     * (Schleimer, Wilkerson, Aiken 2003) — hash every k-token gram, slide
     * a w-hash window, record the minimum of each window (rightmost on
     * ties); the distinct (position, hash) picks are the fingerprint set.
@@ -200,18 +208,19 @@ object TextSignals {
     * The tokenizer-coverage check run before committing a vocab to a
     * training run; high OOV flags misencoded or off-domain documents.
     *
-    * Scale shape: the (doc, token) fold combines map-side and is
-    * persisted — it feeds both the vocab derivation and the coverage
-    * fold, and recomputing it would re-scan the corpus. The vocab is
-    * `orderBy.limit` (TakeOrderedAndProject: per-partition heaps, no
-    * global window) and joins back BROADCAST — corpus rows never
-    * reshuffle for membership.
+    * Scale shape: the (doc, token) fold combines map-side and feeds both
+    * the vocab derivation and the coverage fold — recomputed, not
+    * persisted (the [[dupNgramFrac]] decision: a second codegen'd scan
+    * is cheaper than materializing a corpus-sized intermediate, and a
+    * bare persist inside an operator leaks — the caller holds no handle
+    * to unpersist). The vocab is `orderBy.limit` (TakeOrderedAndProject:
+    * per-partition heaps, no global window) and joins back BROADCAST —
+    * corpus rows never reshuffle for membership.
     */
   def oovRate(documents: DataFrame, vocabSize: Int = 500): DataFrame = {
     val toks = tokens(documents)
     val tokCounts = toks.select(col("doc_id"), explode(col("__t")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("__m"))
-      .persist()
     val vocab = tokCounts.groupBy("tok").agg(sum(col("__m")).as("__cnt"))
       .orderBy(col("__cnt").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("__in"))
@@ -377,7 +386,7 @@ object TextSignals {
       norm.as("norm_text"))
   }
 
-  /** #47l tfidf_keywords: per-document top-k TF-IDF terms — keyword
+  /** #47p tfidf_keywords: per-document top-k TF-IDF terms — keyword
     * extraction for corpus browsing/routing. idf is the smoothed
     * `ln((N+1)/(df+1)) + 1` (never negative, never divides by zero);
     * the rank key is the ROUNDED score (desc) then term (asc), so a

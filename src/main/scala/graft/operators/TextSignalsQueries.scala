@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Driver-contract wrappers + DuckDB oracles for the [[TextSignals]]
-  * corpus-signal operators (SURVEY §2 #45c/45d/46b/47k/47l). All five
+  * corpus-signal operators (SURVEY §2 #45c/45d/45e/46b/47o–47r). All five
   * hash through the portable md5 fold, so every row is a full
   * rows/schema/hash cross-engine check.
   */
