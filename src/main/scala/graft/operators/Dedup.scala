@@ -557,14 +557,21 @@ object Dedup {
     * md5+hex-decode per posting being the remaining gap).
     */
   def minhashPairsPortable(documents: DataFrame, minJaccard: Double = 0.3,
-                           maxBucket: Int = 1024): DataFrame = {
+                           maxBucket: Int = 1024): DataFrame =
+    minhashVerify(portableBandKeys(documents), documents, minJaccard, maxBucket)
+
+  /** The portable-family LSH banding alone: one (doc_id, band, band_key)
+    * row per band — the shared front of [[minhashPairsPortable]] and
+    * [[decontaminateFuzzy]].
+    */
+  private[graft] def portableBandKeys(documents: DataFrame): DataFrame = {
     val mhCols = (0 until Perms).map(i =>
       min((lit(permA(i)) * col("hm") + lit(permB(i))) % lit(PermM)).as(s"mh_$i"))
     val sigs = shinglePostingsRaw(documents)
       .withColumn("hm",
         conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % lit(PermM))
       .groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-    val banded = sigs
+    sigs
       .select(
         col("doc_id"),
         explode(array((0 until Bands).map { b =>
@@ -573,7 +580,64 @@ object Dedup {
               .map(i => col(s"mh_$i").cast("string")): _*)).as("band_key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    minhashVerify(banded, documents, minJaccard, maxBucket)
+  }
+
+  /** #40h decontaminate_fuzzy: NEAR-duplicate benchmark decontamination —
+    * the minhash twin of the verbatim-n-gram [[decontaminate]]. Verbatim
+    * gram overlap misses paraphrased or lightly-edited benchmark leakage
+    * (reordered sentences, s/the/a/ edits); fuzzy decontamination flags
+    * every corpus document whose shingle-set Jaccard against ANY
+    * benchmark document clears `minJaccard`, reporting the match count,
+    * the best similarity and the matched benchmark doc (ties broken to
+    * the lowest bench id — deterministic cross-engine).
+    *
+    * Scale shape: ONE portable-minhash banding pass over bench ∪ corpus
+    * ([[portableBandKeys]] — the dedup pipeline reused asymmetrically);
+    * the benchmark's band keys reduce to a distinct (band, key, bench_id)
+    * table that BROADCASTS (benchmarks are tiny relative to a training
+    * corpus), so corpus rows never shuffle for candidacy. Exact-Jaccard
+    * verification builds shingle arrays only for candidate docs
+    * (left-semi), the [[minhashVerify]] O(candidates) argument.
+    */
+  def decontaminateFuzzy(documents: DataFrame, benchMod: Int = 20,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === 0
+    val banded = portableBandKeys(documents)
+    val benchKeys = banded.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0)
+      .select(col("band"), col("band_key"), col("doc_id").as("bench_id"))
+      .distinct()
+    val cand = banded.filter(pmod(col("doc_id"), lit(benchMod.toLong)) =!= 0)
+      .join(broadcast(benchKeys), Seq("band", "band_key"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val candDocs = cand.select(col("doc_id")).distinct()
+    val candBench = cand.select(col("bench_id").as("doc_id")).distinct()
+    val shC = withHashedShingles(
+        documents.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("hs"))
+    val shB = withHashedShingles(
+        documents.join(broadcast(candBench), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("bench_id"), col("hs").as("hsb"))
+    val verified = cand.join(shC, Seq("doc_id")).join(shB, Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        size(array_intersect(col("hs"), col("hsb"))).as("__nc"),
+        (size(col("hs")) + size(col("hsb"))).as("__nt"))
+      .withColumn("__j", col("__nc").cast("double") /
+        nullif((col("__nt") - col("__nc")).cast("double"), lit(0.0)))
+      .filter(col("__j") >= minJaccard)
+    val agg = verified.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(struct(col("__j").as("j"), (-col("bench_id")).as("nb"))).as("__best"))
+      .select(col("doc_id"), col("n_bench_matches"),
+        round(col("__best.j"), 6).as("best_jaccard"),
+        (-col("__best.nb")).as("best_bench_id"))
+    documents.filter(!isBench)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        col("best_bench_id"),
+        (coalesce(col("n_bench_matches"), lit(0L)) > 0).cast("int").as("is_contaminated"))
   }
 
   /** Shared LSH tail: bucket-collect candidates from a (doc_id, band,

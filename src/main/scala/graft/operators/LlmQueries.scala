@@ -144,6 +144,11 @@ object LlmQueries {
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
 
+    // The minhash near-dup twin of the verbatim row above — catches
+    // paraphrased/edited benchmark leakage verbatim grams miss.
+    "decontaminate_fuzzy" -> ((s, d) =>
+      Dedup.decontaminateFuzzy(docs(s, d)).orderBy(col("doc_id"))),
+
     "chunk_dedup" -> ((s, d) =>
       Dedup.chunkDedup(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -943,6 +948,67 @@ object LlmQueries {
         |FROM d LEFT JOIN h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 20 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Fuzzy decontamination: the dedup_minhash portable banding replayed
+    // asymmetrically (bench keys distinct → candidate join → exact
+    // Jaccard ≥ τ), then per-corpus-doc best-match aggregation with
+    // ties to the lowest bench id (Spark: max(struct(j, −bench_id))).
+    "decontaminate_fuzzy" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source,
+         |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, lang, source,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_distinct(list_transform(range(len(toks) - 1),
+         |        i -> toks[i+1] || ' ' || toks[i+2]))
+         |      ELSE [] END AS sh
+         |  FROM t),
+         |po AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % ${Dedup.PermM} AS h
+         |  FROM po),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $MinhashSigCols
+         |  FROM ph GROUP BY doc_id),
+         |bx AS (
+         |  SELECT doc_id, unnest([
+         |    $MinhashBandStructs]) AS u
+         |  FROM sig),
+         |bk AS (SELECT doc_id, u.band AS band, u.band_key AS band_key FROM bx),
+         |bb AS (
+         |  SELECT DISTINCT band, band_key, doc_id AS bench_id
+         |  FROM bk WHERE doc_id % 20 = 0),
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id, b2.bench_id
+         |  FROM bk c JOIN bb b2 USING (band, band_key)
+         |  WHERE c.doc_id % 20 <> 0),
+         |v AS (
+         |  SELECT doc_id, bench_id,
+         |    CAST(nc AS DOUBLE) / nullif(CAST(la + lb - nc AS DOUBLE), 0.0) AS jac
+         |  FROM (
+         |    SELECT cand.doc_id, cand.bench_id,
+         |      len(list_filter(a.sh, x -> list_contains(b3.sh, x))) AS nc,
+         |      len(a.sh) AS la, len(b3.sh) AS lb
+         |    FROM cand JOIN d a ON a.doc_id = cand.doc_id
+         |              JOIN d b3 ON b3.doc_id = cand.bench_id)
+         |  WHERE CAST(nc AS DOUBLE) / nullif(CAST(la + lb - nc AS DOUBLE), 0.0) >= 0.5),
+         |a AS (SELECT doc_id, count(*) AS n, max(jac) AS bj FROM v GROUP BY 1),
+         |bmin AS (
+         |  SELECT v.doc_id, min(v.bench_id) AS bid
+         |  FROM v JOIN a ON v.doc_id = a.doc_id AND v.jac = a.bj
+         |  GROUP BY 1)
+         |SELECT d.doc_id, lang, source,
+         |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_bench_matches,
+         |  coalesce(round(a.bj, 6), 0.0) AS best_jaccard,
+         |  bmin.bid AS best_bench_id,
+         |  CAST(coalesce(a.n, 0) > 0 AS INT) AS is_contaminated
+         |FROM d LEFT JOIN a USING (doc_id) LEFT JOIN bmin USING (doc_id)
+         |WHERE d.doc_id % 20 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "chunk_dedup" ->
       """WITH t AS (

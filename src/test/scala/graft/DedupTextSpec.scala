@@ -702,6 +702,25 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"expected best-quality survivor $bestOf13 and 6, got $best")
   }
 
+  test("fuzzy decontamination: near-copies of bench docs flag, unrelated pass") {
+    val bench = (1 to 40).map(i => s"tok$i").mkString(" ")   // doc 20 → bench side
+    val nearCopy = bench.replace("tok7", "edited")           // paraphrase-ish leak
+    val clean = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val out = graft.operators.Dedup.decontaminateFuzzy(docs(
+      20L -> bench, 21L -> nearCopy, 22L -> clean
+    )).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(20L), "bench docs are not reported")
+    val leak = out(21L)
+    assert(leak.getAs[Int]("is_contaminated") == 1)
+    assert(leak.getAs[Long]("n_bench_matches") == 1L &&
+      leak.getAs[Long]("best_bench_id") == 20L)
+    assert(leak.getAs[Double]("best_jaccard") > 0.9)
+    val ok = out(22L)
+    assert(ok.getAs[Int]("is_contaminated") == 0 &&
+      ok.getAs[Long]("n_bench_matches") == 0L)
+    assert(ok.isNullAt(ok.fieldIndex("best_bench_id")))
+  }
+
   test("corpus pipeline: opt-in normalize/gopher/classifier gates compose") {
     import org.apache.spark.sql.functions.{col, filter, lower, split}
     import graft.operators.TextSignals
