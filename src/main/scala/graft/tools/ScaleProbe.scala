@@ -150,6 +150,7 @@ object ScaleProbe {
       // structure (dup_ngram cross-copy overlap ~0, winnow picks and
       // tfidf vocab diverge per copy) — the sweep measures the plans,
       // not fixture artifacts.
+      val tDeconFuzzy = noopTime(Dedup.decontaminateFuzzy(docs))
       val tWinnow = noopTime(TextSignals.winnowFingerprints(docs))
       val tDupNgram = noopTime(TextSignals.dupNgramFrac(docs))
       val tQc = noopTime(TextSignals.qualityClassifier(docs))
@@ -160,7 +161,8 @@ object ScaleProbe {
       val tGopher = noopTime(TextSignals.gopherFilter(docs))
       println(f"[scale-signal] k=$k winnow=$tWinnow%.2f dup_ngram=$tDupNgram%.2f " +
         f"quality_cls=$tQc%.2f oov=$tOov%.2f tfidf=$tTfidf%.2f " +
-        f"chunk_split=$tChunkSplit%.2f normalize=$tNorm%.2f gopher=$tGopher%.2f")
+        f"chunk_split=$tChunkSplit%.2f normalize=$tNorm%.2f gopher=$tGopher%.2f " +
+        f"decon_fuzzy=$tDeconFuzzy%.2f")
     }
     spark.stop()
   }

@@ -309,6 +309,14 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       s"featurize is a single mapPartitions pass over the scan:\n$p")
   }
 
+  test("fuzzy decontamination: bench candidacy broadcasts, never cartesian") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.operators.Dedup.decontaminateFuzzy(docs))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench band keys must broadcast for candidacy:\n$p")
+    assert(!p.contains("Cartesian"), s"candidacy must stay band-keyed:\n$p")
+  }
+
   test("corpus signals: doc-partitioned window, joinless classifier, bounded tfidf") {
     val docs = graft.sources.Tables.documents(spark, sf)
     // winnow: the selection window must partition by doc_id — a global
