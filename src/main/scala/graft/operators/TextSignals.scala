@@ -117,6 +117,42 @@ object TextSignals {
       .distinct()
   }
 
+  /** #47s winnow_pairs: partial-overlap pair detection over the
+    * winnowing fingerprint sets — the MOSS use of winnowing (Schleimer
+    * et al. 2003 §5): documents sharing ≥ `minShared` selected hashes
+    * are reported with the shared count and an overlap score
+    * n_shared / min(|fps|) (containment-normalized, so a short quote
+    * inside a long doc still scores high). Complements the dedup
+    * family: minhash sees whole-document similarity, winnow pairs see
+    * LOCAL overlap — the license header, the quoted paragraph.
+    *
+    * Scale shape: the fingerprint frame (≈ n_grams/w rows per doc, a
+    * 4× reduction) groups by hash — bucket-collect + [[Dedup.cappedPairs]]
+    * star-capping, the minhash-candidate argument: one degenerate
+    * boilerplate fingerprint cannot go quadratic. Shared counts fold
+    * map-side per pair; sizes join back on the id keys. Capped buckets
+    * undercount star-external pairs by design (documented trade).
+    */
+  def winnowPairs(documents: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2, maxBucket: Int = 1024): DataFrame = {
+    val byHash = winnowSelect(documents, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val sizes = byHash.groupBy("doc_id").agg(count(lit(1)).as("__nf"))
+    val pairs = byHash.groupBy("fp_hash")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Dedup.cappedPairs(col("ids"), maxBucket)).as("p"))
+      .select(col("p.a").as("id1"), col("p.b").as("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("id1"), col("__nf").as("__n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("__nf").as("__n2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("__n1"), col("__n2")).cast("double"), 6).as("overlap"))
+  }
+
   /** #45c dup_ngram_frac: corpus-level duplicate n-gram fraction — per
     * document, the share of its n-gram OCCURRENCES whose gram also
     * appears in at least one other document (the cross-document twin of

@@ -24,9 +24,39 @@ object TextSignalsQueries {
       |      x -> x <> '') AS tk
       |  FROM documents)""".stripMargin
 
+  /** Shared winnowing CTE chain (tokens → positioned grams → packed
+    * keys → window minima → distinct picks) — the front of both the
+    * `winnow_fingerprint` and `winnow_pairs` oracles.
+    */
+  private val winnowSelCte: String =
+    s"""$tokCte,
+       |g AS (
+       |  SELECT doc_id, len(tk) - 3 AS n,
+       |    unnest(range(1, len(tk) - 2)) AS pos,
+       |    unnest(list_transform(range(1, len(tk) - 2),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS gr
+       |  FROM t WHERE len(tk) >= 4),
+       |e AS (
+       |  SELECT doc_id, n, pos,
+       |    CAST(concat('0x', substr(md5(gr), 1, 8)) AS BIGINT) * 2097152
+       |      + (2097151 - pos) AS kc
+       |  FROM g),
+       |m AS (
+       |  SELECT doc_id, n, pos,
+       |    min(kc) OVER (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+       |  FROM e),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, mn // 2097152 AS fp_hash,
+       |    2097151 - (mn % 2097152) AS fp_pos
+       |  FROM m WHERE pos >= least(4, n))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "winnow_fingerprint" -> ((s, d) =>
       TextSignals.winnowFingerprints(docs(s, d)).orderBy(col("doc_id"))),
+
+    "winnow_pairs" -> ((s, d) =>
+      TextSignals.winnowPairs(docs(s, d)).orderBy(col("id1"), col("id2"))),
 
     "dup_ngram_frac" -> ((s, d) =>
       TextSignals.dupNgramFrac(docs(s, d)).orderBy(col("doc_id"))),
@@ -55,27 +85,7 @@ object TextSignalsQueries {
     // the packed key makes "min hash, rightmost pos on ties" a plain
     // window min with the same 4-row frame.
     "winnow_fingerprint" ->
-      s"""WITH $tokCte,
-         |g AS (
-         |  SELECT doc_id, len(tk) - 3 AS n,
-         |    unnest(range(1, len(tk) - 2)) AS pos,
-         |    unnest(list_transform(range(1, len(tk) - 2),
-         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS gr
-         |  FROM t WHERE len(tk) >= 4),
-         |e AS (
-         |  SELECT doc_id, n, pos,
-         |    CAST(concat('0x', substr(md5(gr), 1, 8)) AS BIGINT) * 2097152
-         |      + (2097151 - pos) AS kc
-         |  FROM g),
-         |m AS (
-         |  SELECT doc_id, n, pos,
-         |    min(kc) OVER (PARTITION BY doc_id ORDER BY pos
-         |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
-         |  FROM e),
-         |sel AS (
-         |  SELECT DISTINCT doc_id, mn // 2097152 AS fp_hash,
-         |    2097151 - (mn % 2097152) AS fp_pos
-         |  FROM m WHERE pos >= least(4, n)),
+      s"""WITH $winnowSelCte,
          |a AS (
          |  SELECT doc_id, count(*) AS n_fps, sum(fp_hash) AS cks
          |  FROM sel GROUP BY doc_id)
@@ -88,6 +98,32 @@ object TextSignalsQueries {
          |  CAST(coalesce(a.cks, 0) AS BIGINT) AS fp_checksum
          |FROM t LEFT JOIN a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Pair replay: star-capping reproduced via the bucket-size CTE (the
+    // dedup_minhash oracle pattern), UNION ALL because shared-hash
+    // OCCURRENCES are counted per pair, not deduped.
+    "winnow_pairs" ->
+      s"""WITH $winnowSelCte,
+         |hh AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+         |sz AS (SELECT doc_id, count(*) AS nf FROM hh GROUP BY 1),
+         |bsz AS (
+         |  SELECT fp_hash, count(*) AS bn, min(doc_id) AS root
+         |  FROM hh GROUP BY 1),
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2
+         |  FROM hh a JOIN hh b2 USING (fp_hash) JOIN bsz USING (fp_hash)
+         |  WHERE bn <= 1024 AND a.doc_id < b2.doc_id
+         |  UNION ALL
+         |  SELECT root AS id1, doc_id AS id2
+         |  FROM hh JOIN bsz USING (fp_hash)
+         |  WHERE bn > 1024 AND doc_id <> root),
+         |p AS (
+         |  SELECT id1, id2, count(*) AS n_shared
+         |  FROM cand GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT id1, id2, CAST(n_shared AS BIGINT) AS n_shared,
+         |  round(n_shared / least(s1.nf, s2.nf), 6) AS overlap
+         |FROM p JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         |ORDER BY id1, id2""".stripMargin,
 
     "dup_ngram_frac" ->
       s"""WITH $tokCte,

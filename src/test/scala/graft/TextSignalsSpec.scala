@@ -70,6 +70,28 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(n == 7L && f >= 1L && f <= n)
   }
 
+  test("winnow_pairs: local overlap detected, containment-normalized, strangers absent") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")  // 12-token shared run
+    val out = TextSignals.winnowPairs(docs(
+      1L -> s"$quote extra1 extra2 extra3 extra4 extra5 extra6 extra7 extra8",
+      2L -> quote,                                         // fully contained in 1
+      3L -> (1 to 20).map(i => s"z$i").mkString(" ")       // unrelated
+    ), minShared = 1).collect()
+    assert(out.length == 1)
+    val p = out.head
+    assert(p.getAs[Long]("id1") == 1L && p.getAs[Long]("id2") == 2L)
+    // Doc 2's picks all come from the shared run → containment ≈ 1.
+    assert(p.getAs[Double]("overlap") == 1.0)
+    assert(p.getAs[Long]("n_shared") >= 1L)
+  }
+
+  test("winnow_pairs: identical docs share every fingerprint") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = TextSignals.winnowPairs(docs(1L -> text, 2L -> text)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("overlap") == 1.0)
+  }
+
   test("dup_ngram_frac: exact duplicate grams across docs, none within") {
     val run = (1 to 8).map(i => s"w$i").mkString(" ")   // one 8-gram
     val out = TextSignals.dupNgramFrac(docs(
