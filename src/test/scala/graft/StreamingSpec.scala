@@ -640,4 +640,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"per-user session counts differ: streamed=$streamed batch=$batch")
     } finally query.stop()
   }
+
+  test("corpus signals are streaming-safe: gopher + normalize run unchanged on a stream") {
+    // The round-8 quality signals are stateless projections — no
+    // aggregation, no watermark, no state store — so the SAME operator
+    // code must run under Structured Streaming and emit batch-identical
+    // rows. This is the live-ingest quality gate: score documents as
+    // they arrive, before the batch curation pass.
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val streamed = graft.operators.TextSignals.withGopher(
+        docs.withColumn("norm_text",
+          graft.operators.TextSignals.normalizeExpr(org.apache.spark.sql.functions.col("text"))))
+      .select("doc_id", "n_words", "gopher_keep", "reasons", "norm_text")
+    val query = streamed.writeStream.format("memory")
+      .queryName("sig_stream").outputMode("append").start()
+    try {
+      val rows = Seq(
+        5L -> "The cat sat on the mat and it is very big today",
+        6L -> "  NOISY\tdoc  ",
+        7L -> ("the of " + "x" * 35 + " and is here now ok"))
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val live = spark.table("sig_stream").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      // Batch twin on the same rows, same projection.
+      val batch = graft.operators.TextSignals.withGopher(
+          rows.toDF("doc_id", "text").withColumn("norm_text",
+            graft.operators.TextSignals.normalizeExpr(org.apache.spark.sql.functions.col("text"))))
+        .select("doc_id", "n_words", "gopher_keep", "reasons", "norm_text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(live.keySet == batch.keySet)
+      live.keySet.foreach { id =>
+        assert(live(id) == batch(id), s"doc $id diverged: ${live(id)} vs ${batch(id)}")
+      }
+      assert(live(5L).getAs[Boolean]("gopher_keep"))
+      assert(!live(7L).getAs[Boolean]("gopher_keep"))
+      assert(live(6L).getAs[String]("norm_text") == "noisy doc")
+    } finally query.stop()
+  }
 }
