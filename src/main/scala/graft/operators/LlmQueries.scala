@@ -109,6 +109,11 @@ object LlmQueries {
     "semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedupSeeded(emb(s, d)).orderBy(col("vec_id"))),
 
+    // Embedding-space outlier gate over the same seeded cells — z of
+    // centroid cosine against the cell's own distribution.
+    "embed_outliers" -> ((s, d) =>
+      Similarity.embedOutliers(emb(s, d)).orderBy(col("vec_id"))),
+
     "ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
 
@@ -617,6 +622,49 @@ object LlmQueries {
          |  CAST((row_number() OVER (
          |    PARTITION BY cluster_id ORDER BY cen_cos, vec_id) = 1) AS INT) AS is_kept
          |FROM allv ORDER BY vec_id""".stripMargin,
+
+    // Same seeded-cell assignment CTEs as semantic_dedup; moments fold
+    // over the ROUNDED cosines, z over rounded mean/std (gopher policy).
+    "embed_outliers" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x)) AS nrm
+         |  FROM e),
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+         |    list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x) AS n2
+         |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id LIMIT 16)),
+         |dist AS (
+         |  SELECT z.vec_id, z.nrm, b.cell, b.n2,
+         |    b.n2 - 2.0 * list_reduce(
+         |      list_transform(range(len(z.v)), i -> z.v[i+1] * b.cv[i+1]),
+         |      (s, x) -> s + x) AS d2
+         |  FROM nz z CROSS JOIN cb b),
+         |asg AS (
+         |  SELECT vec_id, cell,
+         |    round((n2 - d2) / 2.0 / (nrm * sqrt(n2)), 6) AS cen_cos
+         |  FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dist)
+         |  WHERE rn = 1),
+         |st AS (
+         |  SELECT cell, count(*) AS n_cell,
+         |    round(avg(cen_cos), 6) AS cell_mean,
+         |    round(stddev_samp(cen_cos), 6) AS sd
+         |  FROM asg GROUP BY 1)
+         |SELECT a.vec_id, a.cell, a.cen_cos,
+         |  CAST(st.n_cell AS BIGINT) AS n_cell, st.cell_mean,
+         |  CASE WHEN st.sd IS NOT NULL AND st.sd > 0
+         |    THEN round((a.cen_cos - st.cell_mean) / st.sd, 6) END AS z,
+         |  CAST(coalesce(CASE WHEN st.sd IS NOT NULL AND st.sd > 0
+         |    THEN round((a.cen_cos - st.cell_mean) / st.sd, 6) END, 0.0) < -1.5
+         |    AS INT) AS is_outlier
+         |FROM asg a JOIN st USING (cell)
+         |ORDER BY a.vec_id""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""$VecCte,

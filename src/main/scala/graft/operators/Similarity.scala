@@ -649,23 +649,65 @@ object Similarity {
     semanticDedupSearch(e, cents, tau, maxCellRows)
   }
 
-  private def semanticDedupSearch(e: DataFrame, cents: Array[Array[Double]],
-                                  tau: Double, maxCellRows: Int): DataFrame = {
+  /** Literal-centroid cell assignment + centroid cosine — the shared
+    * front of [[semanticDedupSearch]] and [[embedOutliers]]. One
+    * projection, zero Exchange: ⟨v,c⟩ = (|c|² − d2)/2 comes from the
+    * argmin's own d2 (no second dot); |c| is a driver literal.
+    */
+  private def seededAssigned(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val cn2 = cents.map(_.foldLeft(0.0)((s, x) => s + x * x))
     val cellStructs = cents.zipWithIndex.map { case (c, i) =>
       struct((lit(cn2(i)) - lit(2.0) * dot(col("v"), typedlit(c))).as("d2"),
         lit(i).as("cell"))
     }
-    // ⟨v,c⟩ = (|c|² − d2)/2 — centroid cosine from the argmin's own d2,
-    // no second dot; |c| is a driver literal (IEEE sqrt, engine-exact).
-    val assigned = e
-      .withColumn("m", array_min(array(cellStructs: _*)))
+    e.withColumn("m", array_min(array(cellStructs: _*)))
       .withColumn("cell", col("m.cell"))
       .withColumn("cen_cos", round(
         (element_at(typedlit(cn2), col("cell") + 1) - col("m.d2")) / lit(2.0)
           / (col("nrm") * element_at(typedlit(cn2.map(math.sqrt)), col("cell") + 1)),
         6))
       .drop("m")
+  }
+
+  /** #41c embed_outliers: embedding-space outlier flagging — the
+    * CLIP-score-style curation gate in embedding space: assign every
+    * vector to its seeded coarse cell, z-score its centroid cosine
+    * against the CELL's own distribution, flag members far below their
+    * cluster (mislabeled, off-distribution, or corrupt points the
+    * near-dup passes cannot see). z compares ROUNDED inputs (rounded
+    * mean/std over the rounded cosines) so the verdict is exactly as
+    * portable as the metrics (the gopher_filter policy). Cells with
+    * <2 members carry a null z and are never flagged.
+    *
+    * Scale shape: assignment is the zero-Exchange literal-centroid
+    * projection; the per-cell moment fold is bounded by nCells rows and
+    * BROADCASTS back — corpus rows shuffle only for the moment fold's
+    * map-side-combined partials.
+    */
+  def embedOutliers(embeddings: DataFrame, nCells: Int = 16,
+                    zThresh: Double = -1.5): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = e.orderBy(col("vec_id")).limit(nCells).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == nCells,
+      s"corpus has only ${cents.length} nonzero vectors; need $nCells centroids")
+    val assigned = seededAssigned(e, cents)
+      .select(col("vec_id"), col("cell"), col("cen_cos"))
+    val stats = assigned.groupBy("cell").agg(
+      count(lit(1)).as("n_cell"),
+      round(avg(col("cen_cos")), 6).as("cell_mean"),
+      round(stddev_samp(col("cen_cos")), 6).as("__sd"))
+    assigned.join(broadcast(stats), Seq("cell"))
+      .withColumn("z", when(col("__sd").isNotNull && col("__sd") > 0,
+        round((col("cen_cos") - col("cell_mean")) / col("__sd"), 6)))
+      .select(col("vec_id"), col("cell"), col("cen_cos"), col("n_cell"),
+        col("cell_mean"), col("z"),
+        (coalesce(col("z"), lit(0.0)) < zThresh).cast("int").as("is_outlier"))
+  }
+
+  private def semanticDedupSearch(e: DataFrame, cents: Array[Array[Double]],
+                                  tau: Double, maxCellRows: Int): DataFrame = {
+    val assigned = seededAssigned(e, cents)
     val guard = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
       .withColumn("__chk",
         when(col("__n") > maxCellRows, raise_error(concat(

@@ -702,6 +702,29 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"expected best-quality survivor $bestOf13 and 6, got $best")
   }
 
+  test("embed outliers: off-cluster member z-flags; singleton cell never flags") {
+    // Cells seeded from vec_ids 0,1. Cell 0 gathers a tight cluster
+    // around (1,0) plus one 26°-off member; cell 1 keeps only its
+    // centroid (degenerate: null z, never flagged).
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(1f, 0.01f), 0), (3L, Array(1f, -0.01f), 0),
+      (4L, Array(1f, 0.005f), 0), (5L, Array(1f, 0.5f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.embedOutliers(emb, nCells = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 6)
+    assert(out(5L).getAs[Int]("is_outlier") == 1)
+    assert(out(5L).getAs[Double]("z") < -1.5)
+    Seq(0L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id).getAs[Int]("is_outlier") == 0, s"vec $id wrongly flagged")
+    }
+    val lone = out(1L)
+    assert(lone.getAs[Long]("n_cell") == 1L)
+    assert(lone.isNullAt(lone.fieldIndex("z")) &&
+      lone.getAs[Int]("is_outlier") == 0)
+  }
+
   test("fuzzy decontamination: near-copies of bench docs flag, unrelated pass") {
     val bench = (1 to 40).map(i => s"tok$i").mkString(" ")   // doc 20 → bench side
     val nearCopy = bench.replace("tok7", "edited")           // paraphrase-ish leak
