@@ -651,11 +651,18 @@ object LlmQueries {
          |  FROM (SELECT *, row_number() OVER (
          |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dist)
          |  WHERE rn = 1),
+         |stz AS (
+         |  SELECT cell, count(*) AS n_cell, sum(mi) AS s1, sum(mi * mi) AS s2
+         |  FROM (SELECT cell,
+         |          CAST(round(cen_cos * 1000000, 0) AS BIGINT) AS mi FROM asg)
+         |  GROUP BY 1),
          |st AS (
-         |  SELECT cell, count(*) AS n_cell,
-         |    round(avg(cen_cos), 6) AS cell_mean,
-         |    round(stddev_samp(cen_cos), 6) AS sd
-         |  FROM asg GROUP BY 1)
+         |  SELECT cell, n_cell,
+         |    round(CAST(s1 AS DOUBLE) / (n_cell * 1000000.0), 6) AS cell_mean,
+         |    CASE WHEN n_cell > 1 THEN round(sqrt(greatest(
+         |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_cell)
+         |        / (n_cell - 1), 0.0)) / 1000000.0, 6) END AS sd
+         |  FROM stz)
          |SELECT a.vec_id, a.cell, a.cen_cos,
          |  CAST(st.n_cell AS BIGINT) AS n_cell, st.cell_mean,
          |  CASE WHEN st.sd IS NOT NULL AND st.sd > 0

@@ -693,10 +693,23 @@ object Similarity {
       s"corpus has only ${cents.length} nonzero vectors; need $nCells centroids")
     val assigned = seededAssigned(e, cents)
       .select(col("vec_id"), col("cell"), col("cen_cos"))
+    // Moments fold over EXACT integer micro-units: a float avg/stddev
+    // over shuffled partials is order-dependent, and with cen_cos
+    // already 6-rounded the true mean can sit ON a rounding boundary —
+    // observed flipping the 6th decimal between runs. Σmi and Σmi² are
+    // exact BIGINTs (order-free); the few float ops after them are a
+    // fixed expression, deterministic in any engine.
+    val mi = round(col("cen_cos") * 1e6, 0).cast("long")
+    val nD = col("n_cell").cast("double")
+    val varMicro = greatest(
+      (col("__s2").cast("double") - col("__s1").cast("double") * col("__s1").cast("double") / nD)
+        / (nD - 1), lit(0.0))
     val stats = assigned.groupBy("cell").agg(
       count(lit(1)).as("n_cell"),
-      round(avg(col("cen_cos")), 6).as("cell_mean"),
-      round(stddev_samp(col("cen_cos")), 6).as("__sd"))
+      sum(mi).as("__s1"), sum(mi * mi).as("__s2"))
+      .select(col("cell"), col("n_cell"),
+        round(col("__s1").cast("double") / (nD * 1e6), 6).as("cell_mean"),
+        when(col("n_cell") > 1, round(sqrt(varMicro) / 1e6, 6)).as("__sd"))
     assigned.join(broadcast(stats), Seq("cell"))
       .withColumn("z", when(col("__sd").isNotNull && col("__sd") > 0,
         round((col("cen_cos") - col("cell_mean")) / col("__sd"), 6)))
