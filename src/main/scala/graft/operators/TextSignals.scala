@@ -358,6 +358,36 @@ object TextSignals {
     aggregate(tokensCol, lit(0L),
       (acc, t) => acc + bucketWeight(h32(t) % lit(buckets))) >= 0
 
+  /** #45f sentence_stats: sentence-grain shape signals — the grain the
+    * word/doc-level batteries miss (terminal-punctuation segmentation,
+    * sentence length distribution, fragment share). Machine-translated
+    * and boilerplate text skews short-and-uniform; OCR noise skews
+    * fragmentary — both show up here before any model-based scorer
+    * runs. Sentences split on `[.!?]+` runs; a "short" sentence has
+    * under 4 words.
+    *
+    * Scale shape: one projection over per-doc bounded arrays (HOF word
+    * counts are interpreted but doc-bounded), zero shuffle.
+    */
+  def sentenceStats(documents: DataFrame): DataFrame = {
+    val sents = filter(transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val wc = transform(col("__s"),
+      s => size(filter(split(s, "[ \\t\\n\\r\\f]+"), w => w =!= "")))
+    val m = documents
+      .withColumn("__s", sents)
+      .withColumn("__wc", wc)
+      .withColumn("n_sents", size(col("__s")))
+    m.select(col("doc_id"), col("n_sents"),
+      when(col("n_sents") > 0, round(
+        aggregate(col("__wc"), lit(0L), (a, x) => a + x).cast("double") / col("n_sents"), 6))
+        .otherwise(lit(0.0)).as("avg_sent_words"),
+      coalesce(array_max(col("__wc")), lit(0)).as("max_sent_words"),
+      when(col("n_sents") > 0, round(
+        size(filter(col("__wc"), x => x < 4)).cast("double") / col("n_sents"), 6))
+        .otherwise(lit(0.0)).as("short_share"))
+  }
+
   /** #47q chunk_split: overlapping token-window chunking — the
     * RAG-retrieval / context-window sequence-prep primitive (split every
     * document into `chunkTokens`-token windows advancing by `stride`,

@@ -70,6 +70,9 @@ object TextSignalsQueries {
     "tfidf_keywords" -> ((s, d) =>
       TextSignals.tfidfKeywords(docs(s, d)).orderBy(col("doc_id"), col("rk"))),
 
+    "sentence_stats" -> ((s, d) =>
+      TextSignals.sentenceStats(docs(s, d)).orderBy(col("doc_id"))),
+
     "gopher_filter" -> ((s, d) =>
       TextSignals.gopherFilter(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -189,6 +192,27 @@ object TextSignalsQueries {
          |    THEN round(a.n_oov / a.n_tokens, 6) ELSE 0.0 END AS oov_rate
          |FROM t LEFT JOIN a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "sentence_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |      x -> trim(x)), x -> x <> '') AS sl
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, len(sl) AS n_sents,
+        |    list_transform(sl, x -> len(list_filter(
+        |      string_split_regex(x, '[ \t\n\r\f]+'), y -> y <> ''))) AS wc
+        |  FROM s)
+        |SELECT doc_id, CAST(n_sents AS INT) AS n_sents,
+        |  CASE WHEN n_sents > 0 THEN round(
+        |    CAST(list_reduce(wc, (a, x) -> a + x) AS DOUBLE) / n_sents, 6)
+        |    ELSE 0.0 END AS avg_sent_words,
+        |  CAST(coalesce(list_max(wc), 0) AS INT) AS max_sent_words,
+        |  CASE WHEN n_sents > 0 THEN round(
+        |    len(list_filter(wc, x -> x < 4)) / CAST(n_sents AS DOUBLE), 6)
+        |    ELSE 0.0 END AS short_share
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // Rule thresholds compare the ROUNDED metrics on both sides, so the
     // verdict flags are exactly as portable as the metrics themselves.

@@ -173,6 +173,29 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_.getAs[Int]("rk") <= 3))
   }
 
+  test("sentence_stats: segmentation on terminal runs, fragment share, edge docs") {
+    val out = TextSignals.sentenceStats(docs(
+      1L -> "One. Two two. Three three three!",
+      2L -> "No terminal punctuation in this sentence at all",
+      3L -> "...",
+      4L -> "A solid sentence with seven words inside. Tiny one."
+    )).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val r1 = byId(1L)
+    assert(r1.getAs[Int]("n_sents") == 3 &&
+      r1.getAs[Double]("avg_sent_words") == 2.0 &&
+      r1.getAs[Int]("max_sent_words") == 3 &&
+      r1.getAs[Double]("short_share") == 1.0)
+    val r2 = byId(2L)
+    assert(r2.getAs[Int]("n_sents") == 1 && r2.getAs[Double]("short_share") == 0.0)
+    val r3 = byId(3L)
+    assert(r3.getAs[Int]("n_sents") == 0 &&
+      r3.getAs[Double]("avg_sent_words") == 0.0 &&
+      r3.getAs[Int]("max_sent_words") == 0)
+    val r4 = byId(4L)
+    assert(r4.getAs[Int]("n_sents") == 2 && r4.getAs[Double]("short_share") == 0.5)
+  }
+
   test("gopher_filter: rule battery fires per-rule codes in fixed order") {
     val out = TextSignals.gopherFilter(docs(
       1L -> "The cat sat on the mat and it is very big today",  // clean
