@@ -388,6 +388,42 @@ object TextSignals {
         .otherwise(lit(0.0)).as("short_share"))
   }
 
+  /** #47t source_quality: per-source quality rollup — the domain-grain
+    * report a web pipeline publishes to decide which sources to keep,
+    * cap or drop (the C4-blocklist / RefinedWeb per-domain view):
+    * document count, corpus share, gopher pass rate, mean classifier
+    * probability, mean document length. Means fold EXACT integer
+    * micro-units (Σ of 6-rounded values × 10^6 — the
+    * [[Similarity.embedOutliers]] determinism pattern: float partial
+    * sums are shuffle-order-dependent and CAN land on a rounding
+    * boundary), so every published figure is engine- and run-stable.
+    *
+    * Scale shape: the signal columns ride the per-doc passes
+    * ([[withGopher]] projection + the classifier fold); the rollup is
+    * one map-side-combinable groupBy(source) over source-grain keys —
+    * bounded output, no join wider than the broadcast corpus total.
+    */
+  def sourceQuality(documents: DataFrame): DataFrame = {
+    val cls = qualityClassifier(documents).select(col("doc_id"), col("prob"))
+    val sig = withGopher(documents)
+      .select(col("doc_id"), col("source"), col("n_words"), col("gopher_keep"))
+      .join(cls, Seq("doc_id"))
+    val probMicro = round(col("prob") * 1e6, 0).cast("long")
+    val total = documents.agg(count(lit(1)).as("__N"))
+    sig.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("gopher_keep").cast("long")).as("__kept"),
+        sum(probMicro).as("__pm"),
+        sum(col("n_words").cast("long")).as("__words"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__N"), 6).as("corpus_share"),
+        round(col("__kept").cast("double") / col("n_docs"), 6).as("keep_rate"),
+        round(col("__pm").cast("double") / (col("n_docs") * 1e6), 6).as("mean_prob"),
+        round(col("__words").cast("double") / col("n_docs"), 6).as("mean_words"))
+  }
+
   /** #47q chunk_split: overlapping token-window chunking — the
     * RAG-retrieval / context-window sequence-prep primitive (split every
     * document into `chunkTokens`-token windows advancing by `stride`,

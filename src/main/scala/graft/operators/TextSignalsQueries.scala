@@ -24,6 +24,62 @@ object TextSignalsQueries {
       |      x -> x <> '') AS tk
       |  FROM documents)""".stripMargin
 
+  /** Shared Gopher rule-battery CTE chain (whitespace words → metrics →
+    * fail-code list in `f.fl`) — the front of the `gopher_filter` and
+    * `source_quality` oracles.
+    */
+  private val gopherCte: String = {
+    val stops = graft.operators.TextAnalysis.Stopwords.values.flatten
+      .toSeq.distinct.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""w AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+       |      x -> x <> '') AS wl,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '') AS lt
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(wl) AS n_words,
+       |    CASE WHEN len(wl) > 0 THEN round(
+       |      length(regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g')) / len(wl), 6)
+       |      ELSE 0.0 END AS mean_word_len,
+       |    coalesce(list_max(list_transform(wl, x -> length(x))), 0) AS max_word_len,
+       |    CASE WHEN len(wl) > 0 THEN round(
+       |      len(list_filter(wl, x -> regexp_matches(x, '[a-zA-Z]'))) / len(wl), 6)
+       |      ELSE 0.0 END AS alpha_share,
+       |    len(list_filter(lt, x -> list_contains($stops, x))) AS stop_hits,
+       |    CASE WHEN length(text) > 0 THEN round(
+       |      length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))
+       |        / length(text), 6)
+       |      ELSE 0.0 END AS symbol_share
+       |  FROM w),
+       |f AS (
+       |  SELECT *, list_filter([
+       |    CASE WHEN n_words < 5 THEN 'too_short' END,
+       |    CASE WHEN n_words > 100000 THEN 'too_long' END,
+       |    CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_len' END,
+       |    CASE WHEN max_word_len > 30 THEN 'long_word' END,
+       |    CASE WHEN alpha_share < 0.7 THEN 'low_alpha' END,
+       |    CASE WHEN stop_hits < 2 THEN 'no_stop' END,
+       |    CASE WHEN symbol_share > 0.2 THEN 'symbol' END], x -> x IS NOT NULL) AS fl
+       |  FROM m)""".stripMargin
+  }
+
+  /** Shared classifier CTE chain (tokens → hashed buckets → integer
+    * weight fold) — the front of the `quality_classifier` and
+    * `source_quality` oracles.
+    */
+  private val clsCte: String =
+    s"""$tokCte,
+       |p AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t)),
+       |a AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    sum((b * 2654435761) % 2000001 - 1000000) AS ws
+       |  FROM p GROUP BY 1)""".stripMargin
+
   /** Shared winnowing CTE chain (tokens → positioned grams → packed
     * keys → window minima → distinct picks) — the front of both the
     * `winnow_fingerprint` and `winnow_pairs` oracles.
@@ -75,6 +131,9 @@ object TextSignalsQueries {
 
     "gopher_filter" -> ((s, d) =>
       TextSignals.gopherFilter(docs(s, d)).orderBy(col("doc_id"))),
+
+    "source_quality" -> ((s, d) =>
+      TextSignals.sourceQuality(docs(s, d)).orderBy(col("source"))),
 
     "chunk_split" -> ((s, d) =>
       TextSignals.chunkSplit(docs(s, d)).orderBy(col("doc_id"), col("chunk_id"))),
@@ -155,15 +214,7 @@ object TextSignalsQueries {
     // Integer weight fold: Σ w_int is exact in both engines; the only
     // float steps are the final divide and the sigmoid.
     "quality_classifier" ->
-      s"""WITH $tokCte,
-         |p AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
-         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t)),
-         |a AS (
-         |  SELECT doc_id, count(*) AS n_tokens,
-         |    sum((b * 2654435761) % 2000001 - 1000000) AS ws
-         |  FROM p GROUP BY 1)
+      s"""WITH $clsCte
          |SELECT t.doc_id,
          |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
          |  coalesce(round(a.ws / (a.n_tokens * 1000000.0), 6), 0.0) AS score,
@@ -216,48 +267,40 @@ object TextSignalsQueries {
 
     // Rule thresholds compare the ROUNDED metrics on both sides, so the
     // verdict flags are exactly as portable as the metrics themselves.
-    "gopher_filter" -> {
-      val stops = graft.operators.TextAnalysis.Stopwords.values.flatten
-        .toSeq.distinct.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH w AS (
-         |  SELECT doc_id, text,
-         |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
-         |      x -> x <> '') AS wl,
-         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |      x -> x <> '') AS lt
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, len(wl) AS n_words,
-         |    CASE WHEN len(wl) > 0 THEN round(
-         |      length(regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g')) / len(wl), 6)
-         |      ELSE 0.0 END AS mean_word_len,
-         |    coalesce(list_max(list_transform(wl, x -> length(x))), 0) AS max_word_len,
-         |    CASE WHEN len(wl) > 0 THEN round(
-         |      len(list_filter(wl, x -> regexp_matches(x, '[a-zA-Z]'))) / len(wl), 6)
-         |      ELSE 0.0 END AS alpha_share,
-         |    len(list_filter(lt, x -> list_contains($stops, x))) AS stop_hits,
-         |    CASE WHEN length(text) > 0 THEN round(
-         |      length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))
-         |        / length(text), 6)
-         |      ELSE 0.0 END AS symbol_share
-         |  FROM w),
-         |f AS (
-         |  SELECT *, list_filter([
-         |    CASE WHEN n_words < 5 THEN 'too_short' END,
-         |    CASE WHEN n_words > 100000 THEN 'too_long' END,
-         |    CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_len' END,
-         |    CASE WHEN max_word_len > 30 THEN 'long_word' END,
-         |    CASE WHEN alpha_share < 0.7 THEN 'low_alpha' END,
-         |    CASE WHEN stop_hits < 2 THEN 'no_stop' END,
-         |    CASE WHEN symbol_share > 0.2 THEN 'symbol' END], x -> x IS NOT NULL) AS fl
-         |  FROM m)
+    "gopher_filter" ->
+      s"""WITH $gopherCte
          |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
          |  CAST(max_word_len AS INT) AS max_word_len, alpha_share,
          |  CAST(stop_hits AS INT) AS stop_hits, symbol_share,
          |  CAST(len(fl) AS INT) AS n_fail, len(fl) = 0 AS keep,
          |  coalesce(array_to_string(fl, ','), '') AS reasons
-         |FROM f ORDER BY doc_id""".stripMargin
-    },
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Per-source rollup: gopher verdicts + classifier probabilities
+    // joined at doc grain, folded to source grain over exact integer
+    // micro-units (mean_prob), corpus share against the 1-row total.
+    "source_quality" ->
+      s"""WITH $gopherCte,
+         |$clsCte,
+         |cls AS (
+         |  SELECT t.doc_id,
+         |    coalesce(round(1.0 / (1.0 + exp(-(a.ws / (a.n_tokens * 1000000.0)))), 6),
+         |      0.5) AS prob
+         |  FROM t LEFT JOIN a USING (doc_id)),
+         |sig AS (
+         |  SELECT d.doc_id, d.source, f.n_words,
+         |    CAST(len(f.fl) = 0 AS INT) AS kept, cls.prob
+         |  FROM documents d JOIN f USING (doc_id) JOIN cls USING (doc_id)),
+         |tot AS (SELECT count(*) AS n FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(count(*) / CAST(tot.n AS DOUBLE), 6) AS corpus_share,
+         |  round(sum(kept) / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+         |  round(CAST(sum(CAST(round(prob * 1000000, 0) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 1000000.0), 6) AS mean_prob,
+         |  round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS mean_words
+         |FROM sig CROSS JOIN tot
+         |GROUP BY source, tot.n
+         |ORDER BY source""".stripMargin,
 
     // Chunk replay: DuckDB list slices are 1-based with INCLUSIVE ends,
     // so window c covers tk[c*96+1 : c*96+128] (clamped past the doc

@@ -224,6 +224,31 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[String]("reasons") == "too_short,word_len,low_alpha,no_stop")
   }
 
+  test("source_quality: per-source rollup agrees with the per-doc signals") {
+    val good = "the cat and the dog sat in the house and it was warm today"
+    val rows = Seq(
+      (1L, good, "en", "siteA", good.length.toLong),
+      (2L, "too short", "en", "siteA", 9L),              // gopher drops
+      (3L, good + " extra", "en", "siteB", good.length + 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextSignals.sourceQuality(rows).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("siteA")
+    assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Double]("corpus_share") ==
+      BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(a.getAs[Double]("keep_rate") == 0.5)
+    assert(out("siteB").getAs[Double]("keep_rate") == 1.0)
+    // mean_prob replays the classifier's own rounded probabilities.
+    val probs = TextSignals.qualityClassifier(rows).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("prob")).toMap
+    val expA = BigDecimal((math.rint(probs(1L) * 1e6) + math.rint(probs(2L) * 1e6)) / 2e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getAs[Double]("mean_prob") == expA)
+    // mean_words counts whitespace words (gopher grain): 14 and 2 → 8.
+    assert(a.getAs[Double]("mean_words") == 8.0)
+  }
+
   test("chunk_split: stride windows, clamped tail, full coverage, empty doc dropped") {
     // 6 tokens, chunk=3, stride=2 → windows [1..3], [3..5], [5..6].
     val out = TextSignals.chunkSplit(docs(
