@@ -159,10 +159,12 @@ object ScaleProbe {
       val tChunkSplit = noopTime(TextSignals.chunkSplit(docs))
       val tNorm = noopTime(TextSignals.textNormalize(docs))
       val tGopher = noopTime(TextSignals.gopherFilter(docs))
+      val tSent = noopTime(TextSignals.sentenceStats(docs))
+      val tSrcQ = noopTime(TextSignals.sourceQuality(docs))
       println(f"[scale-signal] k=$k winnow=$tWinnow%.2f dup_ngram=$tDupNgram%.2f " +
         f"quality_cls=$tQc%.2f oov=$tOov%.2f tfidf=$tTfidf%.2f " +
         f"chunk_split=$tChunkSplit%.2f normalize=$tNorm%.2f gopher=$tGopher%.2f " +
-        f"decon_fuzzy=$tDeconFuzzy%.2f")
+        f"decon_fuzzy=$tDeconFuzzy%.2f sent=$tSent%.2f src_quality=$tSrcQ%.2f")
     }
     spark.stop()
   }
