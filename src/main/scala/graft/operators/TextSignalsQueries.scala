@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Driver-contract wrappers + DuckDB oracles for the [[TextSignals]]
-  * corpus-signal operators (SURVEY §2 #45c/45d/45e/46b/47o–47r). All five
-  * hash through the portable md5 fold, so every row is a full
-  * rows/schema/hash cross-engine check.
+  * corpus-signal operators (SURVEY §2 #45c–45f/46b/47o–47t). Every row
+  * is a full rows/schema/hash cross-engine check: hashing goes through
+  * the portable md5 fold, means fold exact integer micro-units, and
+  * rank/verdict keys compare rounded values.
   */
 object TextSignalsQueries {
 
