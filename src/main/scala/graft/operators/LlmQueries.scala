@@ -157,14 +157,18 @@ object LlmQueries {
     "chunk_dedup" -> ((s, d) =>
       Dedup.chunkDedup(docs(s, d)).orderBy(col("doc_id"))),
 
-    // String-key mode carries the oracle (hash-collision-free and
-    // engine-neutral); the xxhash64-key default is spec-asserted equal.
+    // The xxhash64-key default runs here (8-byte shuffle keys — the
+    // string-key mode shuffles the 40-char grams themselves, twice, and
+    // its allocation churn was the round-6 bench confirmed-regression);
+    // the DuckDB oracle still computes over gram strings, which is fine
+    // because the two modes are output-identical (spec-asserted,
+    // DedupTextSpec "string-key (oracle) mode").
     "dedup_spans" -> ((s, d) =>
-      Dedup.exactSpans(docs(s, d), minLen = 40, hashGrams = false)
+      Dedup.exactSpans(docs(s, d), minLen = 40)
         .orderBy(col("doc_id"), col("span_start"))),
 
     "dedup_spans_clean" -> ((s, d) =>
-      Dedup.removeSpans(docs(s, d), minLen = 40, hashGrams = false)
+      Dedup.removeSpans(docs(s, d), minLen = 40)
         .orderBy(col("doc_id"))),
 
     // Quality-aware canonical selection over the oracle-friendly ngram
