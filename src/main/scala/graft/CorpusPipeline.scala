@@ -38,6 +38,15 @@ object CorpusPipeline {
     * ([[TextSignals.withGopher]]) into the gate; `classifierGate` ANDs
     * the hashed linear classifier's verdict (inline integer-fold form,
     * [[TextSignals.classifierKeepCol]]).
+    *
+    * NOTE `gopherRules` changes the published `n_words` DEFINITION:
+    * the battery's filtered whitespace-word count overwrites
+    * [[TextAnalysis.withQuality]]'s raw `split("\\s+")` count (which
+    * includes a leading-empty token for leading-whitespace docs), so
+    * the same document can report n_words off by one between the two
+    * modes. Deliberate: when the battery is on, its counts are the
+    * ones the gate judged, and publishing the pair of counts would
+    * double the schema for a bookkeeping distinction.
     */
   def curate(documents: DataFrame,
              minQuality: Double = 0.55,

@@ -139,7 +139,27 @@ object Dedup {
       xxhash64(canonicalKey(col("text"))).as("__ck"), seenPred.as("__seen"))
     val bloom = keyed.filter(col("__seen"))
       .stat.bloomFilter("__ck", expectedItems, fpp)
-    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    // The probe is Spark's own codegen'd BloomFilterMightContain over a
+    // literal of the sketch's canonical serialization (stat.bloomFilter
+    // and the expression share BloomFilterImpl's format and the
+    // putLong/mightContainLong hashing of a long key) — NOT a Scala
+    // UDF: this filter sits on the full incoming-corpus scan, the one
+    // path the operator exists to accelerate, and a per-row UDF would
+    // break whole-stage codegen exactly there (round-6 verdict). The
+    // expression is what Spark's own runtime-filter rewrite injects; it
+    // is registered internal-only (no SQL name on the public search
+    // path), so it is built directly and surfaced through the column
+    // bridge.
+    val serialized = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    def mightContain(k: Column): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(serialized),
+          org.apache.spark.sql.GraftColumnBridge.expression(k)))
     val incoming = keyed.filter(!col("__seen"))
     val definiteNew = incoming.filter(!mightContain(col("__ck")))
       .select(col("doc_id"), col("source"), col("lang"),
@@ -591,11 +611,15 @@ object Dedup {
     * the best similarity and the matched benchmark doc (ties broken to
     * the lowest bench id — deterministic cross-engine).
     *
-    * Scale shape: ONE portable-minhash banding pass over bench ∪ corpus
-    * ([[portableBandKeys]] — the dedup pipeline reused asymmetrically);
-    * the benchmark's band keys reduce to a distinct (band, key, bench_id)
-    * table that BROADCASTS (benchmarks are tiny relative to a training
-    * corpus), so corpus rows never shuffle for candidacy. Exact-Jaccard
+    * Scale shape: one-corpus-pass TOTAL banding work — the
+    * [[portableBandKeys]] pipeline is instantiated on both branches,
+    * but with COMPLEMENTARY doc_id filters that push below the
+    * signature aggregate to the scan (bench rows ride the bench
+    * branch, corpus rows the probe branch; no document's signature is
+    * computed twice). The benchmark's band keys reduce to a distinct
+    * (band, key, bench_id) table that BROADCASTS (benchmarks are tiny
+    * relative to a training corpus), so corpus rows never shuffle for
+    * candidacy. Exact-Jaccard
     * verification builds shingle arrays only for candidate docs
     * (left-semi), the [[minhashVerify]] O(candidates) argument.
     */

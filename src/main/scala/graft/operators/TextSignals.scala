@@ -32,10 +32,15 @@ object TextSignals {
     * [[Dedup.tokens]] with empties removed. Public so composition sites
     * (the [[graft.CorpusPipeline]] classifier gate) use THIS expression
     * rather than re-deriving it — a tokenizer change must move every
-    * consumer together.
+    * consumer together. NULL text tokenizes as the EMPTY ARRAY, not
+    * null: a null array would explode to zero rows and silently drop
+    * the document from every signal, while the DuckDB oracles LEFT
+    * JOIN from the full documents table and would still emit its
+    * zero-token row (ADVICE r6 — cross-engine row-membership must not
+    * depend on text nullability).
     */
   def tokensCol(text: Column): Column =
-    filter(Dedup.tokens(text), t => t =!= "")
+    filter(Dedup.tokens(coalesce(text, lit(""))), t => t =!= "")
 
   private def tokens(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), tokensCol(col("text")).as("__t"))
@@ -230,12 +235,66 @@ object TextSignals {
         count(col("__tok")).as("n_tokens"), // count() skips the sentinel
         sum(when(col("__tok").isNotNull,
           bucketWeight(h32(col("__tok")) % lit(buckets))).otherwise(lit(0L))).as("__ws"))
+    classifierTail(agg)
+  }
+
+  /** Shared scoring tail of the two classifier fronts: integer weight
+    * sum → mean score → sigmoid keep probability (one divide + one exp,
+    * the only float steps — round-6 cross-engine policy).
+    */
+  private def classifierTail(agg: DataFrame): DataFrame = {
     val score = col("__ws").cast("double") / (col("n_tokens") * lit(1000000.0))
     agg.select(col("doc_id"), col("n_tokens"),
       when(col("n_tokens") > 0, round(score, 6)).otherwise(lit(0.0)).as("score"),
       when(col("n_tokens") > 0, round(lit(1.0) / (lit(1.0) + exp(-score)), 6))
         .otherwise(lit(0.5)).as("prob"),
       (col("__ws") >= 0).as("keep"))
+  }
+
+  /** The inline demo model as an explicit (bucket, weight_int) frame —
+    * what a TRAINED artifact looks like to [[qualityClassifierWeighted]];
+    * the spec feeds it back to prove the two fronts agree bit-for-bit.
+    */
+  def demoWeights(spark: org.apache.spark.sql.SparkSession,
+                  buckets: Int = 4096): DataFrame = {
+    import spark.implicits._
+    spark.range(buckets.toLong).toDF("bucket")
+      .select(col("bucket").cast("int").as("bucket"),
+        bucketWeight(col("bucket")).as("weight_int"))
+  }
+
+  /** #45d trained-model entry point: [[qualityClassifier]] with the
+    * weights taken from a (bucket, weight_int) DataFrame — the swap the
+    * inline row's scaladoc promises ("a trained model swaps in as a
+    * broadcast `buckets`-row table, same plan shape"). A distilled
+    * fastText-style gate exports its hashed-feature weights as integers
+    * at 10⁻⁶ grain and hands them here; scoring semantics, rounding and
+    * the keep rule are byte-identical to the inline front
+    * ([[classifierTail]] is shared).
+    *
+    * Scale shape: the model is bounded by contract (`buckets` rows), so
+    * it BROADCASTS — the posting explode gains one broadcast-hash join
+    * and no new Exchange; the per-doc fold still combines map-side.
+    * Buckets absent from the frame weigh 0 (a sparse model is fine);
+    * the null explode sentinel keeps token-less docs without a join
+    * back to the corpus.
+    */
+  def qualityClassifierWeighted(documents: DataFrame, weights: DataFrame,
+                                buckets: Int = 4096): DataFrame = {
+    val toks = tokens(documents)
+    val w = broadcast(weights.select(col("bucket").cast("int").as("__b"),
+      col("weight_int").cast("long").as("__w")))
+    val agg = toks
+      .select(col("doc_id"),
+        explode(concat(array(lit(null).cast("string")), col("__t"))).as("__tok"))
+      .withColumn("__b",
+        when(col("__tok").isNotNull, h32(col("__tok")) % lit(buckets)).cast("int"))
+      .join(w, Seq("__b"), "left_outer") // null-sentinel rows keep no match
+      .groupBy("doc_id").agg(
+        count(col("__tok")).as("n_tokens"),
+        sum(when(col("__tok").isNotNull, coalesce(col("__w"), lit(0L)))
+          .otherwise(lit(0L))).as("__ws"))
+    classifierTail(agg)
   }
 
   /** #46b oov_rate: vocabulary-coverage profile — build the corpus

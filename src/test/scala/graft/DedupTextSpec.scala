@@ -888,12 +888,26 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(exact.map(_.getAs[Int]("is_new")).toSeq == Seq(0, 1, 0))
     // The bloom pre-filtered path returns exactly the same rows: misses
     // are definite-new (no false negatives), hits are join-confirmed.
-    val bloom = Dedup.incrementalNewBloom(d, seen, expectedItems = 100L)
-      .orderBy("doc_id").collect()
+    val bloomDf = Dedup.incrementalNewBloom(d, seen, expectedItems = 100L)
+    val bloom = bloomDf.orderBy("doc_id").collect()
     assert(bloom.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("is_dup"),
       r.getAs[Int]("is_new"))).toSeq ==
       exact.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("is_dup"),
         r.getAs[Int]("is_new"))).toSeq)
+    // Plan contract (round-6 verdict): the bloom probe is the codegen'd
+    // might_contain expression over a literal sketch, never a Scala UDF
+    // — a UDF on the full incoming-corpus scan would break whole-stage
+    // codegen on the exact path this operator exists to accelerate.
+    // RDD-backed input: a LocalRelation fixture constant-folds the
+    // probe away (ConvertToLocalRelation) before the physical plan
+    // exists.
+    val dRdd = spark.createDataFrame(d.rdd, d.schema)
+    val physical = Dedup.incrementalNewBloom(dRdd, seen,
+      expectedItems = 100L).queryExecution.executedPlan.toString
+    assert(!physical.contains("ScalaUDF") && !physical.contains("BatchEvalPython"),
+      s"bloom probe must stay inside codegen, got:\n$physical")
+    assert(physical.contains("might_contain"),
+      s"definite-new branch should probe via might_contain, got:\n$physical")
   }
 
   test("length profile: exact quantiles on a hand-checked stratum") {

@@ -134,6 +134,36 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.getAs[Double]("prob") == 0.5 && r2.getAs[Boolean]("keep"))
   }
 
+  test("quality_classifier: trained-weights front agrees bit-for-bit with the inline fold") {
+    val d = docs(
+      1L -> "alpha beta gamma alpha",
+      2L -> "!!!",                       // no tokens → sentinel row
+      3L -> "delta epsilon zeta eta theta")
+    val inline = TextSignals.qualityClassifier(d).orderBy("doc_id").collect()
+    // Feeding the inline model back as an explicit weights frame must
+    // reproduce it exactly — the swap a distilled fastText gate makes.
+    val viaWeights = TextSignals.qualityClassifierWeighted(
+      d, TextSignals.demoWeights(spark)).orderBy("doc_id").collect()
+    assert(viaWeights.map(_.toSeq).toSeq == inline.map(_.toSeq).toSeq)
+    // A SPARSE model is fine: absent buckets weigh 0.
+    val empty = TextSignals.qualityClassifierWeighted(
+      d, TextSignals.demoWeights(spark).limit(0)).orderBy("doc_id").collect()
+    assert(empty.map(_.getAs[Double]("score")).toSeq == Seq(0.0, 0.0, 0.0))
+    assert(empty.map(_.getAs[Long]("n_tokens")).toSeq ==
+      inline.map(_.getAs[Long]("n_tokens")).toSeq)
+    // Plan shape: the model join is broadcast-hash (no new Exchange) —
+    // same shuffle count as the inline front, model never reshuffles
+    // corpus rows.
+    val wPlan = TextSignals.qualityClassifierWeighted(d, TextSignals.demoWeights(spark))
+      .queryExecution.executedPlan.toString
+    val iPlan = TextSignals.qualityClassifier(d).queryExecution.executedPlan.toString
+    assert(wPlan.contains("BroadcastHashJoin"))
+    def nExchanges(p: String) =
+      "(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nExchanges(wPlan) == nExchanges(iPlan),
+      s"weighted front must add no shuffle: $wPlan")
+  }
+
   test("quality_classifier: score is a mean — repetition does not move it") {
     val once = TextSignals.qualityClassifier(docs(1L -> "zeta"))
       .collect().head.getAs[Double]("score")
