@@ -436,6 +436,14 @@ object Dedup {
     * partitioned by cluster: an everything-is-one-cluster corpus pins a
     * window to a single task, while the aggregate combines map-side and
     * the join skew-splits under AQE.
+    *
+    * Pair source: any (id1, id2) emitter plugs in. At corpus scale the
+    * banded-LSH emitter ([[minhashPairs]] / [[minhashPairsPortable]])
+    * is the default — candidate generation bounded by band-bucket
+    * occupancy — while the exact ngram-Jaccard inverted index's
+    * posting-intersection cost tracks pair count; both ship as oracle
+    * rows (dedup_keep_best / dedup_keep_best_lsh, the
+    * dedup_clusters/dedup_clusters_lsh split at keep-best grain).
     */
   def keepBest(documents: DataFrame, pairs: DataFrame,
                src: String = "id1", dst: String = "id2"): DataFrame = {

@@ -178,6 +178,16 @@ object LlmQueries {
           Dedup.ngramJaccardInvertedIndex(docs(s, d), minJaccard = 0.5))
         .orderBy(col("cluster_id"), col("doc_id"))),
 
+    // The corpus-scale default pair source: banded minhash-LSH (the
+    // dedup_clusters / dedup_clusters_lsh split mirrored at keep-best
+    // grain — at 100 TB the banded emitter is the one that bounds
+    // candidate generation; the ngram emitter's posting-intersection
+    // cost tracks pair count). Portable md5 family carries the oracle.
+    "dedup_keep_best_lsh" -> ((s, d) =>
+      Dedup.keepBest(docs(s, d),
+          Dedup.minhashPairsPortable(docs(s, d), minJaccard = 0.5))
+        .orderBy(col("cluster_id"), col("doc_id"))),
+
     "corpus_mix" -> ((s, d) =>
       TextAnalysis.corpusMix(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -411,53 +421,109 @@ object LlmQueries {
     s"(CASE WHEN b_$j * 2 > n THEN ${1 << jj} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** The portable-minhash banding + exact-Jaccard-verify CTE chain
+    * (t…j), shared by the dedup_minhash and dedup_keep_best_lsh oracles
+    * — one definition so the pair source cannot drift copy-by-copy
+    * (the SpanCte rule). Consumers select from `j` with their own
+    * threshold.
+    */
+  private val MinhashPairCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_distinct(list_transform(range(len(toks) - 1),
+       |        i -> toks[i+1] || ' ' || toks[i+2]))
+       |      ELSE [] END AS sh
+       |  FROM t),
+       |po AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % ${Dedup.PermM} AS h
+       |  FROM po),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $MinhashSigCols
+       |  FROM ph GROUP BY doc_id),
+       |bx AS (
+       |  SELECT doc_id, unnest([
+       |    $MinhashBandStructs]) AS u
+       |  FROM sig),
+       |bk AS (SELECT doc_id, u.band AS band, u.band_key AS band_key FROM bx),
+       |bsz AS (
+       |  SELECT band, band_key, count(*) AS n, min(doc_id) AS root
+       |  FROM bk GROUP BY band, band_key),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b2.doc_id AS id2
+       |  FROM bk a JOIN bk b2 USING (band, band_key) JOIN bsz USING (band, band_key)
+       |  WHERE n <= 1024 AND a.doc_id < b2.doc_id
+       |  UNION
+       |  SELECT root AS id1, doc_id AS id2
+       |  FROM bk JOIN bsz USING (band, band_key)
+       |  WHERE n > 1024 AND doc_id <> root),
+       |j AS (
+       |  SELECT id1, id2,
+       |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
+       |    len(a.sh) AS la, len(b2.sh) AS lb
+       |  FROM cand JOIN d a ON a.doc_id = id1 JOIN d b2 ON b2.doc_id = id2)""".stripMargin
+
+  /** Quality-score CTEs (b, q) shared by the keep-best oracles. */
+  private val QualityCtes: String =
+    s"""b AS (
+       |  SELECT doc_id, text,
+       |    $QualityFieldsSql
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    $QualityScoreSql AS quality_score
+       |  FROM b)""".stripMargin
+
+  /** Shared CC + highest-quality-survivor tail of the keep-best
+    * oracles: consumes a `pairs` (id1, id2) CTE and the quality CTE
+    * `q` — one definition of the cluster resolution + survivor rule so
+    * the ngram and LSH rows cannot drift.
+    */
+  private val KeepBestTailSql: String =
+    """edges AS (SELECT id1 AS a, id2 AS bb FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.src, e2.bb FROM reach r JOIN edges e2 ON r.dst = e2.a),
+      |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+      |sc AS (
+      |  SELECT l.id AS doc_id, cluster_id, quality_score
+      |  FROM labels l JOIN q ON l.id = q.doc_id),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn
+      |  FROM sc),
+      |best AS (SELECT cluster_id, doc_id AS keep_id FROM rk WHERE rn = 1),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM sc GROUP BY cluster_id)
+      |SELECT sc.doc_id, cluster_id, cluster_size, quality_score, keep_id,
+      |  CAST(sc.doc_id = keep_id AS INT) AS is_kept
+      |FROM sc JOIN best USING (cluster_id) JOIN sz USING (cluster_id)
+      |ORDER BY cluster_id, sc.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dedup_minhash" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
-         |  FROM documents),
-         |d AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) >= 2
-         |      THEN list_distinct(list_transform(range(len(toks) - 1),
-         |        i -> toks[i+1] || ' ' || toks[i+2]))
-         |      ELSE [] END AS sh
-         |  FROM t),
-         |po AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |ph AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % ${Dedup.PermM} AS h
-         |  FROM po),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $MinhashSigCols
-         |  FROM ph GROUP BY doc_id),
-         |bx AS (
-         |  SELECT doc_id, unnest([
-         |    $MinhashBandStructs]) AS u
-         |  FROM sig),
-         |bk AS (SELECT doc_id, u.band AS band, u.band_key AS band_key FROM bx),
-         |bsz AS (
-         |  SELECT band, band_key, count(*) AS n, min(doc_id) AS root
-         |  FROM bk GROUP BY band, band_key),
-         |cand AS (
-         |  SELECT a.doc_id AS id1, b2.doc_id AS id2
-         |  FROM bk a JOIN bk b2 USING (band, band_key) JOIN bsz USING (band, band_key)
-         |  WHERE n <= 1024 AND a.doc_id < b2.doc_id
-         |  UNION
-         |  SELECT root AS id1, doc_id AS id2
-         |  FROM bk JOIN bsz USING (band, band_key)
-         |  WHERE n > 1024 AND doc_id <> root),
-         |j AS (
-         |  SELECT id1, id2,
-         |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
-         |    len(a.sh) AS la, len(b2.sh) AS lb
-         |  FROM cand JOIN d a ON a.doc_id = id1 JOIN d b2 ON b2.doc_id = id2)
+      s"""WITH $MinhashPairCtes
          |SELECT id1, id2,
          |  round(CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0), 6) AS jaccard
          |FROM j
          |WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_keep_best_lsh" ->
+      s"""WITH RECURSIVE $MinhashPairCtes,
+         |pairs AS (
+         |  SELECT id1, id2 FROM j
+         |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
+         |$QualityCtes,
+         |$KeepBestTailSql""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tok AS (
@@ -1124,14 +1190,7 @@ object LlmQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_keep_best" ->
-      s"""WITH RECURSIVE b AS (
-         |  SELECT doc_id, text,
-         |    $QualityFieldsSql
-         |  FROM documents),
-         |q AS (
-         |  SELECT doc_id,
-         |    $QualityScoreSql AS quality_score
-         |  FROM b),
+      s"""WITH RECURSIVE $QualityCtes,
          |t AS (
          |  SELECT doc_id, source, lang,
          |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
@@ -1152,27 +1211,7 @@ object LlmQueries {
          |pairs AS (
          |  SELECT id1, id2 FROM p
          |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
-         |edges AS (SELECT id1 AS a, id2 AS bb FROM pairs
-         |          UNION ALL SELECT id2, id1 FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.src, e2.bb FROM reach r JOIN edges e2 ON r.dst = e2.a),
-         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
-         |sc AS (
-         |  SELECT l.id AS doc_id, cluster_id, quality_score
-         |  FROM labels l JOIN q ON l.id = q.doc_id),
-         |rk AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn
-         |  FROM sc),
-         |best AS (SELECT cluster_id, doc_id AS keep_id FROM rk WHERE rn = 1),
-         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM sc GROUP BY cluster_id)
-         |SELECT sc.doc_id, cluster_id, cluster_size, quality_score, keep_id,
-         |  CAST(sc.doc_id = keep_id AS INT) AS is_kept
-         |FROM sc JOIN best USING (cluster_id) JOIN sz USING (cluster_id)
-         |ORDER BY cluster_id, sc.doc_id""".stripMargin,
+         |$KeepBestTailSql""".stripMargin,
 
     "corpus_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
