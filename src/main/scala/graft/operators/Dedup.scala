@@ -422,6 +422,124 @@ object Dedup {
         coalesce(col("n_chars_removed"), lit(0L)).as("n_chars_removed"))
   }
 
+  /** #40i dedup_spans_maximal: exact MAXIMAL duplicated substrings —
+    * the suffix-array-grade upgrade of [[exactSpans]] to the span
+    * statistics Lee et al. 2022's ExactSubstr deployment reports. The
+    * window-exact form marks covered bytes and merges them into
+    * islands, so two overlapping repeats fuse into one span and span
+    * lengths are island lengths, not repeat lengths; this operator
+    * reports every maximal repeat exactly: each output row is a
+    * substring occurrence `[span_start, span_end)` with `span_end −
+    * span_start ≥ minLen` that appears ≥2 times in the corpus
+    * (overlapping occurrences count) and extends neither left nor
+    * right.
+    *
+    * Shape — two phases, both distributive:
+    *
+    * 1. PRUNE with [[exactSpans]]: every byte of a duplicated
+    *    substring of length ≥ minLen is covered by a duplicated
+    *    minLen-window at each of its occurrences, so all maximal
+    *    repeats live entirely inside window-exact islands. Phase 2
+    *    touches island positions only — the duplicated fraction of the
+    *    corpus, not the corpus.
+    * 2. SORT THE ISLAND SUFFIXES and take LCP with sort-neighbors —
+    *    the suffix-array property that the maximal common prefix of
+    *    any suffix is attained at an adjacent suffix in lexicographic
+    *    order. Suffixes are island-bounded strings (≤ the `levels`
+    *    cap), the sort is Spark's distributed range sort (never a
+    *    single-task window), the dense neighbor index comes from
+    *    `zipWithIndex` (a count-per-partition job), and the LCP of
+    *    each adjacent pair is an EXACT binary descent of codegen'd
+    *    full-window substring comparisons: for k = K…0, `acc += 2^k`
+    *    iff both suffixes have `acc + 2^k` chars and their
+    *    `[acc, acc+2^k)` windows are equal — converging to the true
+    *    common prefix length (truncated windows never compare equal to
+    *    full ones, so partial tails resolve at smaller k). `m(p)` =
+    *    max(LCP with prev, LCP with next); identical suffixes sort
+    *    adjacent and get full-length LCP with no special casing. Spans
+    *    are rows with `m ≥ minLen` that are left-maximal
+    *    (`m(p−1) < m(p)+1` — a single lag suffices since m decreases
+    *    by at most 1 per position).
+    *
+    * Scale: phase 1 is the skew-safe corpus pass; phase 2 materializes
+    * island suffixes — O(cap × duplicated-bytes) shuffle, the explicit
+    * price of exact maximality, paid only on the duplicated fraction
+    * and bounded by the `levels` guard — plus one range sort and two
+    * neighbor joins. Fails loudly when an island exceeds the cap
+    * (2^levels − 1 chars) rather than silently truncating span
+    * lengths. The DuckDB oracle replays the identical construction
+    * (row_number suffix order + the same binary LCP descent).
+    */
+  def maximalSpans(documents: DataFrame, minLen: Int = 40,
+                   levels: Int = 12, hashGrams: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = exactSpans(documents, minLen, hashGrams)
+    // Checkpoint the island frame: the corpus-scale window-exact pass
+    // runs ONCE — the guard aggregate below and the suffix pipeline
+    // both read the materialized islands (the duplicated fraction only).
+    val isl = spans
+      .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("span_start").as("island"),
+        col("text").substr((col("span_start") + 1).cast("int"),
+          col("span_len").cast("int")).as("itext"))
+      .localCheckpoint()
+    // Bounded-scalar guard (the quantizer-fit pattern): cap must exceed
+    // the longest island or maximality silently truncates.
+    val maxLen = isl.agg(coalesce(max(length(col("itext"))), lit(0))).head.getInt(0)
+    require(maxLen < (1 << levels),
+      s"maximalSpans: island of $maxLen chars exceeds the 2^$levels-1 cap — raise `levels`")
+    // LCP descent needs only levels covering the longest island; the
+    // fixed-level oracle's extra rounds are no-ops (full windows never
+    // exist there), so skipping them is semantically identical.
+    val levelsEff = math.min(levels, 32 - Integer.numberOfLeadingZeros(math.max(1, maxLen)))
+    val pos = isl.select(col("doc_id"), col("island"),
+        explode(sequence(lit(0), length(col("itext")) - 1)).as("i"), col("itext"))
+      .select(col("doc_id"), col("island"),
+        (col("island") + col("i")).cast("long").as("pos"),
+        col("itext").substr(col("i") + 1, length(col("itext")) - col("i")).as("sfx"))
+    // Dense suffix order WITHOUT a single-task window: distributed
+    // range sort, then zipWithIndex (count-per-partition + offsets).
+    val spark = documents.sparkSession
+    val sortedRdd = pos.orderBy(col("sfx"), col("doc_id"), col("pos"))
+      .select(col("doc_id"), col("island"), col("pos"), col("sfx"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (i, r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) }
+    import spark.implicits._
+    val idx = sortedRdd.toDF("idx", "doc_id", "island", "pos", "sfx")
+      .localCheckpoint()
+    // Exact LCP by binary descent of full-window substring equality.
+    // Each level is its own projection column: folding the accumulator
+    // into one expression would copy it 4× per level (exponential tree);
+    // as chained named columns Catalyst keeps each level evaluated once
+    // (CollapseProject declines to inline a non-cheap attr used twice+).
+    val adj = idx.select(col("idx").as("ia"), col("sfx").as("sa"))
+      .join(idx.select((col("idx") - 1).as("ia"), col("sfx").as("sb")), Seq("ia"))
+      .withColumn("acc", lit(0L))
+    val walked = (levelsEff - 1 to 0 by -1).foldLeft(adj) { (df, k) =>
+      val wd = 1 << k
+      df.withColumn("acc", col("acc") +
+        when(length(col("sa")) >= col("acc") + wd &&
+          length(col("sb")) >= col("acc") + wd &&
+          col("sa").substr((col("acc") + 1).cast("int"), lit(wd)) ===
+            col("sb").substr((col("acc") + 1).cast("int"), lit(wd)),
+          lit(wd.toLong)).otherwise(lit(0L)))
+    }
+    val pairs = walked.select(col("ia"), col("acc").as("lcp"))
+    val m = idx
+      .join(pairs.select(col("ia"), col("lcp").as("__ln")), col("idx") === col("ia"), "left")
+      .drop("ia")
+      .join(pairs.select((col("ia") + 1).as("ib"), col("lcp").as("__lp")),
+        col("idx") === col("ib"), "left")
+      .select(col("doc_id"), col("island"), col("pos"),
+        greatest(coalesce(col("__ln"), lit(0L)), coalesce(col("__lp"), lit(0L))).as("m"))
+    val w = Window.partitionBy(col("doc_id"), col("island")).orderBy(col("pos"))
+    m.withColumn("__pm", lag(col("m"), 1).over(w))
+      .filter(col("m") >= minLen &&
+        (col("__pm").isNull || col("__pm") < col("m") + 1))
+      .select(col("doc_id"), col("pos").as("span_start"),
+        (col("pos") + col("m")).as("span_end"), col("m").as("span_len"))
+  }
+
   /** #37c dedup_keep_best: quality-aware canonical selection — resolve
     * near-dup pairs to clusters ([[Components.connectedComponents]]) and
     * keep each cluster's highest-[[TextAnalysis.withQuality]] member

@@ -171,6 +171,12 @@ object LlmQueries {
       Dedup.removeSpans(docs(s, d), minLen = 40)
         .orderBy(col("doc_id"))),
 
+    // Suffix-grade maximal repeats (Lee et al. span statistics); the
+    // window-exact row above stays as the cheap detection tier.
+    "dedup_spans_maximal" -> ((s, d) =>
+      Dedup.maximalSpans(docs(s, d), minLen = 40)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // Quality-aware canonical selection over the oracle-friendly ngram
     // emitter (same pair source as corpus_pipeline's dedup stage).
     "dedup_keep_best" -> ((s, d) =>
@@ -420,6 +426,27 @@ object LlmQueries {
     val j = c * 16 + jj
     s"(CASE WHEN b_$j * 2 > n THEN ${1 << jj} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** Binary LCP-descent rounds for the dedup_spans_maximal oracle —
+    * generated to stay in lockstep with [[Dedup.maximalSpans]]'s
+    * codegen'd fold (same full-window rule: add 2^k iff both suffixes
+    * carry the complete `[acc, acc+2^k)` window and the windows are
+    * equal). Fixed 12 levels = the query row's `levels` cap; rounds
+    * wider than the longest island are no-ops on both engines.
+    */
+  private val MaxSpanWalkCtes: String = {
+    val rounds = (11 to 0 by -1).map { k =>
+      val wd = 1 << k
+      val prev = if (k == 11) "w12" else s"w${k + 1}"
+      s"""w$k AS (
+         |  SELECT ia, sa, sb, acc + CASE WHEN len(sa) >= acc + $wd AND len(sb) >= acc + $wd
+         |    AND substr(sa, CAST(acc + 1 AS INT), $wd) = substr(sb, CAST(acc + 1 AS INT), $wd)
+         |    THEN $wd ELSE 0 END AS acc
+         |  FROM $prev)""".stripMargin
+    }
+    ("w12 AS (SELECT ia, sa, sb, CAST(0 AS BIGINT) AS acc FROM spr)" +: rounds)
+      .mkString(",\n")
+  }
 
   /** The portable-minhash banding + exact-Jaccard-verify CTE chain
     * (t…j), shared by the dedup_minhash and dedup_keep_best_lsh oracles
@@ -1166,6 +1193,35 @@ object LlmQueries {
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
          |  max(pos) + 40 - min(pos) AS span_len
          |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_spans_maximal" ->
+      s"""$SpanCte,
+         |seg AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+         |        FROM isl GROUP BY doc_id, island),
+         |p0 AS (
+         |  SELECT doc_id, s AS island, s + u AS pos,
+         |    substr(text, CAST(s + u + 1 AS INT), CAST(e - s - u AS INT)) AS sfx
+         |  FROM (SELECT seg.doc_id, seg.s, seg.e, d.text,
+         |          unnest(range(CAST(seg.e - seg.s AS BIGINT))) AS u
+         |        FROM seg JOIN documents d USING (doc_id))),
+         |sidx AS (SELECT *, row_number() OVER (ORDER BY sfx, doc_id, pos) - 1 AS idx
+         |         FROM p0),
+         |spr AS (SELECT a.idx AS ia, a.sfx AS sa, b.sfx AS sb
+         |       FROM sidx a JOIN sidx b ON b.idx = a.idx + 1),
+         |$MaxSpanWalkCtes,
+         |wl AS (SELECT ia, acc AS lcp FROM w0),
+         |mm AS (
+         |  SELECT p.doc_id, p.island, p.pos,
+         |    greatest(coalesce(ln.lcp, 0), coalesce(lp.lcp, 0)) AS m
+         |  FROM sidx p
+         |  LEFT JOIN wl ln ON ln.ia = p.idx
+         |  LEFT JOIN wl lp ON lp.ia = p.idx - 1),
+         |lm AS (SELECT *, lag(m) OVER (PARTITION BY doc_id, island ORDER BY pos) AS pm
+         |       FROM mm)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS span_start,
+         |  CAST(pos + m AS BIGINT) AS span_end, CAST(m AS BIGINT) AS span_len
+         |FROM lm WHERE m >= 40 AND (pm IS NULL OR pm < m + 1)
          |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_spans_clean" ->

@@ -203,6 +203,58 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (6L, "01234", 2L, 10L)), clean.toString)
   }
 
+  test("maximal spans: overlapping repeats stay separate with exact lengths") {
+    // S1 = "ABCDE" occurs in d1@2 and d2@2; S2 = "BCDEF" in d1@3 and
+    // d3@2. In d1 they overlap: window-exact fuses them into one island
+    // [2,8); the maximal form must report BOTH with exact boundaries.
+    // Separator chars are all distinct so no other window duplicates.
+    val docs = Seq(
+      (1L, "ghABCDEFij"),
+      (2L, "klABCDEmn"),
+      (3L, "opBCDEFqr")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maximalSpans(docs, minLen = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 7L, 5L), (1L, 3L, 8L, 5L), // overlapping pair, both maximal
+      (2L, 2L, 7L, 5L),
+      (3L, 2L, 7L, 5L)), out.toString)
+    // window-exact merges d1's pair into one island — the distinction
+    // this operator exists for
+    val we = Dedup.exactSpans(docs, minLen = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(we == Seq((1L, 2L, 8L), (2L, 2L, 7L), (3L, 2L, 7L)), we.toString)
+    // covered-byte sets agree: maximal spans partition exactly the
+    // window-exact islands' bytes (prune-phase soundness)
+    def bytes(s: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+      s.flatMap { case (d, a, b) => (a until b).map(d -> _) }.toSet
+    val mx = out.map(t => (t._1, t._2, t._3))
+    assert(bytes(mx) == bytes(we))
+  }
+
+  test("maximal spans: self-overlapping periodic repeat reports both n-1 occurrences") {
+    // a^8 alone: a^7 occurs at 0 and 1 (overlapping occurrences count),
+    // a^8 only once. BOTH occurrences of a^7 are maximal — [0,7) can't
+    // extend right past length 7 (a^8 unique), [1,8) can't extend left
+    // (would be a^8) and ends at the doc; interior starts (m(p) = 8-p-…
+    // shrinking by exactly 1) are suppressed by left-maximality.
+    val docs = Seq((1L, "aaaaaaaa"), (2L, "bcdefghi")).toDF("doc_id", "text")
+    val out = Dedup.maximalSpans(docs, minLen = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 0L, 7L, 7L), (1L, 1L, 8L, 7L)), out.toString)
+  }
+
+  test("maximal spans: island over the levels cap fails loudly") {
+    val docs = Seq((1L, "a" * 40), (2L, "a" * 40)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.maximalSpans(docs, minLen = 4, levels = 5) // cap 31 < island 40
+    }
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("near-dup pairs fail loudly on a degenerate label instead of going quadratic") {
     val emb = (0L until 8L).map(i => (i, Array(1f, i.toFloat), 0))
       .toDF("vec_id", "embedding", "label")
