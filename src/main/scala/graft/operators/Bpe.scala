@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * (count DESC, lhs ASC, rhs ASC) — Sennrich's reference breaks ties by
   * insertion order; a distributed count has no such order, so the
   * lexicographic rule is the documented, engine-replayable policy.
+  *
+  * [[train]] spends one Spark job per merge — fine for bounded
+  * fixtures, 32k sequential jobs for a production vocabulary.
+  * [[trainBatched]] is the production entry point: it batches
+  * symbol-disjoint dominance-checked prefixes of each round's pair
+  * slice and is PROVABLY sequential-equivalent (conditions documented
+  * on the method, spec-pinned to [[train]]).
   */
 object Bpe {
 
@@ -113,6 +120,94 @@ object Bpe {
       }
     }
     out.result()
+  }
+
+  /** [[train]] with BATCHED merge rounds — the fix for "R merges = R
+    * sequential Spark jobs" (round-6 verdict): each round collects the
+    * top-`sliceSize` pair slice ONCE and greedily accepts a PREFIX of
+    * it whose batched application is PROVABLY identical to running
+    * [[train]]'s rounds one at a time. A pair `p_i` joins the batch
+    * only when three conditions hold, all checkable from the slice:
+    *
+    *  1. PREFIX — acceptance stops at the first rejected pair (a
+    *     skipped pair would have been merged earlier sequentially);
+    *  2. DISJOINT — `p_i`'s symbols touch no earlier accepted pair's
+    *     symbols, so earlier merges change neither `p_i`'s count nor
+    *     its occurrences (merging (a,b) only removes adjacencies
+    *     involving a or b);
+    *  3. DOMINANCE — `count(p_i)` strictly exceeds every possible
+    *     new-pair count created by earlier accepted merges. Any pair
+    *     that is new after merging `p_j = (a,b)` sits on a boundary
+    *     that was previously an adjacency `q` with `q.lhs = b` or
+    *     `q.rhs = a`, so its count is ≤ count(q) in the ORIGINAL
+    *     vocabulary (merges only remove adjacencies); the bound
+    *     `B_j = max count(q)` is read off the slice, and
+    *     `count(p_i) > slice-min` guarantees no unseen q below the
+    *     slice can matter. Strictness also rules out (count, lex) ties
+    *     against new pairs whose names the slice cannot know.
+    *
+    * Under 1–3 the sequential argmax after applying `p_1..p_{i-1}` is
+    * exactly `p_i`, so the batch replays the sequential merge order —
+    * spec-pinned to [[train]] on the Sennrich fixture. Worst case every
+    * round accepts one pair (identical cost to [[train]] plus one
+    * slice collect); boilerplate-heavy rounds with several disjoint
+    * dominant pairs collapse R jobs into R/batch. `batchMax` bounds
+    * the per-round fold depth of the merge projection.
+    *
+    * Returns (merge table, Spark rounds used) — the second component
+    * is the job-count collapse the caller can assert/monitor.
+    */
+  def trainBatched(documents: DataFrame, merges: Int = 10,
+                   sliceSize: Int = 1024, batchMax: Int = 16): (Seq[Merge], Int) = {
+    var vocab = wordFreqs(documents)
+      .select(initSymbols(col("w")).as("syms"), col("freq"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var done = 0
+    var rounds = 0
+    var exhausted = false
+    while (done < merges && !exhausted) {
+      val slice = pairCounts(vocab)
+        .orderBy(TopK.descNum(col("pair_count")), col("lhs"), col("rhs"))
+        .limit(sliceSize).collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+          r.getAs[Long]("pair_count")))
+      if (slice.isEmpty) exhausted = true
+      else {
+        rounds += 1
+        val covered = slice.length < sliceSize // slice holds EVERY pair
+        val sliceMin = slice.last._3
+        val used = scala.collection.mutable.Set.empty[String]
+        var maxB = Long.MinValue
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        var stop = false
+        for ((l, r, c) <- slice if !stop) {
+          val ok =
+            if (n == 0) true
+            else !used(l) && !used(r) && c > maxB && (covered || c > sliceMin)
+          if (!ok || n >= math.min(batchMax, merges - done)) stop = true
+          else {
+            accepted += ((l, r, c))
+            used += l; used += r
+            val b = slice.collect { case (ql, qr, qc) if ql == r || qr == l => qc }
+            maxB = math.max(maxB, if (b.isEmpty) Long.MinValue else b.max)
+            n += 1
+          }
+        }
+        val batch = accepted.result()
+        batch.zipWithIndex.foreach { case ((l, r, c), i) =>
+          out += Merge(done + i + 1, l, r, l + r, c)
+        }
+        vocab = vocab
+          .withColumn("syms", batch.foldLeft(col("syms")) {
+            case (s, (l, r, _)) => mergeSyms(s, l, r)
+          })
+          .localCheckpoint()
+        done += batch.size
+      }
+    }
+    (out.result(), rounds)
   }
 
   /** Segment documents with a trained merge table: the merges fold into

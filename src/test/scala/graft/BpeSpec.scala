@@ -63,4 +63,43 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
   test("train on an empty/blank corpus yields no merges") {
     assert(Bpe.train(Seq((1L, "")).toDF("doc_id", "text")).isEmpty)
   }
+
+  test("trainBatched replays train exactly on the Sennrich fixture") {
+    val (batched, rounds) = Bpe.trainBatched(sennrich, merges = 5)
+    assert(batched == Bpe.train(sennrich, merges = 5))
+    assert(rounds <= 5)
+  }
+
+  test("trainBatched collapses rounds on disjoint word families, result sequential-exact") {
+    // Two letter-disjoint families {abu:5, abv:4} and {cdw:5, cdz:3}.
+    // Hand-traced: round 1 batches (a,b):9 + (c,d):8 (disjoint, and 8 >
+    // B1 = 5, the best adjacency into {a,b}); round 2 takes (ab,u):5
+    // alone — (cd,w):5 is NOT batchable because the new pair (abu,</w>)
+    // created by the first merge ties it at 5 and wins on lex, exactly
+    // what the dominance bound predicts; round 3 batches (abu,</w>) +
+    // (cd,w); round 4 finishes (cdw,</w>). 6 merges in 4 rounds.
+    val text = (Seq.fill(5)("abu") ++ Seq.fill(4)("abv") ++
+      Seq.fill(5)("cdw") ++ Seq.fill(3)("cdz")).mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    val (batched, rounds) = Bpe.trainBatched(corpus, merges = 6)
+    val sequential = Bpe.train(corpus, merges = 6)
+    assert(batched == sequential,
+      s"batched=${batched.map(m => (m.lhs, m.rhs))} seq=${sequential.map(m => (m.lhs, m.rhs))}")
+    assert(rounds == 4, s"expected 6 merges in 4 rounds, used $rounds")
+    assert(sequential.map(m => (m.lhs, m.rhs)) == Seq(
+      ("a", "b"), ("c", "d"), ("ab", "u"),
+      ("abu", Bpe.Eow), ("cd", "w"), ("cdw", Bpe.Eow)))
+  }
+
+  test("trainBatched honors batchMax and the merge budget") {
+    val text = (Seq.fill(5)("abu") ++ Seq.fill(4)("abv") ++
+      Seq.fill(5)("cdw") ++ Seq.fill(3)("cdz")).mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    // batchMax=1 degenerates to sequential train, one merge per round.
+    val (one, r1) = Bpe.trainBatched(corpus, merges = 4, batchMax = 1)
+    assert(one == Bpe.train(corpus, merges = 4) && r1 == 4)
+    // the merge budget cuts a round's batch short
+    val (two, _) = Bpe.trainBatched(corpus, merges = 1)
+    assert(two.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
+  }
 }
