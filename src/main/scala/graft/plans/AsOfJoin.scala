@@ -42,6 +42,14 @@ object AsOf {
     * `spark.sql.extensions` users.
     */
   def join(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    // Batch-only by design (SURVEY §4): planned per-microbatch this
+    // exec would carry no state across batches — a left row arriving
+    // after its right match's microbatch would silently miss it. The
+    // streaming tier is the keyed-state shape, not the merge shape.
+    require(!left.isStreaming && !right.isStreaming,
+      "AsOf.join is batch-only: the merge exec assumes both sides complete and " +
+        "sorted; for streams use graft.streaming.StreamAsOf (latest-right-per-key " +
+        "state + watermark reorder)")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =

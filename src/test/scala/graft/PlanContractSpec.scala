@@ -205,6 +205,27 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       (2L, 200.0, None)))       // no key-2 right rows
   }
 
+  test("native as-of join is batch-only: streaming children fail fast toward StreamAsOf") {
+    import graft.plans.AsOf
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+      .toDF().toDF("user_id", "ts", "rv")
+    val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      .toDF("user_id", "ts", "lv")
+    // Per-microbatch planning would silently drop cross-batch state —
+    // the guard routes users to the keyed-state streaming tier instead.
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(batch, stream, "user_id", "ts")
+    }
+    assert(e.getMessage.contains("StreamAsOf"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(stream, batch, "user_id", "ts")
+    }
+    assert(e2.getMessage.contains("batch-only"))
+  }
+
   test("native as-of join: NULL keys and timestamps never match (SQL semantics)") {
     import graft.plans.AsOf
     import spark.implicits._
