@@ -165,6 +165,27 @@ object ScaleProbe {
         f"quality_cls=$tQc%.2f oov=$tOov%.2f tfidf=$tTfidf%.2f " +
         f"chunk_split=$tChunkSplit%.2f normalize=$tNorm%.2f gopher=$tGopher%.2f " +
         f"decon_fuzzy=$tDeconFuzzy%.2f sent=$tSent%.2f src_quality=$tSrcQ%.2f")
+      // Round 7: maximal spans (phase 2 rides ISLAND bytes — duplicated
+      // content repeats per copy under the cipher, so islands scale
+      // linearly with k) and keep-best over the banded-LSH emitter
+      // (pair source bounded by band-bucket occupancy).
+      val tSpansMax = noopTime(Dedup.maximalSpans(docs))
+      val tKeepBestLsh = noopTime(Dedup.keepBest(docs,
+        Dedup.minhashPairs(docs, minJaccard = 0.5)))
+      println(f"[scale-r7] k=$k spans_maximal=$tSpansMax%.2f " +
+        f"keep_best_lsh=$tKeepBestLsh%.2f")
+    }
+    // BPE batching: job-round collapse on the real corpus — the r6
+    // verdict's "32k merges = 32k jobs" fix, measured.
+    locally {
+      val t0 = System.nanoTime()
+      val (bm, rounds) = Bpe.trainBatched(docsBase, merges = 24)
+      val tB = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val sm = Bpe.train(docsBase, merges = 24)
+      val tS = (System.nanoTime() - t1) / 1e9
+      println(f"[scale-bpe] merges=24 batched_rounds=$rounds " +
+        f"batched=$tB%.2fs sequential=$tS%.2fs sequential_equal=${bm == sm}")
     }
     spark.stop()
   }
