@@ -540,6 +540,32 @@ object Dedup {
         (col("pos") + col("m")).as("span_end"), col("m").as("span_len"))
   }
 
+  /** #40j span_stats: corpus-level duplication profile over a span
+    * frame (any `(doc_id, span_start, span_end, span_len)` emitter —
+    * [[maximalSpans]] for Lee-et-al-grade repeat statistics,
+    * [[exactSpans]] for the cheap island profile). One row per
+    * power-of-two length bucket (`len_bucket` = floor(log2 span_len),
+    * via the engine-portable `length(bin(x)) − 1` — no floating log2
+    * at bucket boundaries): span count, distinct docs touched, total
+    * duplicated chars, min/max and 6-dp mean span length.
+    *
+    * This is the report a curation run publishes before choosing a
+    * removal threshold — "how much of the corpus is in 64–127-char
+    * repeats vs 4 KB boilerplate blocks". Scale: a single hash
+    * aggregate over span rows (already the duplicated fraction of the
+    * corpus, not the corpus); `countDistinct` is Spark's two-phase
+    * distinct-aggregate rewrite — no window, no collect.
+    */
+  def spanStats(spans: DataFrame): DataFrame =
+    spans.groupBy((length(bin(col("span_len"))) - 1).cast("int").as("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("span_len")).as("total_chars"),
+        min(col("span_len")).as("min_len"),
+        max(col("span_len")).as("max_len"),
+        round(avg(col("span_len")), 6).as("avg_len"))
+
   /** #37c dedup_keep_best: quality-aware canonical selection — resolve
     * near-dup pairs to clusters ([[Components.connectedComponents]]) and
     * keep each cluster's highest-[[TextAnalysis.withQuality]] member

@@ -177,6 +177,12 @@ object LlmQueries {
       Dedup.maximalSpans(docs(s, d), minLen = 40)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // Corpus-level duplication profile over the maximal repeats — the
+    // report a curation run reads before picking a removal threshold.
+    "span_stats" -> ((s, d) =>
+      Dedup.spanStats(Dedup.maximalSpans(docs(s, d), minLen = 40))
+        .orderBy(col("len_bucket"))),
+
     // Quality-aware canonical selection over the oracle-friendly ngram
     // emitter (same pair source as corpus_pipeline's dedup stage).
     "dedup_keep_best" -> ((s, d) =>
@@ -447,6 +453,42 @@ object LlmQueries {
     ("w12 AS (SELECT ia, sa, sb, CAST(0 AS BIGINT) AS acc FROM spr)" +: rounds)
       .mkString(",\n")
   }
+
+  /** Full maximal-repeat CTE chain ending in `msp` (one row per
+    * maximal span) — shared by the dedup_spans_maximal and span_stats
+    * oracles so the span definition cannot drift copy-by-copy (the
+    * SpanCte rule). Mirrors [[Dedup.maximalSpans]] stage for stage:
+    * island segments → island suffixes → suffix order → neighbor-LCP
+    * binary descent → left-maximal filter.
+    */
+  private val MaxSpanChain: String =
+    s"""$SpanCte,
+       |seg AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+       |        FROM isl GROUP BY doc_id, island),
+       |p0 AS (
+       |  SELECT doc_id, s AS island, s + u AS pos,
+       |    substr(text, CAST(s + u + 1 AS INT), CAST(e - s - u AS INT)) AS sfx
+       |  FROM (SELECT seg.doc_id, seg.s, seg.e, d.text,
+       |          unnest(range(CAST(seg.e - seg.s AS BIGINT))) AS u
+       |        FROM seg JOIN documents d USING (doc_id))),
+       |sidx AS (SELECT *, row_number() OVER (ORDER BY sfx, doc_id, pos) - 1 AS idx
+       |         FROM p0),
+       |spr AS (SELECT a.idx AS ia, a.sfx AS sa, b.sfx AS sb
+       |       FROM sidx a JOIN sidx b ON b.idx = a.idx + 1),
+       |$MaxSpanWalkCtes,
+       |wl AS (SELECT ia, acc AS lcp FROM w0),
+       |mm AS (
+       |  SELECT p.doc_id, p.island, p.pos,
+       |    greatest(coalesce(ln.lcp, 0), coalesce(lp.lcp, 0)) AS m
+       |  FROM sidx p
+       |  LEFT JOIN wl ln ON ln.ia = p.idx
+       |  LEFT JOIN wl lp ON lp.ia = p.idx - 1),
+       |lm AS (SELECT *, lag(m) OVER (PARTITION BY doc_id, island ORDER BY pos) AS pm
+       |       FROM mm),
+       |msp AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS span_start,
+       |    CAST(pos + m AS BIGINT) AS span_end, CAST(m AS BIGINT) AS span_len
+       |  FROM lm WHERE m >= 40 AND (pm IS NULL OR pm < m + 1))""".stripMargin
 
   /** The portable-minhash banding + exact-Jaccard-verify CTE chain
     * (t…j), shared by the dedup_minhash and dedup_keep_best_lsh oracles
@@ -1196,33 +1238,23 @@ object LlmQueries {
          |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_spans_maximal" ->
-      s"""$SpanCte,
-         |seg AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
-         |        FROM isl GROUP BY doc_id, island),
-         |p0 AS (
-         |  SELECT doc_id, s AS island, s + u AS pos,
-         |    substr(text, CAST(s + u + 1 AS INT), CAST(e - s - u AS INT)) AS sfx
-         |  FROM (SELECT seg.doc_id, seg.s, seg.e, d.text,
-         |          unnest(range(CAST(seg.e - seg.s AS BIGINT))) AS u
-         |        FROM seg JOIN documents d USING (doc_id))),
-         |sidx AS (SELECT *, row_number() OVER (ORDER BY sfx, doc_id, pos) - 1 AS idx
-         |         FROM p0),
-         |spr AS (SELECT a.idx AS ia, a.sfx AS sa, b.sfx AS sb
-         |       FROM sidx a JOIN sidx b ON b.idx = a.idx + 1),
-         |$MaxSpanWalkCtes,
-         |wl AS (SELECT ia, acc AS lcp FROM w0),
-         |mm AS (
-         |  SELECT p.doc_id, p.island, p.pos,
-         |    greatest(coalesce(ln.lcp, 0), coalesce(lp.lcp, 0)) AS m
-         |  FROM sidx p
-         |  LEFT JOIN wl ln ON ln.ia = p.idx
-         |  LEFT JOIN wl lp ON lp.ia = p.idx - 1),
-         |lm AS (SELECT *, lag(m) OVER (PARTITION BY doc_id, island ORDER BY pos) AS pm
-         |       FROM mm)
-         |SELECT doc_id, CAST(pos AS BIGINT) AS span_start,
-         |  CAST(pos + m AS BIGINT) AS span_end, CAST(m AS BIGINT) AS span_len
-         |FROM lm WHERE m >= 40 AND (pm IS NULL OR pm < m + 1)
+      s"""$MaxSpanChain
+         |SELECT doc_id, span_start, span_end, span_len
+         |FROM msp
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    "span_stats" ->
+      s"""$MaxSpanChain
+         |SELECT CAST(length(bin(span_len)) - 1 AS INT) AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(span_len) AS BIGINT) AS total_chars,
+         |  CAST(min(span_len) AS BIGINT) AS min_len,
+         |  CAST(max(span_len) AS BIGINT) AS max_len,
+         |  round(avg(span_len), 6) AS avg_len
+         |FROM msp
+         |GROUP BY 1
+         |ORDER BY len_bucket""".stripMargin,
 
     "dedup_spans_clean" ->
       s"""$SpanCte,

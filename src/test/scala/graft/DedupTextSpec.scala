@@ -247,6 +247,30 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((1L, 0L, 7L, 7L), (1L, 1L, 8L, 7L)), out.toString)
   }
 
+  test("span stats: hand-computed length-bucket profile over maximal spans") {
+    // Same fixture as the overlapping-repeats test: four maximal spans,
+    // all length 5 → one bucket (floor(log2 5) = 2), 4 spans across 3
+    // docs, 20 duplicated chars. Plus a periodic doc contributing two
+    // 7-char spans in the same bucket (floor(log2 7) = 2) — buckets are
+    // powers of two, so 5s and 7s share bucket 2.
+    val docs = Seq(
+      (1L, "ghABCDEFij"),
+      (2L, "klABCDEmn"),
+      (3L, "opBCDEFqr"),
+      (4L, "aaaaaaaa"),
+      (5L, "aaaaaaaa")
+    ).toDF("doc_id", "text")
+    // doc 4/5: "aaaaaaaa" duplicated cross-doc → whole 8-char island is
+    // one maximal span of length 8 per doc (bucket 3).
+    val out = Dedup.spanStats(Dedup.maximalSpans(docs, minLen = 4))
+      .orderBy("len_bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(out == Seq(
+      (2, 4L, 3L, 20L, 5L, 5L, 5.0),
+      (3, 2L, 2L, 16L, 8L, 8L, 8.0)), out.toString)
+  }
+
   test("maximal spans: island over the levels cap fails loudly") {
     val docs = Seq((1L, "a" * 40), (2L, "a" * 40)).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
