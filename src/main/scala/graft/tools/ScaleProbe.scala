@@ -172,8 +172,12 @@ object ScaleProbe {
       val tSpansMax = noopTime(Dedup.maximalSpans(docs))
       val tKeepBestLsh = noopTime(Dedup.keepBest(docs,
         Dedup.minhashPairs(docs, minJaccard = 0.5)))
+      // Prefix-doubling twin: shuffles O(positions·log cap) fixed-width
+      // rows where the string-sort form ships O(island²/2) suffix chars
+      // — the crossover favors PD as island length grows.
+      val tSpansPD = noopTime(Dedup.maximalSpansPD(docs))
       println(f"[scale-r7] k=$k spans_maximal=$tSpansMax%.2f " +
-        f"keep_best_lsh=$tKeepBestLsh%.2f")
+        f"keep_best_lsh=$tKeepBestLsh%.2f spans_maximal_pd=$tSpansPD%.2f")
     }
     // BPE batching: job-round collapse on the real corpus — the r6
     // verdict's "32k merges = 32k jobs" fix, measured.

@@ -277,6 +277,47 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       Dedup.maximalSpans(docs, minLen = 4, levels = 5) // cap 31 < island 40
     }
     assert(e.getMessage.contains("cap"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.maximalSpansPD(docs, minLen = 4, levels = 5)
+    }
+    assert(e2.getMessage.contains("cap"))
+  }
+
+  test("maximal spans PD: prefix-doubling twin is output-identical") {
+    def collectSpans(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // The three hand-verified shapes: overlapping distinct repeats,
+    // single-doc periodic self-overlap, cross-doc identical islands
+    // (the rank-walk's truncated-equal overshoot path).
+    val shaped = Seq(
+      (1L, "ghABCDEFij"), (2L, "klABCDEmn"), (3L, "opBCDEFqr"),
+      (4L, "aaaaaaaa"), (5L, "aaaaaaaa"), (6L, "zzqqqqqqqqzz")
+    ).toDF("doc_id", "text")
+    assert(collectSpans(Dedup.maximalSpansPD(shaped, minLen = 4)) ==
+      collectSpans(Dedup.maximalSpans(shaped, minLen = 4)))
+    // A seeded composite corpus: shared phrases at varied offsets build
+    // islands well past the 8-char seed window, so the ladder actually
+    // runs doubling rounds and the walk exercises multi-level descents.
+    val rnd = new scala.util.Random(42)
+    val phrases = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "how vexingly quick daft zebras jump",
+      "sphinx of black quartz judge my vow",
+      "the five boxing wizards jump quickly")
+    val docs = (1L to 24L).map { id =>
+      val body = (0 until 2 + rnd.nextInt(4))
+        .map(_ => phrases(rnd.nextInt(phrases.size))).mkString(" | ")
+      (id, s"<$id> $body <end$id>")
+    }.toDF("doc_id", "text")
+    val pd = collectSpans(Dedup.maximalSpansPD(docs, minLen = 6))
+    val ss = collectSpans(Dedup.maximalSpans(docs, minLen = 6))
+    assert(pd.nonEmpty && pd == ss,
+      s"pd=${pd.size} ss=${ss.size} firstDiff=${pd.zip(ss).find(t => t._1 != t._2)}")
+    // No-duplicate corpus: both plans agree on empty.
+    val clean = Seq((1L, "abcdefghij"), (2L, "KLMNOPQRST")).toDF("doc_id", "text")
+    assert(collectSpans(Dedup.maximalSpansPD(clean, minLen = 4)).isEmpty)
   }
 
   test("near-dup pairs fail loudly on a degenerate label instead of going quadratic") {
