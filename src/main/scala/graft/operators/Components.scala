@@ -141,4 +141,24 @@ object Components {
       .select(col("id"), col("cluster_id"), col("cluster_size"),
         (col("id") === col("cluster_id")).cast("int").as("is_canonical"))
   }
+
+  /** #40l cluster_stats: cluster-size profile over any clustered frame
+    * carrying a `cluster_id` column ([[dedupClusters]],
+    * [[graft.operators.Dedup.keepBest]]'s input) — one row per cluster
+    * size: how many clusters, how many member docs, and how many a
+    * keep-one pass removes (`size − 1` per cluster). THE report read
+    * before committing a dedup threshold: a fat tail of giant clusters
+    * means boilerplate (raise the threshold or switch to span removal),
+    * a mass at size 2 means true near-dups. Scale: two hash aggregates
+    * (members → per-cluster size → per-size counts), no window, no
+    * join.
+    */
+  def clusterStats(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_removable"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_removable"))
 }

@@ -267,6 +267,42 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("is_contaminated"))
   }
 
+  /** #40m contamination_report: the per-BENCHMARK-item rollup of
+    * [[decontaminate]] — for each held-out benchmark document: how many
+    * corpus documents share ≥1 verbatim n-gram with it, the total
+    * shared-gram count, and the single worst corpus-doc overlap. The
+    * report an eval owner reads ("which eval items leak, and how
+    * badly") where #40d answers the corpus owner ("which training docs
+    * to drop"). Zero-leak benchmark items keep their row (a clean
+    * report proves coverage, not absence of checking).
+    *
+    * Same asymmetric 100 TB shape as #40d: the benchmark posting table
+    * (bench_id, gram) broadcasts, the corpus side is one posting scan,
+    * and both aggregation levels combine map-side. Corpus grams never
+    * shuffle for candidacy.
+    */
+  def contaminationReport(documents: DataFrame, n: Int = 4,
+                          benchMod: Int = 20): DataFrame = {
+    val posts = ngramPostings(documents, n)
+    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === 0
+    val benchPosts = posts.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val overlaps = posts.filter(!isBench)
+      .join(broadcast(benchPosts), Seq("g"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("__o"))
+    val per = overlaps.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        sum(col("__o")).as("n_gram_hits"),
+        max(col("__o")).as("max_doc_overlap"))
+    documents.filter(isBench).select(col("doc_id").as("bench_id"))
+      .join(per, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+        coalesce(col("max_doc_overlap"), lit(0L)).as("max_doc_overlap"))
+  }
+
   /** #40e chunk_dedup: exact substring-duplication profile — the
     * Spark-practical approximation of suffix-array span dedup ("deduplicating
     * training data" à la Lee et al. 2022): the token stream is cut into

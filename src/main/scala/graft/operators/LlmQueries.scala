@@ -89,6 +89,14 @@ object LlmQueries {
         pointerJump = true)
         .orderBy(col("cluster_id"), col("id"))),
 
+    // Cluster-size profile over the same resolution — the report read
+    // before committing a dedup threshold.
+    "cluster_stats" -> ((s, d) =>
+      Components.clusterStats(Components.dedupClusters(
+        Similarity.nearDupPairs(emb(s, d), minCosine = 0.3), "id1", "id2",
+        pointerJump = true))
+        .orderBy(col("cluster_size"))),
+
     // The production default: LSH-signature-bucketed emitter — candidate
     // count tracks bucket occupancy, not per-label density (the label
     // variant is quadratic in dense labels; SURVEY §5 caveat).
@@ -113,6 +121,11 @@ object LlmQueries {
     // centroid cosine against the cell's own distribution.
     "embed_outliers" -> ((s, d) =>
       Similarity.embedOutliers(emb(s, d)).orderBy(col("vec_id"))),
+
+    // IVF occupancy/tightness report over the same seeded cells — the
+    // capacity-planning read before deploying the IVF/IVF-PQ tiers.
+    "ivf_stats" -> ((s, d) =>
+      Similarity.ivfStats(emb(s, d)).orderBy(col("cell"))),
 
     "ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
@@ -145,6 +158,10 @@ object LlmQueries {
     "ann_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfpqTopKSeeded(emb(s, d))
         .orderBy(col("query_id"), col("rk"))),
+
+    // Per-benchmark-item leak rollup — the eval owner's face of #40d.
+    "contamination_report" -> ((s, d) =>
+      Dedup.contaminationReport(docs(s, d)).orderBy(col("bench_id"))),
 
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
@@ -257,6 +274,12 @@ object LlmQueries {
       Bm25.topk(docs(s, d), Seq("table", "scan", "join", "window"))
         .orderBy(col("rk"))),
 
+    // Hybrid retrieval: BM25 ∪ embedding-cosine arms fused by
+    // reciprocal rank — both arms bounded-TopK'd BEFORE the fuse.
+    "hybrid_topk" -> ((s, d) =>
+      Hybrid.topk(docs(s, d), emb(s, d), Seq("table", "scan", "join", "window"))
+        .orderBy(col("rk"))),
+
     // #50's oracle-checkable face: the full media plumbing (documents →
     // MediaRecord → mapPartitions featurize) with the byte-level
     // StubCodec, whose histogram/mean are pure arithmetic DuckDB can
@@ -333,6 +356,66 @@ object LlmQueries {
       |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
       |      (s, x) -> s + x)) AS nrm
       |  FROM e)""".stripMargin
+
+  /** Label-bucketed cosine pairs → recursive-CTE connected components,
+    * ending at `labels(id, cluster_id)` — shared by the dedup_clusters
+    * and cluster_stats oracles (the SpanCte rule).
+    */
+  private val CcLabelChain: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+      |      (s, x) -> s + x)) AS nrm
+      |  FROM e),
+      |nz AS (SELECT * FROM nn WHERE nrm > 0),
+      |p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]),
+      |      (s, x) -> s + x) / (a.nrm * b.nrm) >= 0.3),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM p
+      |          UNION ALL SELECT id2, id1 FROM p),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+      |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  /** Seeded-centroid cell assignment ending at
+    * `asg(vec_id, cell, cen_cos)` — shared by the embed_outliers and
+    * ivf_stats oracles (the SpanCte rule): 16 centroids = the first 16
+    * nonzero vectors by id, argmin by (d2, cell), cen_cos folded from
+    * the argmin's own d2 — the exact arithmetic the Spark plan runs.
+    */
+  private val SeedAsgChain: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+      |      (s, x) -> s + x)) AS nrm
+      |  FROM e),
+      |nz AS (SELECT * FROM nn WHERE nrm > 0),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+      |    list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+      |      (s, x) -> s + x) AS n2
+      |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id LIMIT 16)),
+      |dist AS (
+      |  SELECT z.vec_id, z.nrm, b.cell, b.n2,
+      |    b.n2 - 2.0 * list_reduce(
+      |      list_transform(range(len(z.v)), i -> z.v[i+1] * b.cv[i+1]),
+      |      (s, x) -> s + x) AS d2
+      |  FROM nz z CROSS JOIN cb b),
+      |asg AS (
+      |  SELECT vec_id, cell,
+      |    round((n2 - d2) / 2.0 / (nrm * sqrt(n2)), 6) AS cen_cos
+      |  FROM (SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dist)
+      |  WHERE rn = 1)""".stripMargin
 
   private val EnStops = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
 
@@ -681,31 +764,20 @@ object LlmQueries {
          |ORDER BY id1, id2""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nn AS (
-         |  SELECT vec_id, label, v,
-         |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
-         |      (s, x) -> s + x)) AS nrm
-         |  FROM e),
-         |nz AS (SELECT * FROM nn WHERE nrm > 0),
-         |p AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM nz a JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]),
-         |      (s, x) -> s + x) / (a.nrm * b.nrm) >= 0.3),
-         |edges AS (SELECT id1 AS a, id2 AS b FROM p
-         |          UNION ALL SELECT id2, id1 FROM p),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+      s"""$CcLabelChain
          |SELECT id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  CAST(id = cluster_id AS INT) AS is_canonical
          |FROM labels ORDER BY cluster_id, id""".stripMargin,
+
+    "cluster_stats" ->
+      s"""$CcLabelChain,
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz - 1) AS BIGINT) AS n_removable
+         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     // SemDeDup replay: seeded centroids, (d2, cell) argmin assignment,
     // cen_cos folded from the argmin's d2 ((n2−d2)/2/(nrm·sqrt(n2)) —
@@ -764,32 +836,22 @@ object LlmQueries {
 
     // Same seeded-cell assignment CTEs as semantic_dedup; moments fold
     // over the ROUNDED cosines, z over rounded mean/std (gopher policy).
+    "ivf_stats" ->
+      s"""$SeedAsgChain,
+         |pc AS (
+         |  SELECT cell, count(*) AS n_vecs,
+         |    sum(CAST(round(cen_cos * 1000000, 0) AS BIGINT)) AS s1,
+         |    min(cen_cos) AS min_cen_cos
+         |  FROM asg GROUP BY 1),
+         |tt AS (SELECT sum(n_vecs) AS tot FROM pc)
+         |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  round(CAST(n_vecs AS DOUBLE) / tot, 6) AS frac,
+         |  round(CAST(s1 AS DOUBLE) / (n_vecs * 1000000.0), 6) AS avg_cen_cos,
+         |  min_cen_cos
+         |FROM pc CROSS JOIN tt ORDER BY cell""".stripMargin,
+
     "embed_outliers" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nn AS (
-         |  SELECT vec_id, v,
-         |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
-         |      (s, x) -> s + x)) AS nrm
-         |  FROM e),
-         |nz AS (SELECT * FROM nn WHERE nrm > 0),
-         |cb AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
-         |    list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
-         |      (s, x) -> s + x) AS n2
-         |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id LIMIT 16)),
-         |dist AS (
-         |  SELECT z.vec_id, z.nrm, b.cell, b.n2,
-         |    b.n2 - 2.0 * list_reduce(
-         |      list_transform(range(len(z.v)), i -> z.v[i+1] * b.cv[i+1]),
-         |      (s, x) -> s + x) AS d2
-         |  FROM nz z CROSS JOIN cb b),
-         |asg AS (
-         |  SELECT vec_id, cell,
-         |    round((n2 - d2) / 2.0 / (nrm * sqrt(n2)), 6) AS cen_cos
-         |  FROM (SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dist)
-         |  WHERE rn = 1),
+      s"""$SeedAsgChain,
          |stz AS (
          |  SELECT cell, count(*) AS n_cell, sum(mi) AS s1, sum(mi * mi) AS s2
          |  FROM (SELECT cell,
@@ -1119,6 +1181,33 @@ object LlmQueries {
          |  FROM j)
          |SELECT query_id, rk, neighbor_id, label, cos_sim
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "contamination_report" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 4
+        |      THEN list_distinct(list_transform(range(len(toks) - 3),
+        |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))
+        |      ELSE [] END AS gs
+        |  FROM t),
+        |bp AS (SELECT doc_id AS bench_id, unnest(gs) AS g FROM d WHERE doc_id % 20 = 0),
+        |cp AS (SELECT doc_id, unnest(gs) AS g FROM d WHERE doc_id % 20 <> 0),
+        |ov AS (SELECT bench_id, doc_id, count(*) AS o
+        |       FROM cp JOIN bp USING (g) GROUP BY 1, 2),
+        |per AS (SELECT bench_id, count(*) AS n_corpus_docs, sum(o) AS n_gram_hits,
+        |          max(o) AS max_doc_overlap
+        |        FROM ov GROUP BY 1)
+        |SELECT b.bench_id,
+        |  CAST(coalesce(n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+        |  CAST(coalesce(n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+        |  CAST(coalesce(max_doc_overlap, 0) AS BIGINT) AS max_doc_overlap
+        |FROM (SELECT doc_id AS bench_id FROM d WHERE doc_id % 20 = 0) b
+        |LEFT JOIN per USING (bench_id)
+        |ORDER BY bench_id""".stripMargin,
 
     "decontaminate" ->
       """WITH t AS (
@@ -1497,6 +1586,55 @@ object LlmQueries {
         |SELECT rk, doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
         |  score
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "hybrid_topk" ->
+      s"""$VecCte,
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |hq AS (SELECT v AS qv, nrm AS qn FROM nz WHERE vec_id = 7),
+         |dj AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    round(list_reduce(list_transform(range(len(qv)), i -> qv[i+1] * c.v[i+1]),
+         |      (s, x) -> s + x) / (qn * c.nrm), 6) AS cos_sim
+         |  FROM nz c CROSS JOIN hq WHERE c.vec_id <> 7),
+         |dr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS dense_rk
+         |       FROM dj),
+         |dtop AS (SELECT doc_id, dense_rk FROM dr WHERE dense_rk <= 20),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |d AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, g AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(tk) AS g FROM d)
+         |  WHERE g IN ('table', 'scan', 'join', 'window')
+         |  GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    round(sum(
+         |      ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+         |        * (tf.tf * (1.2 + 1.0))
+         |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 6)
+         |      AS score
+         |  FROM tf JOIN dfq q USING (term) CROSS JOIN stats s
+         |  GROUP BY tf.doc_id),
+         |lr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+         |       FROM sc),
+         |ltop AS (SELECT doc_id, lex_rk FROM lr WHERE lex_rk <= 20),
+         |f AS (
+         |  SELECT doc_id, lex_rk, dense_rk,
+         |    round(coalesce(1.0::DOUBLE / (60 + lex_rk), 0) +
+         |          coalesce(1.0::DOUBLE / (60 + dense_rk), 0), 6) AS rrf_score
+         |  FROM ltop FULL OUTER JOIN dtop USING (doc_id)),
+         |rr AS (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+         |       FROM f)
+         |SELECT rk, doc_id, lex_rk, dense_rk, rrf_score
+         |FROM rr WHERE rk <= 10 ORDER BY rk""".stripMargin,
 
     "media_features" ->
       """WITH d AS (

@@ -718,6 +718,41 @@ object Similarity {
         (coalesce(col("z"), lit(0.0)) < zThresh).cast("int").as("is_outlier"))
   }
 
+  /** #43e ivf_stats: IVF index occupancy report over the seeded coarse
+    * cells — per cell: member count, corpus share, and the mean/min
+    * centroid cosine (cell tightness). THE capacity-planning read
+    * before deploying an IVF/IVF-PQ index (#43b/#43d): a fat cell means
+    * probe-time latency skew (nprobe hits it constantly) and a low mean
+    * cen_cos means the quantizer under-fits that region — both argue
+    * for more cells or a re-fit. Same seeded-centroid artifact as
+    * [[embedOutliers]]/[[semanticDedup]], so the report is
+    * oracle-checkable; the k-means fit is the production quantizer.
+    *
+    * Scale: zero-Exchange literal-centroid assignment + one hash
+    * aggregate to nCells rows + a 1-row total broadcast. The mean folds
+    * over exact integer micro-units (the [[embedOutliers]] rule: float
+    * sums over shuffled partials are order-dependent).
+    */
+  def ivfStats(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = e.orderBy(col("vec_id")).limit(nCells).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == nCells,
+      s"corpus has only ${cents.length} nonzero vectors; need $nCells centroids")
+    val asg = seededAssigned(e, cents)
+      .select(col("vec_id"), col("cell"), col("cen_cos"))
+    val mi = round(col("cen_cos") * 1e6, 0).cast("long")
+    val per = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(mi).as("__s1"),
+        min(col("cen_cos")).as("min_cen_cos"))
+    val tot = per.agg(sum(col("n_vecs")).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("__tot"), 6).as("frac"),
+        round(col("__s1").cast("double") / (col("n_vecs") * 1e6), 6).as("avg_cen_cos"),
+        col("min_cen_cos"))
+  }
+
   private def semanticDedupSearch(e: DataFrame, cents: Array[Array[Double]],
                                   tau: Double, maxCellRows: Int): DataFrame = {
     val assigned = seededAssigned(e, cents)

@@ -50,4 +50,34 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     assert(out.map(r => (r.getAs[Int]("rk"), r.getAs[Long]("doc_id"))).toSeq ==
       Seq((1, 1L), (2, 2L)))  // equal scores tie-break on doc_id
   }
+
+  test("hybrid RRF: hand-computed fusion of lexical and dense ranks") {
+    // Lexical arm: equal dl ⇒ rank by tf: doc2 (tf=2) then doc1 (tf=1).
+    val hdocs = Seq(
+      (0L, "query doc body"),
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "zeta eta theta"),
+      (4L, "iota kappa mu")
+    ).toDF("doc_id", "text")
+    // Dense arm vs query vec (1,0): doc1 cos≈0.995, doc3 cos≈0.707,
+    // doc2 cos=0, doc4 cos=−1 ⇒ top-3 = doc1, doc3, doc2.
+    val hemb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0.1f), 0),
+      (2L, Array(0f, 1f), 0), (3L, Array(1f, 1f), 0),
+      (4L, Array(-1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Hybrid
+      .topk(hdocs, hemb, Seq("alpha"), queryVecId = 0L, k = 4, poolK = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("lex_rk")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("dense_rk")).map(_.toLong),
+        r.getAs[Double]("rrf_score"))).toSeq
+    def rrf(rks: Seq[Long]) = r6(rks.map(r => 1.0 / (60 + r)).sum)
+    assert(out == Seq(
+      (1, 1L, Some(2L), Some(1L), rrf(Seq(2L, 1L))),
+      (2, 2L, Some(1L), Some(3L), rrf(Seq(1L, 3L))),
+      (3, 3L, None, Some(2L), rrf(Seq(2L)))), out.toString)
+  }
 }

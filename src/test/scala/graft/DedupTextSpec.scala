@@ -11,6 +11,9 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  private def r6(x: Double) = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("exact dedup groups identical texts under the lowest id") {
     val out = Dedup.exact(docs(1L -> "hello world", 2L -> "hello world", 3L -> "bye"))
       .orderBy("canonical_id").collect()
@@ -595,6 +598,22 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (13L, 10L, 5L, 0), (14L, 10L, 5L, 0)))
   }
 
+  test("cluster stats: size histogram with removable counts") {
+    import graft.operators.Components
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // size-5 chain
+      (1L, 2L), (2L, 3L), (1L, 3L),                   // size-3 triangle
+      (5L, 6L), (7L, 8L)                              // two size-2 pairs
+    ).toDF("id1", "id2")
+    val out = Components.clusterStats(Components.dedupClusters(edges, "id1", "id2"))
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (2L, 2L, 4L, 2L), // two pairs: 4 docs, 2 removable
+      (3L, 1L, 3L, 2L),
+      (5L, 1L, 5L, 4L)), out.toString)
+  }
+
   test("ngram postings generalize the bigram shingle plan") {
     val d = docs(1L -> "a b c d e", 2L -> "x y")
     val grams = Dedup.ngramPostings(d, 4).collect()
@@ -626,6 +645,27 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     val plan = Dedup.decontaminate(d).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark gram join must broadcast:\n$plan")
+  }
+
+  test("contamination report: per-benchmark rollup keeps zero-leak rows") {
+    // Bench docs: 20 and 40 (0 mod 20). Doc 21 shares both of 20's
+    // 4-grams plus one of its own; doc 22 shares one; 23 and 40 are
+    // clean.
+    val d = docs(
+      20L -> "a b c d e",
+      21L -> "a b c d e x",
+      22L -> "z b c d e",
+      23L -> "p q r s t",
+      40L -> "m n o p q")
+    val out = Dedup.contaminationReport(d).orderBy("bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (20L, 2L, 3L, 2L), // docs 21 (2 shared grams) + 22 (1): total 3, worst 2
+      (40L, 0L, 0L, 0L)), out.toString)
+    // Scale contract: the bench posting table joins as the BROADCAST side.
+    val plan = Dedup.contaminationReport(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench posting join must broadcast:\n$plan")
   }
 
   test("shard_pack: hand-computed running totals and shard cuts") {
@@ -840,6 +880,28 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(lone.getAs[Long]("n_cell") == 1L)
     assert(lone.isNullAt(lone.fieldIndex("z")) &&
       lone.getAs[Int]("is_outlier") == 0)
+  }
+
+  test("ivf stats: hand-computed occupancy and tightness per seeded cell") {
+    // Cells seeded from vec_ids 0,1: c0=(1,0), c1=(0,1). Members:
+    // 2=(1,.1)→cell 0 (cos≈0.995037), 3=(.1,1)→cell 1 (same),
+    // 4=(1,0)→cell 0 (cos 1.0). Occupancy: cell 0 = {0,2,4}, cell 1 =
+    // {1,3}.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(1f, 0.1f), 0), (3L, Array(0.1f, 1f), 0),
+      (4L, Array(1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.ivfStats(emb, nCells = 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val c = r6(1.0 / math.sqrt(1f.toDouble * 1f + 0.1f.toDouble * 0.1f))
+    def avgMicro(vs: Double*) =
+      r6(vs.map(v => math.round(v * 1e6)).sum.toDouble / (vs.size * 1e6))
+    assert(out == Seq(
+      (0, 3L, 0.6, avgMicro(1.0, c, 1.0), c),
+      (1, 2L, 0.4, avgMicro(1.0, c), c)), out.toString)
   }
 
   test("fuzzy decontamination: near-copies of bench docs flag, unrelated pass") {
