@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid lexical+dense retrieval with reciprocal-rank fusion
+  * (Cormack et al. 2009) — the modern retrieval primitive a
+  * training-data pipeline uses for retrieval-based dedup, hard-negative
+  * mining and contamination lookups: BM25 catches exact-term evidence,
+  * the embedding arm catches paraphrase, and RRF fuses the two rank
+  * lists without score calibration (ranks are scale-free; raw BM25 and
+  * cosine live on incomparable scales).
+  *
+  * Scale shape: each arm ends in a bounded TopK ([[TopK.withRank]] —
+  * map-side-truncating, never a global sort) BEFORE fusion, so the
+  * full-outer fuse joins two ≤poolK-row frames on the driver-side of
+  * the cost curve no matter the corpus size. The lexical arm is
+  * [[Bm25.topk]]'s filtered-posting scan; the dense arm is one
+  * broadcast-query pass over the embeddings (the exactness baseline —
+  * at 100 TB the ANN tiers plug in as the candidate source, same
+  * fusion tail).
+  */
+object Hybrid {
+
+  /** #47u hybrid_topk: top-k documents for a term query + an embedding
+    * query under RRF(rrfK): score(d) = Σ_arms 1/(rrfK + rank_arm(d))
+    * over the arms that retrieved d in their top `poolK`. The synthetic
+    * tables are id-aligned (embeddings.vec_id IS documents.doc_id), so
+    * `queryVecId` names the query document's embedding. Ties break on
+    * doc_id. Output: (rk, doc_id, lex_rk, dense_rk, rrf_score) with
+    * NULL arm ranks for single-arm hits.
+    */
+  def topk(documents: DataFrame, embeddings: DataFrame, terms: Seq[String],
+           queryVecId: Long = 7L, k: Int = 10, poolK: Int = 20,
+           rrfK: Int = 60): DataFrame = {
+    val lex = Bm25.topk(documents, terms, poolK)
+      .select(col("doc_id"), col("rk").cast("long").as("lex_rk"))
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos_sim"))
+    val dense = TopK.withRank(cand, poolK,
+        Seq(TopK.descNum(col("cos_sim")), col("doc_id")))
+      .select(col("doc_id"), col("rk").cast("long").as("dense_rk"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rk")), lit(0.0)), 6))
+    TopK.withRank(fused, k, Seq(TopK.descNum(col("rrf_score")), col("doc_id")))
+      .select(col("rk"), col("doc_id"), col("lex_rk"), col("dense_rk"),
+        col("rrf_score"))
+  }
+}
