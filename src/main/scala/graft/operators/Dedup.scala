@@ -1244,4 +1244,80 @@ object Dedup {
         col("n_common").cast("double") / nullif(col("n_union").cast("double"), lit(0.0)))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** #40o sentence_dedup: sentence-grain duplication profile (the
+    * CCNet/RefinedWeb line-level dedup view): a sentence is duplicated
+    * when its exact trimmed text occurs ≥2 times ACROSS the corpus
+    * (within-doc repeats count — boilerplate repeats inside pages too).
+    * Per doc: sentence count, duplicated-sentence count, duplicated
+    * fraction. Sentences are the natural boilerplate unit (nav bars,
+    * footers, cookie banners) that char-window spans over-segment and
+    * token chunks straddle; the split convention is
+    * [[TextSignals.sentenceStats]]'s (`[.!?]+`, trimmed, empties
+    * dropped).
+    *
+    * Scale shape — the count-by-gram pattern at sentence grain:
+    * sentences shuffle as 8-byte xxhash64 keys for the corpus count,
+    * the count joins back to the posting (AQE-splittable; a viral
+    * sentence is a hot KEY in an aggregate, combined map-side), per-doc
+    * rollup is a second hash aggregate, and corpus membership comes
+    * from a left join so zero-sentence docs keep their row.
+    */
+  def sentenceDedup(documents: DataFrame): DataFrame = {
+    val sents = filter(transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val pos = documents.select(col("doc_id"), explode(sents).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val counts = pos.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+    val per = pos.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum((col("__n") >= 2).cast("long")).as("n_dup_sents"))
+    documents.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_dup_sents"), lit(0L)).as("n_dup_sents"),
+        when(coalesce(col("n_sents"), lit(0L)) > 0,
+          round(col("n_dup_sents").cast("double") / col("n_sents"), 6))
+          .otherwise(lit(0.0)).as("dup_sent_frac"))
+  }
+
+  /** #40n containment_pairs: asymmetric n-gram CONTAINMENT (Broder
+    * 1997's second resemblance measure) — c(A,B) = |A∩B| / |A|. The
+    * quote/excerpt detector symmetric Jaccard structurally misses: a
+    * 50-shingle snippet fully embedded in a 5000-shingle page has
+    * J ≈ 0.01 (invisible at any sane threshold) but containment 1.0.
+    * Reports each overlapping same-(source,lang) pair with both
+    * directional containments and the max — threshold on the max, read
+    * the direction off which side is the snippet (n1 vs n2).
+    *
+    * Same inverted-index shape as [[ngramJaccardInvertedIndex]]: one
+    * posting self-join on (bucket, shingle-hash) counts intersections,
+    * sizes join back, filter AFTER the cheap arithmetic. Shares
+    * [[shinglePostings]] so the two dup metrics see identical shingle
+    * sets.
+    */
+  def containmentPairs(documents: DataFrame,
+                       minContainment: Double = 0.5): DataFrame = {
+    require(minContainment > 0, "inverted-index plan only emits overlapping pairs")
+    val postings = shinglePostings(documents)
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = postings.as("a")
+      .join(postings.as("b"),
+        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("n_common"), col("n1"), col("n2"),
+        round(col("n_common").cast("double") / col("n1"), 6).as("c1_in_2"),
+        round(col("n_common").cast("double") / col("n2"), 6).as("c2_in_1"),
+        round(col("n_common").cast("double") / least(col("n1"), col("n2")), 6)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
 }

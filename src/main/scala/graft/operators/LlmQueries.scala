@@ -76,6 +76,16 @@ object LlmQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id1"), col("id2"))),
 
+    // Asymmetric containment — the quote/excerpt detector symmetric
+    // Jaccard misses (snippet-in-page pairs score ~0 Jaccard).
+    "containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), minContainment = 0.2)
+        .orderBy(col("id1"), col("id2"))),
+
+    // Sentence-grain duplicate profile (the CCNet line-dedup view).
+    "sentence_dedup" -> ((s, d) =>
+      Dedup.sentenceDedup(docs(s, d)).orderBy(col("doc_id"))),
+
     "embed_near_dup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d))
         .withColumn("cos_sim", round(col("cos_sim"), 6))
@@ -749,6 +759,55 @@ object LlmQueries {
         |  round(CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0), 6) AS jaccard
         |FROM p
         |WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.05
+        |ORDER BY id1, id2""".stripMargin,
+
+    "sentence_dedup" ->
+      """WITH sp AS (
+        |  SELECT doc_id, trim(s) AS s
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(text, '[.!?]+')) AS s
+        |        FROM documents)
+        |  WHERE trim(s) <> ''),
+        |c AS (SELECT s, count(*) AS n FROM sp GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_sents,
+        |    sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sp JOIN c USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_sents, 0) AS BIGINT) AS n_sents,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_sents,
+        |  CASE WHEN coalesce(n_sents, 0) > 0
+        |    THEN round(CAST(n_dup AS DOUBLE) / n_sents, 6)
+        |    ELSE 0.0 END AS dup_sent_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_distinct(list_transform(range(len(toks) - 1),
+        |        i -> toks[i+1] || ' ' || toks[i+2]))
+        |      ELSE [] END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_common,
+        |    len(a.sh) AS n1, len(b.sh) AS n2
+        |  FROM d a JOIN d b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0)
+        |SELECT id1, id2, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(CAST(n_common AS DOUBLE) / n1, 6) AS c1_in_2,
+        |  round(CAST(n_common AS DOUBLE) / n2, 6) AS c2_in_1,
+        |  round(CAST(n_common AS DOUBLE) / least(n1, n2), 6) AS containment
+        |FROM p
+        |WHERE round(CAST(n_common AS DOUBLE) / least(n1, n2), 6) >= 0.2
         |ORDER BY id1, id2""".stripMargin,
 
     "embed_near_dup" ->

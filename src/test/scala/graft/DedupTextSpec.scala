@@ -598,6 +598,40 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (13L, 10L, 5L, 0), (14L, 10L, 5L, 0)))
   }
 
+  test("containment pairs: embedded snippet scores 1.0 where jaccard misses") {
+    // doc1 = 2-shingle snippet fully embedded in doc2's 6-shingle page:
+    // containment 1.0, jaccard only 2/6 — the asymmetric metric's case.
+    val d = docs(1L -> "a b c", 2L -> "x a b c y z w")
+    val out = Dedup.containmentPairs(d, minContainment = 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+      r.getAs[Long]("n_common"), r.getAs[Long]("n1"), r.getAs[Long]("n2")) ==
+      ((1L, 2L, 2L, 2L, 6L)))
+    assert(r.getAs[Double]("c1_in_2") == 1.0)
+    assert(r.getAs[Double]("c2_in_1") == r6(2.0 / 6.0))
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the symmetric metric scores the same pair at 1/3 — under any sane
+    // near-dup threshold
+    val j = Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.05).collect()
+    assert(j.length == 1 && math.abs(j.head.getAs[Double]("jaccard") - 1.0 / 3) < 1e-9)
+  }
+
+  test("sentence dedup: cross-doc and within-doc repeats, zero-sentence rows kept") {
+    val d = docs(
+      1L -> "Buy now. Unique thought one! Buy now.", // within-doc repeat ×2
+      2L -> "Buy now. Another thing entirely?",      // shares the boilerplate
+      3L -> "Totally fresh. Nothing shared here!",
+      4L -> "")                                      // zero sentences, row kept
+    val out = Dedup.sentenceDedup(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, r6(2.0 / 3)), // "Buy now" twice, both marked
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)), out.toString)
+  }
+
   test("cluster stats: size histogram with removable counts") {
     import graft.operators.Components
     val edges = Seq(

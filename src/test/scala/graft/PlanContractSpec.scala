@@ -363,4 +363,42 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
     val pd = plan(graft.operators.TextSignals.dupNgramFrac(docs))
     assert(!pd.contains("Cartesian"), s"dup_ngram_frac must stay keyed:\n$pd")
   }
+
+  test("round-7 reports: bounded fuse, windowless aggregates, broadcast arms") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // hybrid: both arms rank via the bounded TopKStruct aggregate (no
+    // window), the dense query row broadcasts, and the fuse itself is a
+    // join of two already-truncated frames.
+    val ph = plan(graft.operators.Hybrid.topk(docs, emb,
+      Seq("table", "scan"), queryVecId = 0L))
+    assert(!ph.contains("Window"), s"hybrid must not window-rank:\n$ph")
+    assert(ph.contains("ObjectHashAggregate"),
+      s"hybrid arms must rank via the bounded aggregate:\n$ph")
+    assert(ph.contains("BroadcastExchange"),
+      s"hybrid dense arm must broadcast the query vector:\n$ph")
+    // span_stats adds ONLY hash aggregates to the span pipeline — every
+    // Window in the plan is the span front's own doc-bounded one, never
+    // a global (un-partitioned) window over span rows.
+    val ps = plan(graft.operators.Dedup.spanStats(
+      graft.operators.Dedup.exactSpans(docs)))
+    assert(ps.linesIterator.filter(_.contains("Window ["))
+      .forall(_.contains("doc_id")),
+      s"span_stats must not add an un-partitioned window:\n$ps")
+    assert(ps.contains("HashAggregate"),
+      s"span_stats buckets via hash aggregate:\n$ps")
+    // sentence_dedup: count-by-hash + join back — never cartesian, no
+    // window; ivf_stats: zero-Exchange assignment, one aggregate pair.
+    val psd = plan(graft.operators.Dedup.sentenceDedup(docs))
+    assert(!psd.contains("Window") && !psd.contains("Cartesian"),
+      s"sentence_dedup must stay keyed and windowless:\n$psd")
+    val pi = plan(graft.operators.Similarity.ivfStats(emb))
+    assert(!pi.contains("Window") && !pi.contains("SortMergeJoin"),
+      s"ivf_stats is aggregates + broadcast total only:\n$pi")
+    // containment: same inverted-index join as ngram_jaccard — keyed,
+    // never cartesian.
+    val pc = plan(graft.operators.Dedup.containmentPairs(docs))
+    assert(!pc.contains("Cartesian"),
+      s"containment must stay posting-keyed:\n$pc")
+  }
 }
