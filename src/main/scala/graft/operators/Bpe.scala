@@ -159,6 +159,10 @@ object Bpe {
     */
   def trainBatched(documents: DataFrame, merges: Int = 10,
                    sliceSize: Int = 1024, batchMax: Int = 16): (Seq[Merge], Int) = {
+    // batchMax < 1 would reject every pair before the first accept and
+    // spin the round loop forever; fail loudly instead.
+    require(sliceSize > 0 && batchMax > 0,
+      s"trainBatched: sliceSize=$sliceSize and batchMax=$batchMax must be >= 1")
     var vocab = wordFreqs(documents)
       .select(initSymbols(col("w")).as("syms"), col("freq"))
       .localCheckpoint()
@@ -167,15 +171,21 @@ object Bpe {
     var rounds = 0
     var exhausted = false
     while (done < merges && !exhausted) {
-      val slice = pairCounts(vocab)
+      // Probe one row PAST the slice: `covered` must be true when the
+      // corpus has exactly sliceSize pair types (an extra row proves
+      // uncovered; its absence proves covered — length < sliceSize
+      // alone misses the exact-equality case and needlessly shrinks
+      // batches via the c > sliceMin guard).
+      val probed = pairCounts(vocab)
         .orderBy(TopK.descNum(col("pair_count")), col("lhs"), col("rhs"))
-        .limit(sliceSize).collect()
+        .limit(sliceSize + 1).collect()
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
           r.getAs[Long]("pair_count")))
+      val slice = probed.take(sliceSize)
       if (slice.isEmpty) exhausted = true
       else {
         rounds += 1
-        val covered = slice.length < sliceSize // slice holds EVERY pair
+        val covered = probed.length <= sliceSize // slice holds EVERY pair
         val sliceMin = slice.last._3
         val used = scala.collection.mutable.Set.empty[String]
         var maxB = Long.MinValue

@@ -580,7 +580,12 @@ object Dedup {
             col("sb").substr((col("acc") + 1).cast("int"), lit(wd)),
           lit(wd.toLong)).otherwise(lit(0L)))
     }
+    // Checkpoint: `pairs` feeds TWO joins (__ln at ia, __lp at ia+1)
+    // whose pre-join projections differ, so without materialization the
+    // self-join + full LCP descent — the operator's most expensive
+    // stage — would execute twice.
     val pairs = walked.select(col("ia"), col("acc").as("lcp"))
+      .localCheckpoint()
     val m = idx
       .join(pairs.select(col("ia"), col("lcp").as("__ln")), col("idx") === col("ia"), "left")
       .drop("ia")
@@ -739,12 +744,16 @@ object Dedup {
             col("__wb").substr((col("tacc") + 1).cast("int"), lit(wd)),
           lit(wd.toLong)).otherwise(lit(0L)))
     }
+    // Same double-consumption checkpoint as the string-sort form: the
+    // tail's two window joins + descent feed both the __ln and __lp
+    // joins below.
     val pairs = tailed.select(col("ia"),
       least(
         col("acc") + least(col("tacc"),
           coalesce(length(col("__wa")), lit(0)).cast("long"),
           coalesce(length(col("__wb")), lit(0)).cast("long")),
         col("sa_len"), col("sb_len")).as("lcp"))
+      .localCheckpoint()
     val m = idx
       .join(pairs.select(col("ia"), col("lcp").as("__ln")), col("idx") === col("ia"), "left")
       .drop("ia")

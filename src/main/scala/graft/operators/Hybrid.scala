@@ -26,14 +26,18 @@ object Hybrid {
     * query under RRF(rrfK): score(d) = Σ_arms 1/(rrfK + rank_arm(d))
     * over the arms that retrieved d in their top `poolK`. The synthetic
     * tables are id-aligned (embeddings.vec_id IS documents.doc_id), so
-    * `queryVecId` names the query document's embedding. Ties break on
-    * doc_id. Output: (rk, doc_id, lex_rk, dense_rk, rrf_score) with
-    * NULL arm ranks for single-arm hits.
+    * `queryVecId` names the query document's embedding — and that
+    * document is excluded from BOTH arms' candidate pools (in
+    * retrieval-based dedup the query IS a corpus doc; ranked only
+    * lexically it would fill a result slot with a deflated
+    * self-match). Ties break on doc_id. Output: (rk, doc_id, lex_rk,
+    * dense_rk, rrf_score) with NULL arm ranks for single-arm hits.
     */
   def topk(documents: DataFrame, embeddings: DataFrame, terms: Seq[String],
            queryVecId: Long = 7L, k: Int = 10, poolK: Int = 20,
            rrfK: Int = 60): DataFrame = {
-    val lex = Bm25.topk(documents, terms, poolK)
+    val lex = Bm25.topk(documents.filter(col("doc_id") =!= queryVecId),
+        terms, poolK)
       .select(col("doc_id"), col("rk").cast("long").as("lex_rk"))
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -1663,7 +1663,7 @@ object LlmQueries {
          |  SELECT doc_id,
          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          |      x -> x <> '') AS tk
-         |  FROM documents),
+         |  FROM documents WHERE doc_id <> 7),
          |d AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
          |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
          |tf AS (

@@ -18,8 +18,6 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
     val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
   }
-  private def r6(x: Double) = BigDecimal(x)
-    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("single term: hand-computed scores, tf and length normalization") {
     val out = Bm25.topk(docs, Seq("cat"), k = 10).orderBy("rk").collect()

@@ -11,8 +11,6 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  private def r6(x: Double) = BigDecimal(x)
-    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("exact dedup groups identical texts under the lowest id") {
     val out = Dedup.exact(docs(1L -> "hello world", 2L -> "hello world", 3L -> "bye"))
