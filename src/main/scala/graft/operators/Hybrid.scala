@@ -53,6 +53,19 @@ object Hybrid {
     val dense = TopK.withRank(cand, poolK,
         Seq(TopK.descNum(col("cos_sim")), col("doc_id")))
       .select(col("doc_id"), col("rk").cast("long").as("dense_rk"))
+    fuse(lex, dense, k, rrfK)
+  }
+
+  /** The fusion tail alone: RRF-fuse a lexical and a dense candidate
+    * list — `(doc_id, lex_rk)` / `(doc_id, dense_rk)`, both already
+    * bounded — into the final top-k. This is the plug point the ANN
+    * tiers use at scale: any ranker whose output maps to
+    * `(doc_id, dense_rk)` (lshTopK, ivfTopK, pqTopK, ivfpqTopK for a
+    * single query) swaps in for [[topk]]'s brute-force arm with the
+    * identical fusion semantics.
+    */
+  def fuse(lex: DataFrame, dense: DataFrame, k: Int = 10,
+           rrfK: Int = 60): DataFrame = {
     val fused = lex.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)) +

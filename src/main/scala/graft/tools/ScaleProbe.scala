@@ -178,6 +178,16 @@ object ScaleProbe {
       val tSpansPD = noopTime(Dedup.maximalSpansPD(docs))
       println(f"[scale-r7] k=$k spans_maximal=$tSpansMax%.2f " +
         f"keep_best_lsh=$tKeepBestLsh%.2f spans_maximal_pd=$tSpansPD%.2f")
+      // Round-7 curation reports: sentence-grain count-by-hash,
+      // asymmetric containment (posting self-join), per-bench rollup
+      // (broadcast-asymmetric), span profile (maximal pipeline + agg).
+      val tSentDedup = noopTime(Dedup.sentenceDedup(docs))
+      val tContain = noopTime(Dedup.containmentPairs(docs, minContainment = 0.2))
+      val tContamRep = noopTime(Dedup.contaminationReport(docs))
+      val tSpanStats = noopTime(Dedup.spanStats(Dedup.maximalSpans(docs)))
+      println(f"[scale-r7b] k=$k sentence_dedup=$tSentDedup%.2f " +
+        f"containment=$tContain%.2f contamination_report=$tContamRep%.2f " +
+        f"span_stats=$tSpanStats%.2f")
     }
     // BPE batching: job-round collapse on the real corpus — the r6
     // verdict's "32k merges = 32k jobs" fix, measured.

@@ -77,5 +77,19 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
       (1, 1L, Some(2L), Some(1L), rrf(Seq(2L, 1L))),
       (2, 2L, Some(1L), Some(3L), rrf(Seq(1L, 3L))),
       (3, 3L, None, Some(2L), rrf(Seq(2L)))), out.toString)
+
+    // The ANN plug point: Hybrid.fuse with a hand-supplied dense list
+    // matching the brute arm's ranking reproduces topk exactly.
+    val lex = graft.operators.Bm25
+      .topk(hdocs.filter($"doc_id" =!= 0L), Seq("alpha"), 3)
+      .select($"doc_id", $"rk".cast("long").as("lex_rk"))
+    val dense = Seq((1L, 1L), (3L, 2L), (2L, 3L)).toDF("doc_id", "dense_rk")
+    val fused = graft.operators.Hybrid.fuse(lex, dense, k = 4)
+      .orderBy("rk").collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("lex_rk")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("dense_rk")).map(_.toLong),
+        r.getAs[Double]("rrf_score"))).toSeq
+    assert(fused == out, s"fuse must replay topk: $fused")
   }
 }

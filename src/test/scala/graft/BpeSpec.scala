@@ -102,4 +102,25 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val (two, _) = Bpe.trainBatched(corpus, merges = 1)
     assert(two.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
   }
+
+  test("trainBatched: degenerate knobs fail loudly; exact-sliceSize corpus is covered") {
+    val corpus = Seq((1L, "abu abv cdw cdz")).toDF("doc_id", "text")
+    // batchMax = 0 used to spin the round loop forever (no pair could
+    // ever be accepted); same for sliceSize = 0.
+    intercept[IllegalArgumentException] { Bpe.trainBatched(corpus, batchMax = 0) }
+    intercept[IllegalArgumentException] { Bpe.trainBatched(corpus, sliceSize = 0) }
+    // A corpus with exactly sliceSize distinct pairs must be detected
+    // as COVERED (the +1 probe): the uncovered path's strict
+    // c > slice-min guard would reject every tied minimum pair and
+    // degrade to one merge per round, while covered batches freely.
+    // "abu abv cdw cdz" has exactly 6 pair types: (a,b)x2, (c,d)x2,
+    // (b,u), (b,v), (d,w), (d,z).
+    val seqMerges = Bpe.train(corpus, merges = 4)
+    val (cov, covRounds) = Bpe.trainBatched(corpus, merges = 4, sliceSize = 6)
+    assert(cov == seqMerges, "covered-slice batching must stay sequential-exact")
+    val (uncov, uncovRounds) = Bpe.trainBatched(corpus, merges = 4, sliceSize = 5)
+    assert(uncov == seqMerges)
+    assert(covRounds <= uncovRounds,
+      s"covered slice must batch at least as well: $covRounds vs $uncovRounds")
+  }
 }
