@@ -999,9 +999,14 @@ object Dedup {
     * verification builds shingle arrays only for candidate docs
     * (left-semi), the [[minhashVerify]] O(candidates) argument.
     */
-  def decontaminateFuzzy(documents: DataFrame, benchMod: Int = 20,
-                         minJaccard: Double = 0.5): DataFrame = {
-    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === 0
+  /** Shared front of [[decontaminateFuzzy]] /
+    * [[contaminationReportFuzzy]]: the banded-candidate + exact-Jaccard
+    * verify pipeline, returning one `(doc_id, bench_id, __j)` row per
+    * verified fuzzy match (corpus side only; the asymmetric
+    * bench-keys-broadcast shape both consumers rely on).
+    */
+  private def fuzzyMatches(documents: DataFrame, benchMod: Int,
+                           minJaccard: Double): DataFrame = {
     val banded = portableBandKeys(documents)
     val benchKeys = banded.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0)
       .select(col("band"), col("band_key"), col("doc_id").as("bench_id"))
@@ -1017,13 +1022,20 @@ object Dedup {
     val shB = withHashedShingles(
         documents.join(broadcast(candBench), Seq("doc_id"), "left_semi"))
       .select(col("doc_id").as("bench_id"), col("hs").as("hsb"))
-    val verified = cand.join(shC, Seq("doc_id")).join(shB, Seq("bench_id"))
+    cand.join(shC, Seq("doc_id")).join(shB, Seq("bench_id"))
       .select(col("doc_id"), col("bench_id"),
         size(array_intersect(col("hs"), col("hsb"))).as("__nc"),
         (size(col("hs")) + size(col("hsb"))).as("__nt"))
       .withColumn("__j", col("__nc").cast("double") /
         nullif((col("__nt") - col("__nc")).cast("double"), lit(0.0)))
       .filter(col("__j") >= minJaccard)
+      .select(col("doc_id"), col("bench_id"), col("__j"))
+  }
+
+  def decontaminateFuzzy(documents: DataFrame, benchMod: Int = 20,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === 0
+    val verified = fuzzyMatches(documents, benchMod, minJaccard)
     val agg = verified.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bench_matches"),
         max(struct(col("__j").as("j"), (-col("bench_id")).as("nb"))).as("__best"))
@@ -1038,6 +1050,29 @@ object Dedup {
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
         col("best_bench_id"),
         (coalesce(col("n_bench_matches"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+  }
+
+  /** #40p contamination_report_fuzzy: the per-BENCHMARK-item rollup of
+    * [[decontaminateFuzzy]] — #40m's fuzzy twin, for leakage that
+    * paraphrasing hides from the verbatim-gram report: per bench doc,
+    * how many corpus docs fuzzy-match it (exact Jaccard ≥ τ over the
+    * banded candidates) and the worst match strength. Zero-leak items
+    * keep their row. Same asymmetric scale shape as the underlying
+    * pass: bench band keys broadcast, one banding pass, verify only on
+    * candidates.
+    */
+  def contaminationReportFuzzy(documents: DataFrame, benchMod: Int = 20,
+                               minJaccard: Double = 0.5): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === 0
+    val per = fuzzyMatches(documents, benchMod, minJaccard)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        round(max(col("__j")), 6).as("max_jaccard"))
+    documents.filter(isBench).select(col("doc_id").as("bench_id"))
+      .join(per, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
   }
 
   /** Shared LSH tail: bucket-collect candidates from a (doc_id, band,

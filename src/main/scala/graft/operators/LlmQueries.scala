@@ -173,6 +173,10 @@ object LlmQueries {
     "contamination_report" -> ((s, d) =>
       Dedup.contaminationReport(docs(s, d)).orderBy(col("bench_id"))),
 
+    // Its fuzzy twin: paraphrase-grade leakage per bench item (#40p).
+    "contamination_report_fuzzy" -> ((s, d) =>
+      Dedup.contaminationReportFuzzy(docs(s, d)).orderBy(col("bench_id"))),
+
     "decontaminate" -> ((s, d) =>
       Dedup.decontaminate(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -582,6 +586,56 @@ object LlmQueries {
        |  SELECT doc_id, CAST(pos AS BIGINT) AS span_start,
        |    CAST(pos + m AS BIGINT) AS span_end, CAST(m AS BIGINT) AS span_len
        |  FROM lm WHERE m >= 40 AND (pm IS NULL OR pm < m + 1))""".stripMargin
+
+  /** The asymmetric fuzzy-decontamination chain ending at
+    * `v(doc_id, bench_id, jac)` — one row per verified fuzzy match,
+    * shared by the decontaminate_fuzzy and contamination_report_fuzzy
+    * oracles (the SpanCte rule): portable-minhash banding, bench band
+    * keys distinct, candidate join, exact Jaccard ≥ 0.5 verify.
+    */
+  private val FuzzyMatchChain: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source,
+       |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang, source,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_distinct(list_transform(range(len(toks) - 1),
+       |        i -> toks[i+1] || ' ' || toks[i+2]))
+       |      ELSE [] END AS sh
+       |  FROM t),
+       |po AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % ${Dedup.PermM} AS h
+       |  FROM po),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $MinhashSigCols
+       |  FROM ph GROUP BY doc_id),
+       |bx AS (
+       |  SELECT doc_id, unnest([
+       |    $MinhashBandStructs]) AS u
+       |  FROM sig),
+       |bk AS (SELECT doc_id, u.band AS band, u.band_key AS band_key FROM bx),
+       |bb AS (
+       |  SELECT DISTINCT band, band_key, doc_id AS bench_id
+       |  FROM bk WHERE doc_id % 20 = 0),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id, b2.bench_id
+       |  FROM bk c JOIN bb b2 USING (band, band_key)
+       |  WHERE c.doc_id % 20 <> 0),
+       |v AS (
+       |  SELECT doc_id, bench_id,
+       |    CAST(nc AS DOUBLE) / nullif(CAST(la + lb - nc AS DOUBLE), 0.0) AS jac
+       |  FROM (
+       |    SELECT cand.doc_id, cand.bench_id,
+       |      len(list_filter(a.sh, x -> list_contains(b3.sh, x))) AS nc,
+       |      len(a.sh) AS la, len(b3.sh) AS lb
+       |    FROM cand JOIN d a ON a.doc_id = cand.doc_id
+       |              JOIN d b3 ON b3.doc_id = cand.bench_id)
+       |  WHERE CAST(nc AS DOUBLE) / nullif(CAST(la + lb - nc AS DOUBLE), 0.0) >= 0.5)""".stripMargin
 
   /** The portable-minhash banding + exact-Jaccard-verify CTE chain
     * (t…j), shared by the dedup_minhash and dedup_keep_best_lsh oracles
@@ -1295,49 +1349,19 @@ object LlmQueries {
     // asymmetrically (bench keys distinct → candidate join → exact
     // Jaccard ≥ τ), then per-corpus-doc best-match aggregation with
     // ties to the lowest bench id (Spark: max(struct(j, −bench_id))).
+    "contamination_report_fuzzy" ->
+      s"""$FuzzyMatchChain,
+         |per AS (SELECT bench_id, count(*) AS n, max(jac) AS mj
+         |        FROM v GROUP BY 1)
+         |SELECT b.bench_id,
+         |  CAST(coalesce(per.n, 0) AS BIGINT) AS n_corpus_docs,
+         |  coalesce(round(per.mj, 6), 0.0) AS max_jaccard
+         |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 20 = 0) b
+         |LEFT JOIN per USING (bench_id)
+         |ORDER BY bench_id""".stripMargin,
+
     "decontaminate_fuzzy" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, source,
-         |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
-         |  FROM documents),
-         |d AS (
-         |  SELECT doc_id, lang, source,
-         |    CASE WHEN len(toks) >= 2
-         |      THEN list_distinct(list_transform(range(len(toks) - 1),
-         |        i -> toks[i+1] || ' ' || toks[i+2]))
-         |      ELSE [] END AS sh
-         |  FROM t),
-         |po AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |ph AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % ${Dedup.PermM} AS h
-         |  FROM po),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $MinhashSigCols
-         |  FROM ph GROUP BY doc_id),
-         |bx AS (
-         |  SELECT doc_id, unnest([
-         |    $MinhashBandStructs]) AS u
-         |  FROM sig),
-         |bk AS (SELECT doc_id, u.band AS band, u.band_key AS band_key FROM bx),
-         |bb AS (
-         |  SELECT DISTINCT band, band_key, doc_id AS bench_id
-         |  FROM bk WHERE doc_id % 20 = 0),
-         |cand AS (
-         |  SELECT DISTINCT c.doc_id, b2.bench_id
-         |  FROM bk c JOIN bb b2 USING (band, band_key)
-         |  WHERE c.doc_id % 20 <> 0),
-         |v AS (
-         |  SELECT doc_id, bench_id,
-         |    CAST(nc AS DOUBLE) / nullif(CAST(la + lb - nc AS DOUBLE), 0.0) AS jac
-         |  FROM (
-         |    SELECT cand.doc_id, cand.bench_id,
-         |      len(list_filter(a.sh, x -> list_contains(b3.sh, x))) AS nc,
-         |      len(a.sh) AS la, len(b3.sh) AS lb
-         |    FROM cand JOIN d a ON a.doc_id = cand.doc_id
-         |              JOIN d b3 ON b3.doc_id = cand.bench_id)
-         |  WHERE CAST(nc AS DOUBLE) / nullif(CAST(la + lb - nc AS DOUBLE), 0.0) >= 0.5),
+      s"""$FuzzyMatchChain,
          |a AS (SELECT doc_id, count(*) AS n, max(jac) AS bj FROM v GROUP BY 1),
          |bmin AS (
          |  SELECT v.doc_id, min(v.bench_id) AS bid

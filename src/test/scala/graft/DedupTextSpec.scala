@@ -953,6 +953,17 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(ok.getAs[Int]("is_contaminated") == 0 &&
       ok.getAs[Long]("n_bench_matches") == 0L)
     assert(ok.isNullAt(ok.fieldIndex("best_bench_id")))
+
+    // Fuzzy per-bench rollup: bench 20 sees the one near-copy at the
+    // same Jaccard the per-doc report published; bench 40 (clean)
+    // keeps its zero row.
+    val rep = graft.operators.Dedup.contaminationReportFuzzy(docs(
+      20L -> bench, 21L -> nearCopy, 22L -> clean, 40L -> "solo text here"
+    )).orderBy("bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rep == Seq(
+      (20L, 1L, leak.getAs[Double]("best_jaccard")),
+      (40L, 0L, 0.0)), rep.toString)
   }
 
   test("corpus pipeline: opt-in normalize/gopher/classifier gates compose") {
