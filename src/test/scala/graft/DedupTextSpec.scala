@@ -319,6 +319,13 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     // No-duplicate corpus: both plans agree on empty.
     val clean = Seq((1L, "abcdefghij"), (2L, "KLMNOPQRST")).toDF("doc_id", "text")
     assert(collectSpans(Dedup.maximalSpansPD(clean, minLen = 4)).isEmpty)
+    // Real data: the sf0.001 documents table carries ~6k duplicated
+    // 40-char windows — identity must hold beyond hand-built fixtures.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rs = collectSpans(Dedup.maximalSpans(real))
+    val rp = collectSpans(Dedup.maximalSpansPD(real))
+    assert(rs.nonEmpty && rp == rs,
+      s"sf0.001 identity: pd=${rp.size} ss=${rs.size}")
   }
 
   test("near-dup pairs fail loudly on a degenerate label instead of going quadratic") {
