@@ -267,6 +267,50 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("is_contaminated"))
   }
 
+  /** Driver-side benchmark gram-set extraction for
+    * [[withContamination]] — bounded by contract (benchmark suites are
+    * small and fixed; this is the quantizer-fit pattern, a model
+    * artifact build, not a corpus scan). Sorted for deterministic
+    * literals.
+    */
+  def benchGramSet(documents: DataFrame, n: Int = 4,
+                   benchMod: Int = 20): Array[Long] =
+    ngramPostings(documents.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0), n)
+      .select(col("g")).distinct().collect().map(_.getLong(0)).sorted
+
+  /** #40q streaming-safe decontamination gate: the [[decontaminate]]
+    * verdict as a STATELESS PROJECTION against a driver-literal
+    * benchmark gram set — no join, no aggregation, no state store, so
+    * the identical operator runs unchanged under Structured Streaming:
+    * flag leakage as documents LAND, before the batch pass (the
+    * live-ingest twin, like the gopher/normalize gates of #49f).
+    *
+    * Gram semantics mirror [[ngramPostings]] exactly (lowercased
+    * `[^a-z0-9]+` tokens INCLUDING empty edge tokens, xxhash64 of the
+    * space-joined width-n window, distinct per doc), so `n_hits` /
+    * `is_contaminated` are row-equal to [[decontaminate]]'s on the same
+    * corpus — spec-asserted. The gram array rides `typedlit`; at bench
+    * sizes past literal comfort the [[incrementalNewBloom]] sketch is
+    * the same projection shape with a might-contain probe (loses the
+    * exact hit count, keeps the verdict).
+    */
+  def withContamination(documents: DataFrame, benchGrams: Array[Long],
+                        n: Int = 4): DataFrame = {
+    require(n >= 2, "n-gram width must be at least 2")
+    val t = tokens(col("text"))
+    val grams = array_distinct(
+      transform(sequence(lit(0), size(t) - n),
+        i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
+    // CaseWhen short-circuits, so the descending-sequence hazard of
+    // size(t) − n < 0 (and size(null) = −1) never evaluates.
+    val hits = when(col("text").isNotNull && size(t) >= n,
+      size(array_intersect(grams, typedlit(benchGrams))).cast("long"))
+      .otherwise(lit(0L))
+    documents
+      .withColumn("n_hits", hits)
+      .withColumn("is_contaminated", (col("n_hits") > 0).cast("int"))
+  }
+
   /** #40m contamination_report: the per-BENCHMARK-item rollup of
     * [[decontaminate]] — for each held-out benchmark document: how many
     * corpus documents share ≥1 verbatim n-gram with it, the total

@@ -686,6 +686,33 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"benchmark gram join must broadcast:\n$plan")
   }
 
+  test("withContamination projection is row-equal to the decontaminate join") {
+    // Same verdicts, zero joins: the projection form must reproduce
+    // decontaminate's n_hits/is_contaminated exactly — including the
+    // empty-edge-token gram subtlety (text starting with punctuation
+    // yields a leading "" token that ngramPostings windows over).
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon",
+      20L -> "!lead punct one two three four",
+      1L -> "x1 x2 alpha beta gamma delta x3",
+      2L -> "p q r s t u",
+      3L -> "!lead punct one two zz qq")
+    val bench = Dedup.benchGramSet(d)
+    val proj = Dedup.withContamination(d, bench)
+      .filter($"doc_id" % 20 =!= 0)
+      .select("doc_id", "n_hits", "is_contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val joined = Dedup.decontaminate(d)
+      .select("doc_id", "n_hits", "is_contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(proj == joined, s"proj=$proj joined=$joined")
+    assert(proj.exists(_._3 == 1) && proj.exists(_._3 == 0), "fixture exercises both verdicts")
+    // No join in the projection plan — the property that makes it
+    // stateless and streaming-safe.
+    val plan = Dedup.withContamination(d, bench).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"projection gate must not join:\n$plan")
+  }
+
   test("contamination report: per-benchmark rollup keeps zero-leak rows") {
     // Bench docs: 20 and 40 (0 mod 20). Doc 21 shares both of 20's
     // 4-grams plus one of its own; doc 22 shares one; 23 and 40 are

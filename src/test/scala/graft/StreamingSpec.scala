@@ -682,4 +682,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(live(6L).getAs[String]("norm_text") == "noisy doc")
     } finally query.stop()
   }
+
+  test("streaming decontamination gate flags leakage on ingest, batch-identical") {
+    // The withContamination projection (literal bench gram set, no
+    // join/aggregation/state) is the live-ingest decontamination gate:
+    // the SAME operator code under readStream, append mode, emitting
+    // batch-identical verdicts per arriving document.
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    import graft.operators.Dedup
+    val benchDoc = "alpha beta gamma delta epsilon"
+    val bench = Dedup.benchGramSet(
+      Seq((0L, benchDoc)).toDF("doc_id", "text"))
+    assert(bench.nonEmpty)
+    val input = MemoryStream[(Long, String)]
+    val gated = Dedup.withContamination(input.toDF().toDF("doc_id", "text"), bench)
+    val query = gated.writeStream.format("memory")
+      .queryName("decon_stream").outputMode("append").start()
+    try {
+      val rows = Seq(
+        1L -> "x1 x2 alpha beta gamma delta x3", // shares one bench 4-gram
+        2L -> "p q r s t u",                     // clean
+        3L -> (null: String))                    // null text → clean row
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val live = spark.table("decon_stream").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_hits"),
+          r.getAs[Int]("is_contaminated"))).toSeq.sorted
+      val batch = Dedup.withContamination(rows.toDF("doc_id", "text"), bench)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("n_hits"),
+          r.getAs[Int]("is_contaminated"))).toSeq.sorted
+      assert(live == batch, s"live=$live batch=$batch")
+      assert(live == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 0L, 0)), live.toString)
+    } finally query.stop()
+  }
 }
