@@ -311,6 +311,52 @@ object Dedup {
       .withColumn("is_contaminated", (col("n_hits") > 0).cast("int"))
   }
 
+  /** Bloom-sketch artifact build for [[withContaminationBloom]] — the
+    * large-benchmark fallback when the literal gram array of
+    * [[benchGramSet]] stops being comfortable (size is
+    * `expectedItems·~10 bits`, vs 8 bytes/gram for the literal).
+    */
+  def benchGramBloom(documents: DataFrame, n: Int = 4, benchMod: Int = 20,
+                     expectedItems: Long = 1000000L,
+                     fpp: Double = 0.01): Array[Byte] = {
+    val bloom = ngramPostings(
+        documents.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0), n)
+      .stat.bloomFilter("g", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[withContamination]] over a bloom SKETCH of the benchmark gram
+    * set instead of the literal array — same stateless projection
+    * (streaming-safe for the same reason), same gram semantics, but
+    * the verdict is a might-contain: no false negatives (a leaked doc
+    * is never missed), a ~fpp chance per clean gram of over-flagging,
+    * and `n_maybe_hits` is an upper bound on the exact count. Probes
+    * run the codegen'd BloomFilterMightContain over a literal of the
+    * sketch ([[incrementalNewBloom]]'s rule — never a Scala UDF on the
+    * full-scan path), applied per gram inside the array filter.
+    */
+  def withContaminationBloom(documents: DataFrame, benchBloom: Array[Byte],
+                             n: Int = 4): DataFrame = {
+    require(n >= 2, "n-gram width must be at least 2")
+    def mightContain(k: Column): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(benchBloom),
+          org.apache.spark.sql.GraftColumnBridge.expression(k)))
+    val t = tokens(col("text"))
+    val grams = array_distinct(
+      transform(sequence(lit(0), size(t) - n),
+        i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
+    val hits = when(col("text").isNotNull && size(t) >= n,
+      size(filter(grams, g => mightContain(g))).cast("long"))
+      .otherwise(lit(0L))
+    documents
+      .withColumn("n_maybe_hits", hits)
+      .withColumn("is_contaminated", (col("n_maybe_hits") > 0).cast("int"))
+  }
+
   /** #40m contamination_report: the per-BENCHMARK-item rollup of
     * [[decontaminate]] — for each held-out benchmark document: how many
     * corpus documents share ≥1 verbatim n-gram with it, the total
