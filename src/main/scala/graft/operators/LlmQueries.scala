@@ -24,7 +24,7 @@ object LlmQueries {
   private val dsirWeightsCte: String =
     s"""t AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
        |      x -> x <> '') AS tk
        |  FROM documents),
        |grams AS (
@@ -473,8 +473,8 @@ object LlmQueries {
   private val QualityFieldsSql: String =
     s"""length(text) AS n_chars,
        |    len(string_split_regex(text, '\\s+')) AS n_words,
-       |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
-       |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |    length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS n_punct,
+       |    len(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
        |      w -> list_contains([$EnStops], w))) AS n_stops""".stripMargin
 
   private val QualityScoreSql: String =
@@ -596,7 +596,7 @@ object LlmQueries {
   private val FuzzyMatchChain: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, source,
-       |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+       |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') AS toks
        |  FROM documents),
        |d AS (
        |  SELECT doc_id, lang, source,
@@ -645,7 +645,7 @@ object LlmQueries {
     */
   private val MinhashPairCtes: String =
     s"""t AS (
-       |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+       |  SELECT doc_id, string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') AS toks
        |  FROM documents),
        |d AS (
        |  SELECT doc_id,
@@ -743,7 +743,7 @@ object LlmQueries {
 
     "dedup_simhash" ->
       s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+')) AS w
          |  FROM documents),
          |hh AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
          |bits AS (
@@ -793,7 +793,7 @@ object LlmQueries {
     "ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,
-        |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, source, lang,
@@ -819,7 +819,7 @@ object LlmQueries {
       """WITH sp AS (
         |  SELECT doc_id, trim(s) AS s
         |  FROM (SELECT doc_id,
-        |          unnest(string_split_regex(text, '[.!?]+')) AS s
+        |          unnest(string_split_regex(text, '[.!?。！？؟…]+')) AS s
         |        FROM documents)
         |  WHERE trim(s) <> ''),
         |c AS (SELECT s, count(*) AS n FROM sp GROUP BY 1),
@@ -839,7 +839,7 @@ object LlmQueries {
     "containment_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,
-        |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, source, lang,
@@ -1298,7 +1298,7 @@ object LlmQueries {
     "contamination_report" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
@@ -1325,7 +1325,7 @@ object LlmQueries {
     "decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,
-        |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, lang, source,
@@ -1378,7 +1378,7 @@ object LlmQueries {
 
     "chunk_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |  SELECT doc_id, string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
@@ -1453,7 +1453,7 @@ object LlmQueries {
       s"""WITH RECURSIVE $QualityCtes,
          |t AS (
          |  SELECT doc_id, source, lang,
-         |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+         |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') AS toks
          |  FROM documents),
          |dsh AS (
          |  SELECT doc_id, source, lang,
@@ -1502,7 +1502,7 @@ object LlmQueries {
     "lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS labeled_lang,
-         |    string_split_regex(lower(text), '[^a-z]+') AS toks
+         |    string_split_regex(lower(text), '[^\\p{L}]+') AS toks
          |  FROM documents),
          |h AS (
          |  SELECT doc_id, labeled_lang,
@@ -1524,9 +1524,9 @@ object LlmQueries {
          |    length(text) AS n_chars,
          |    len(string_split_regex(text, '\\s+')) AS n_words,
          |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
-         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
-         |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
-         |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |    length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS n_punct,
+         |    length(regexp_replace(text, '[^\\p{Lu}]', '', 'g')) AS n_upper,
+         |    len(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
          |      w -> list_contains([$EnStops], w))) AS n_stops
          |  FROM documents),
          |r AS (
@@ -1548,7 +1548,7 @@ object LlmQueries {
 
     "doc_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+        |  SELECT doc_id, string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1585,13 +1585,13 @@ object LlmQueries {
       """SELECT doc_id,
         |  length(text) AS n_chars,
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens,
+        |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS regex_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "vocab_topk" ->
       """WITH t AS (
-        |  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  SELECT lang, unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS token
         |  FROM documents),
         |c AS (
         |  SELECT lang, token, count(*) AS n_occurrences
@@ -1605,7 +1605,7 @@ object LlmQueries {
 
     "bpe_pairs" ->
       """WITH words AS (
-        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
         |  FROM documents),
         |freqs AS (
         |  SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
@@ -1643,7 +1643,7 @@ object LlmQueries {
     "bm25_topk" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |      x -> x <> '') AS tk
         |  FROM documents),
         |d AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
@@ -1685,7 +1685,7 @@ object LlmQueries {
          |dtop AS (SELECT doc_id, dense_rk FROM dr WHERE dense_rk <= 20),
          |t AS (
          |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
          |      x -> x <> '') AS tk
          |  FROM documents WHERE doc_id <> 7),
          |d AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
@@ -1760,7 +1760,7 @@ object LlmQueries {
     "lm_score" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
         |      x -> x <> '') AS tk
         |  FROM documents),
         |bgl AS (
@@ -1804,7 +1804,7 @@ object LlmQueries {
          |    FROM g)
          |  WHERE rn = 1),
          |t AS (SELECT doc_id, source, lang,
-         |    string_split_regex(lower(text), '[^a-z0-9]+') AS toks FROM ex),
+         |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') AS toks FROM ex),
          |dsh AS (SELECT doc_id, source, lang,
          |    CASE WHEN len(toks) >= 2
          |      THEN list_distinct(list_transform(range(len(toks) - 1),
@@ -1869,7 +1869,7 @@ object LlmQueries {
     "blocklist_filter" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1884,7 +1884,7 @@ object LlmQueries {
       """WITH canon AS (
         |  SELECT doc_id, source, lang,
         |    array_to_string(list_sort(list_distinct(
-        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))), ' ') AS ck
+        |      list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))), ' ') AS ck
         |  FROM documents),
         |seen AS (
         |  SELECT DISTINCT ck FROM canon
@@ -1899,7 +1899,7 @@ object LlmQueries {
     "length_profile" ->
       """WITH t AS (
         |  SELECT lang,
-        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w,
+        |    len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS w,
         |    length(text) AS c
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,

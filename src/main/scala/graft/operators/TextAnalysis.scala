@@ -20,7 +20,7 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "y", "en", "es", "un", "que"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "dans"))
 
-  private def letterTokens(text: Column): Column = split(lower(text), "[^a-z]+")
+  private def letterTokens(text: Column): Column = split(lower(text), "[^\\p{L}]+")
 
   private def hits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words: _*)))
@@ -51,8 +51,8 @@ object TextAnalysis {
     val nChars = length(col("text"))
     val words = split(col("text"), "\\s+")
     val nWords = size(words)
-    val punct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))
-    val uppers = length(regexp_replace(col("text"), "[^A-Z]", ""))
+    val punct = nChars - length(regexp_replace(col("text"), "[^\\p{L}\\p{N}\\s]", ""))
+    val uppers = length(regexp_replace(col("text"), "[^\\p{Lu}]", ""))
     val stops = hits(letterTokens(col("text")), Stopwords("en"))
     documents
       .withColumn("n_chars", nChars)
@@ -88,7 +88,7 @@ object TextAnalysis {
       length(col("text")).as("n_chars"),
       size(split(col("text"), "\\s+")).as("ws_tokens"),
       size(regexp_extract_all(col("text"),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("regex_tokens"),
+        lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))).as("regex_tokens"),
       ceil(length(col("text")) / 4.0).as("est_bpe"))
 
   /** Deterministic train/val/test assignment by key hash — the standard

@@ -371,7 +371,7 @@ object TextSignals {
     val allStops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
     val base = documents
       .withColumn("__w", filter(split(col("text"), "[ \\t\\n\\r\\f]+"), w => w =!= ""))
-      .withColumn("__lt", filter(split(lower(col("text")), "[^a-z]+"), t => t =!= ""))
+      .withColumn("__lt", filter(split(lower(col("text")), "[^\\p{L}]+"), t => t =!= ""))
     val nWords = size(col("__w"))
     val wordChars = length(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", ""))
     val m = base
@@ -383,13 +383,13 @@ object TextSignals {
         coalesce(array_max(transform(col("__w"), w => length(w))), lit(0)))
       .withColumn("alpha_share",
         when(nWords > 0,
-          round(size(filter(col("__w"), w => w.rlike("[a-zA-Z]"))).cast("double") / nWords, 6))
+          round(size(filter(col("__w"), w => w.rlike("\\p{L}"))).cast("double") / nWords, 6))
           .otherwise(lit(0.0)))
       .withColumn("stop_hits",
         size(filter(col("__lt"), t => t.isin(allStops: _*))))
       .withColumn("symbol_share",
         when(length(col("text")) > 0,
-          round(length(regexp_replace(col("text"), "[a-zA-Z0-9 \\t\\n\\r\\f]", ""))
+          round(length(regexp_replace(col("text"), "[\\p{L}\\p{N} \\t\\n\\r\\f]", ""))
             .cast("double") / length(col("text")), 6))
           .otherwise(lit(0.0)))
     val fails = array(
@@ -422,14 +422,15 @@ object TextSignals {
     * sentence length distribution, fragment share). Machine-translated
     * and boilerplate text skews short-and-uniform; OCR noise skews
     * fragmentary — both show up here before any model-based scorer
-    * runs. Sentences split on `[.!?]+` runs; a "short" sentence has
+    * runs. Sentences split on [[Dedup.SentenceClass]] terminator runs
+    * (ASCII + CJK/Arabic marks); a "short" sentence has
     * under 4 words.
     *
     * Scale shape: one projection over per-doc bounded arrays (HOF word
     * counts are interpreted but doc-bounded), zero shuffle.
     */
   def sentenceStats(documents: DataFrame): DataFrame = {
-    val sents = filter(transform(split(col("text"), "[.!?]+"), s => trim(s)),
+    val sents = filter(transform(split(col("text"), Dedup.SentenceClass), s => trim(s)),
       s => s =!= "")
     val wc = transform(col("__s"),
       s => size(filter(split(s, "[ \\t\\n\\r\\f]+"), w => w =!= "")))

@@ -21,7 +21,7 @@ object TextSignalsQueries {
   private val tokCte: String =
     """t AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
       |      x -> x <> '') AS tk
       |  FROM documents)""".stripMargin
 
@@ -36,7 +36,7 @@ object TextSignalsQueries {
        |  SELECT doc_id, text,
        |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
        |      x -> x <> '') AS wl,
-       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
        |      x -> x <> '') AS lt
        |  FROM documents),
        |m AS (
@@ -46,11 +46,11 @@ object TextSignalsQueries {
        |      ELSE 0.0 END AS mean_word_len,
        |    coalesce(list_max(list_transform(wl, x -> length(x))), 0) AS max_word_len,
        |    CASE WHEN len(wl) > 0 THEN round(
-       |      len(list_filter(wl, x -> regexp_matches(x, '[a-zA-Z]'))) / len(wl), 6)
+       |      len(list_filter(wl, x -> regexp_matches(x, '\\p{L}'))) / len(wl), 6)
        |      ELSE 0.0 END AS alpha_share,
        |    len(list_filter(lt, x -> list_contains($stops, x))) AS stop_hits,
        |    CASE WHEN length(text) > 0 THEN round(
-       |      length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))
+       |      length(regexp_replace(text, '[\\p{L}\\p{N} \\t\\n\\r\\f]', '', 'g'))
        |        / length(text), 6)
        |      ELSE 0.0 END AS symbol_share
        |  FROM w),
@@ -248,7 +248,7 @@ object TextSignalsQueries {
     "sentence_stats" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+        |    list_filter(list_transform(string_split_regex(text, '[.!?。！？؟…]+'),
         |      x -> trim(x)), x -> x <> '') AS sl
         |  FROM documents),
         |w AS (

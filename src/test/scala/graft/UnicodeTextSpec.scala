@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis, TextSignals}
+
+/** Round-8 fixture for the Unicode-aware token/sentence rules (round-7
+  * verdict item 1): under the old ASCII `[^a-z0-9]+` rule every
+  * non-ASCII letter was a separator, so dedup/decontamination/quality
+  * silently no-op'd on non-Latin text. These specs pin the new
+  * `\p{L}\p{N}`-class behavior on Vietnamese (the reference's own
+  * market), CJK and Arabic fixtures with hand-computed expectations.
+  */
+class UnicodeTextSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "vi", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def toks(text: String): Seq[String] =
+    Seq(text).toDF("text")
+      .select(TextSignals.tokensCol(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+
+  test("vietnamese diacritics survive tokenization (old rule split every non-ASCII letter)") {
+    assert(toks("Tỷ giá TĂNG 3%") == Seq("tỷ", "giá", "tăng", "3"))
+    // Regression guard on the exact round-7 finding: a diacritic-heavy
+    // token must come through whole, not as ASCII fragments.
+    assert(toks("tỷ") == Seq("tỷ"))
+  }
+
+  test("arabic and cyrillic tokenize as words; CJK runs stay one coarse token") {
+    assert(toks("مرحبا بالعالم") == Seq("مرحبا", "بالعالم"))
+    assert(toks("Привет мир") == Seq("привет", "мир"))
+    // Documented residual limit: no-separator scripts come out one token
+    // per run — coarse but hashable content, not empty-token noise.
+    assert(toks("漢字テスト abc") == Seq("漢字テスト", "abc"))
+  }
+
+  test("sentence stats split on CJK/Arabic terminators") {
+    val out = TextSignals.sentenceStats(
+      docs(1L -> "Xin chào thế giới。Tốt quá！Sao؟")).collect().head
+    // Sentences: "Xin chào thế giới" (4 words), "Tốt quá" (2), "Sao" (1).
+    assert(out.getAs[Int]("n_sents") == 3)
+    assert(out.getAs[Double]("avg_sent_words") == math.rint(7.0 / 3 * 1e6) / 1e6)
+    assert(out.getAs[Int]("max_sent_words") == 4)
+    assert(out.getAs[Double]("short_share") == math.rint(2.0 / 3 * 1e6) / 1e6)
+  }
+
+  test("canonical key is case- and order-insensitive over unicode tokens") {
+    val keys = Seq("TỶ GIÁ", "giá tỷ", "giá tý")
+      .toDF("text").select(Dedup.canonicalKey(col("text")).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys(0) == keys(1))
+    assert(keys(0) != keys(2), "different diacritic = different content")
+  }
+
+  test("minhash LSH finds near-dup vietnamese docs (degenerate under ASCII rule)") {
+    val base = (1 to 40).map(i => s"từ$i").mkString(" ")
+    val nearDup = base.replace("từ7 ", "khác ")
+    val other = (1 to 40).map(i => s"đơn$i").mkString(" ")
+    val out = Dedup.minhashPairs(docs(1L -> base, 2L -> nearDup, 3L -> other), 0.3)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id1") == 1L && out.head.getAs[Long]("id2") == 2L)
+    assert(out.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("text quality ratios treat unicode letters as letters, not punctuation") {
+    val r = TextAnalysis.textQuality(docs(1L -> "Tỷ giá tăng 3%!")).collect().head
+    assert(r.getAs[Int]("n_chars") == 15)
+    assert(r.getAs[Int]("n_words") == 4)
+    // Only % and ! are outside [\p{L}\p{N}\s] (old rule also counted
+    // every diacritic codepoint as punctuation).
+    assert(r.getAs[Double]("punct_ratio") == 2.0 / 15)
+    // T is the only \p{Lu} char (Ỷ lowered? no — text is raw here: Tỷ has
+    // upper T only).
+    assert(r.getAs[Double]("upper_ratio") == 1.0 / 15)
+    assert(r.getAs[Double]("avg_word_len") == 12.0 / 4)
+  }
+
+  test("gopher alpha/symbol shares see vietnamese words as alphabetic") {
+    val r = TextSignals.withGopher(
+      docs(1L -> "tỷ giá tăng mạnh quá rồi nhé bạn ơi à")).collect().head
+    assert(r.getAs[Double]("alpha_share") == 1.0)
+    assert(r.getAs[Double]("symbol_share") == 0.0)
+  }
+
+  test("token_count regex tokens honor unicode letter/number runs") {
+    val r = TextAnalysis.tokenCount(docs(1L -> "Tỷ giá 25枚!")).collect().head
+    assert(r.getAs[Int]("n_chars") == 11)
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // \p{L}+ | \p{N}+ | single other: Tỷ, giá, 25, 枚, !
+    assert(r.getAs[Int]("regex_tokens") == 5)
+  }
+}
