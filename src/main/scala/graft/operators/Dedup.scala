@@ -1371,15 +1371,78 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Posting-frame hardening for the inverted-index self-join family
+    * (round-8, closing the round-7 verdict's one new scale finding).
+    *
+    * The self-join on (source, lang, h) emits df²/2 rows for a shingle
+    * shared by df documents of one bucket — a cookie-banner shingle at
+    * df=10⁶ is 5·10¹¹ join rows from ONE key, and AQE skew-split only
+    * spreads the explosion across tasks, it cannot shrink it. Invisible
+    * at test scale (small bucket occupancy), catastrophic at corpus
+    * scale — exactly the case that must fail loudly instead of running
+    * for a week (the [[Similarity.nearDupPairs]] `maxLabelRows` /
+    * [[cappedPairs]] fail-don't-degrade contract; exactness forbids
+    * silently capping here, because the operators promise EVERY
+    * qualifying pair).
+    *
+    * Two modes:
+    *  - default: a 1-row max-df aggregate rides a broadcast crossJoin
+    *    into the posting frame; any shingle with df > `maxPostingDf`
+    *    raises before the join expands. Cost = one extra map-side-
+    *    combinable fold over postings, zero rows added.
+    *  - `stopShingleDf = Some(cut)`: degrade-don't-abort — shingles
+    *    with df > cut are DROPPED from the vocabulary (the standard
+    *    MOSS/Broder "stop shingle" practice: boilerplate that common
+    *    carries no similarity signal). Overlaps AND per-doc sizes are
+    *    then both measured over the kept vocabulary, so jaccard/
+    *    containment stay internally consistent. The df filter joins on
+    *    the SAME (source, lang, h) key as the pair self-join, so the
+    *    shuffle partitioning is reused.
+    */
+  private def guardedShinglePostings(documents: DataFrame, maxPostingDf: Int,
+                                     stopShingleDf: Option[Int]): DataFrame = {
+    require(maxPostingDf > 0, "maxPostingDf must be positive")
+    val postings = shinglePostings(documents)
+    stopShingleDf match {
+      case Some(cut) =>
+        require(cut > 0, "stopShingleDf cutoff must be positive")
+        val keep = postings.groupBy(col("source"), col("lang"), col("h"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cut)
+        postings.join(keep, Seq("source", "lang", "h")).drop("__df")
+      case None =>
+        // Tiny 1-row frame; the raise_error stays alive because the
+        // filter references __chk (the nearDupPairs guard pattern).
+        val guard = postings.groupBy(col("source"), col("lang"), col("h"))
+          .agg(count(lit(1)).as("__df"))
+          .agg(max(col("__df")).as("__maxdf"))
+          .withColumn("__chk",
+            when(col("__maxdf") > maxPostingDf, raise_error(concat(
+              lit(s"shingle postings: a shingle's document frequency exceeds maxPostingDf=$maxPostingDf (df="),
+              col("__maxdf").cast("string"),
+              lit(") — the (source, lang, h) self-join would emit df^2/2 rows from that key; " +
+                "drop boilerplate via stopShingleDf, or raise maxPostingDf knowingly"))))
+              .otherwise(lit(1)))
+        postings.crossJoin(broadcast(guard))
+          .filter(col("__chk") === 1)
+          .drop("__maxdf", "__chk")
+    }
+  }
+
   /** Inverted-index twin of [[ngramJaccard]]: explode shingles, equi-join
     * postings on (bucket, shingle-hash), count matches per pair — the
     * per-pair work is a codegen'd count and zero-overlap pairs never
     * materialize. Scales to buckets where all-pairs intersection cannot;
-    * requires minJaccard > 0.
+    * requires minJaccard > 0. Postings are density-guarded (see
+    * [[guardedShinglePostings]]): a shingle whose document frequency
+    * exceeds `maxPostingDf` raises before the self-join expands, or is
+    * dropped as a stop shingle when `stopShingleDf` opts in.
     */
-  def ngramJaccardInvertedIndex(documents: DataFrame, minJaccard: Double = 0.05): DataFrame = {
+  def ngramJaccardInvertedIndex(documents: DataFrame, minJaccard: Double = 0.05,
+                                maxPostingDf: Int = 10000,
+                                stopShingleDf: Option[Int] = None): DataFrame = {
     require(minJaccard > 0, "inverted-index plan only emits overlapping pairs")
-    val postings = shinglePostings(documents)
+    val postings = guardedShinglePostings(documents, maxPostingDf, stopShingleDf)
     val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = postings.as("a")
       .join(postings.as("b"),
@@ -1449,12 +1512,15 @@ object Dedup {
     * posting self-join on (bucket, shingle-hash) counts intersections,
     * sizes join back, filter AFTER the cheap arithmetic. Shares
     * [[shinglePostings]] so the two dup metrics see identical shingle
-    * sets.
+    * sets, and the same [[guardedShinglePostings]] density guard
+    * (loud `maxPostingDf` raise / opt-in stop-shingle drop).
     */
   def containmentPairs(documents: DataFrame,
-                       minContainment: Double = 0.5): DataFrame = {
+                       minContainment: Double = 0.5,
+                       maxPostingDf: Int = 10000,
+                       stopShingleDf: Option[Int] = None): DataFrame = {
     require(minContainment > 0, "inverted-index plan only emits overlapping pairs")
-    val postings = shinglePostings(documents)
+    val postings = guardedShinglePostings(documents, maxPostingDf, stopShingleDf)
     val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = postings.as("a")
       .join(postings.as("b"),

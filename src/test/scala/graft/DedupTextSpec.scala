@@ -1196,4 +1196,47 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     val a = TextAnalysis.lengthProfileApprox(d).collect().head
     assert(math.abs(a.getAs[Int]("p50_words") - 2.5) <= 1.0)
   }
+
+  // Round-8: the posting self-join density guard (r7 verdict's one new
+  // scale finding). A shingle shared by df docs of one (source, lang)
+  // bucket emits df²/2 self-join rows — planted viral shingle must
+  // raise, stop-shingle mode must drop it and keep the rest exact.
+  private val viralDocs = docs(
+    1L -> "vi ral a b x1",
+    2L -> "vi ral a b x2",
+    3L -> "vi ral c3 d3",
+    4L -> "vi ral c4 d4",
+    5L -> "vi ral c5 d5")
+
+  test("posting self-joins fail loudly on a viral shingle instead of going quadratic") {
+    // "vi ral" appears in all 5 docs of the (src0, en) bucket: df=5 > 3.
+    val e1 = intercept[Exception] {
+      Dedup.ngramJaccardInvertedIndex(viralDocs, 0.01, maxPostingDf = 3).collect()
+    }
+    assert(e1.getMessage.contains("maxPostingDf"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Dedup.containmentPairs(viralDocs, 0.1, maxPostingDf = 3).collect()
+    }
+    assert(e2.getMessage.contains("maxPostingDf"), e2.getMessage)
+    // At or under the budget the exact semantics are untouched.
+    assert(Dedup.ngramJaccardInvertedIndex(viralDocs, 0.01, maxPostingDf = 5)
+      .count() > 0)
+  }
+
+  test("stop-shingle mode drops boilerplate and measures the kept vocabulary") {
+    // df("vi ral")=5 > 4 → dropped; df("ral a")=df("a b")=2 kept.
+    // Kept sets: d1 {ral a, a b, b x1}, d2 {ral a, a b, b x2} → J = 2/4;
+    // d3..d5 share nothing after the drop, so (1,2) is the ONLY pair.
+    val out = Dedup.ngramJaccardInvertedIndex(viralDocs, 0.01,
+      stopShingleDf = Some(4)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("id1") == 1L && r.getAs[Long]("id2") == 2L)
+    assert(r.getAs[Long]("n_common") == 2L && r.getAs[Long]("n_union") == 4L)
+    assert(r.getAs[Double]("jaccard") == 0.5)
+    // Containment over the same kept vocabulary: 2/min(3,3).
+    val c = Dedup.containmentPairs(viralDocs, 0.5, stopShingleDf = Some(4)).collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[Double]("containment") == math.rint(2.0 / 3 * 1e6) / 1e6)
+  }
 }

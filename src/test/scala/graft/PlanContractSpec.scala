@@ -401,4 +401,27 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
     assert(!pc.contains("Cartesian"),
       s"containment must stay posting-keyed:\n$pc")
   }
+
+  test("round-8: posting self-joins carry a live df guard; stop-shingle stays keyed") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // Default mode: the 1-row max-df guard must survive column pruning
+    // (raise_error referenced by the filter) and ride a broadcast, never
+    // a cartesian.
+    Seq(
+      "ngram_jaccard" -> graft.operators.Dedup.ngramJaccardInvertedIndex(docs),
+      "containment" -> graft.operators.Dedup.containmentPairs(docs)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("raise_error"),
+        s"$name: the maxPostingDf guard must stay alive in the plan:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: the 1-row guard must broadcast, not cartesian:\n$p")
+    }
+    // Stop-shingle mode: the df filter joins on the same key as the pair
+    // self-join — no raise_error, no cartesian, still posting-keyed.
+    val ps = plan(graft.operators.Dedup.ngramJaccardInvertedIndex(
+      docs, stopShingleDf = Some(1000)))
+    assert(!ps.contains("raise_error") && !ps.contains("Cartesian"),
+      s"stop-shingle mode is a keyed df filter, not a guard:\n$ps")
+  }
 }
