@@ -70,10 +70,10 @@ object Bench {
     // not first-run codegen compilation. A failure in either pass is a
     // failure.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeThunk(name: String, mk: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        mk().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -88,11 +88,21 @@ object Bench {
         // measurements so every query starts from the same storage state.
         spark.catalog.clearCache()
     }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timeThunk(name, () => fn(spark, sfDir))
     // Optional name filter (local profiling: `runMain graft.Bench q1,q2`);
     // a filtered run never arms the regression gate.
     val only = args.headOption.map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Report-over-frame twins (r7 item 8): setup runs UNTIMED (builds +
+    // eagerly checkpoints the upstream frame); the thunk timed below is
+    // the report alone, so the artifact splits pipeline cost from
+    // report cost. localCheckpoint frames survive clearCache().
+    val reportFns: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      graft.operators.LlmQueries.reportQueries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (n, setup) => n -> setup(spark, sfDir) }
     // In a full run the 60+ earlier queries amortize JVM/codegen warmup;
     // a filtered run has no such cushion and its first timed pass reads
     // 1.5–2× hot (observed repeatedly) — warm each selected query once
@@ -101,6 +111,9 @@ object Bench {
     failures = 0
     val results = selected.map { case (name, fn) =>
       val times = (1 to passes).map(_ => timeOnce(name, fn))
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    } ++ reportFns.map { case (name, thunk) =>
+      val times = (1 to passes).map(_ => timeThunk(name, thunk))
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val baseline = loadBaseline()
@@ -146,15 +159,21 @@ object Bench {
     // self-explaining without BASELINE.md in hand.
     final case class Reprobe(name: String, t: Double, t2: Double,
                              t3: Option[Double], confirmed: Boolean)
+    val reportFnMap = reportFns.toMap
+    def reprobeOnce(name: String): Double =
+      reportFnMap.get(name) match {
+        case Some(thunk) => timeThunk(name, thunk)
+        case None => timeOnce(name, SparkEntry.queries(name))
+      }
     def settledTime(name: String): Double = {
       System.gc(); Thread.sleep(200); System.gc()
-      timeOnce(name, SparkEntry.queries(name))
+      reprobeOnce(name)
     }
     val reprobes: Seq[Reprobe] =
       if (!gateArmed) Seq.empty
       else results.collect {
         case (name, t) if t >= 0 && baseline.contains(name) && over(name, t) =>
-          val t2 = timeOnce(name, SparkEntry.queries(name))
+          val t2 = reprobeOnce(name)
           val t2Clear = t2 >= 0 && !over(name, t2)
           val t3 = if (t2Clear) None else Some(settledTime(name))
           val confirmed = !t2Clear && !t3.exists(v => v >= 0 && !over(name, v))

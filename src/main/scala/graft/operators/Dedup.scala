@@ -308,7 +308,12 @@ object Dedup {
     * `[^\p{L}\p{N}]+`-split tokens INCLUDING empty edge tokens, xxhash64 of the
     * space-joined width-n window, distinct per doc), so `n_hits` /
     * `is_contaminated` are row-equal to [[decontaminate]]'s on the same
-    * corpus — spec-asserted. The gram array rides `typedlit`; at bench
+    * corpus — spec-asserted. NOTE the self-hit: [[decontaminate]]
+    * EXCLUDES benchmark docs (doc_id % benchMod == 0) from its output,
+    * while this projection flags them as contaminated by themselves —
+    * row-equality holds on the non-bench rows; a caller comparing the
+    * two (or gating a mixed stream) must filter bench docs first. The
+    * gram array rides `typedlit`; at bench
     * sizes past literal comfort the [[incrementalNewBloom]] sketch is
     * the same projection shape with a might-contain probe (loses the
     * exact hit count, keeps the verdict).
@@ -336,11 +341,17 @@ object Dedup {
     * `expectedItems·~10 bits`, vs 8 bytes/gram for the literal).
     */
   def benchGramBloom(documents: DataFrame, n: Int = 4, benchMod: Int = 20,
-                     expectedItems: Long = 1000000L,
+                     expectedItems: Long = 0L,
                      fpp: Double = 0.01): Array[Byte] = {
-    val bloom = ngramPostings(
-        documents.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0), n)
-      .stat.bloomFilter("g", expectedItems, fpp)
+    val posts = ngramPostings(
+      documents.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0), n)
+    // Size the sketch from the ACTUAL distinct gram count (one bounded
+    // count over the bench postings) unless the caller overrides —
+    // a fixed 1e6 default made every tiny benchmark carry a ~1.2 MB
+    // plan literal (ADVICE r7). Floor keeps degenerate benches sane.
+    val items = if (expectedItems > 0) expectedItems
+                else math.max(64L, posts.select(col("g")).distinct().count())
+    val bloom = posts.stat.bloomFilter("g", items, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     bos.toByteArray
@@ -374,6 +385,106 @@ object Dedup {
     documents
       .withColumn("n_maybe_hits", hits)
       .withColumn("is_contaminated", (col("n_maybe_hits") > 0).cast("int"))
+  }
+
+  /** Driver-literal artifacts for [[withContaminationFuzzy]] — the
+    * BENCHMARK side of [[decontaminateFuzzy]] collapsed to two bounded
+    * collects (benchmark suites are small and fixed; the
+    * [[benchGramSet]] quantizer-fit contract): the distinct portable
+    * band keys `(band, band_key, bench_id)` and the xxhash64 shingle
+    * set per bench doc. Sorted for deterministic literals.
+    */
+  def benchFuzzyArtifact(documents: DataFrame, benchMod: Int = 20)
+      : (Array[(Int, String, Long)], Array[(Long, Array[Long])]) = {
+    val bench = documents.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0)
+    val keys = portableBandKeys(bench)
+      .select(col("band"), col("band_key"), col("doc_id")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val sh = withHashedShingles(bench)
+      .select(col("doc_id"), col("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    (keys, sh)
+  }
+
+  /** #49h streaming-safe FUZZY decontamination gate — [[withContamination]]'s
+    * minhash twin (r7 verdict item 7): [[decontaminateFuzzy]]'s verdict
+    * recast as a STATELESS PROJECTION against the two driver literals
+    * of [[benchFuzzyArtifact]], so the identical operator runs
+    * unchanged under Structured Streaming in append mode: flag
+    * paraphrased benchmark leakage as documents LAND.
+    *
+    * Per-row replay of the batch pipeline, family-exact so the verdict
+    * is row-equal (spec-asserted, oracle carries transitively):
+    * portable md5 minhash signature (same [[permA]]/[[permB]]/[[PermM]]
+    * constants, same md5-prefix base hash) → per-band md5 keys → a
+    * band-key collision against the literal marks candidate bench docs
+    * → exact Jaccard over xxhash64 shingle sets (the [[fuzzyMatches]]
+    * verify) keeps matches ≥ `minJaccard`; best match = max (j, −id)
+    * struct, ties to the lowest bench id. Same self-hit caveat as
+    * [[withContamination]]: bench docs flag themselves — filter them
+    * before comparing with [[decontaminateFuzzy]], which excludes them.
+    *
+    * Cost shape: the 32-perm fold runs as interpreted HOFs over the
+    * materialized per-row base-hash array (Perms passes per doc — the
+    * price of statelessness; the batch twin folds map-side instead),
+    * and verification touches only band-collision candidates. Both
+    * literals are benchmark-bounded, not corpus-bounded.
+    */
+  def withContaminationFuzzy(documents: DataFrame,
+                             benchKeys: Array[(Int, String, Long)],
+                             benchShingles: Array[(Long, Array[Long])],
+                             minJaccard: Double = 0.5): DataFrame = {
+    val keysLit = typedlit(benchKeys)
+    val benchLit = typedlit(benchShingles)
+    val base = documents
+      .withColumn("__sh", bigramShingles(col("text")))
+      .withColumn("__hm", transform(col("__sh"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % lit(PermM)))
+    // 32 signature mins as separate materialized columns off the one
+    // __hm array (fan-out hygiene — inlining would re-derive the md5
+    // base hash Perms times per row).
+    val withSig = (0 until Perms).foldLeft(base) { (df, i) =>
+      df.withColumn(s"__mh_$i", array_min(transform(col("__hm"),
+        h => (lit(permA(i)) * h + lit(permB(i))) % lit(PermM))))
+    }
+    val rpb = Perms / Bands
+    val withBands = withSig.withColumn("__bk",
+      array((0 until Bands).map { b =>
+        md5(concat_ws("|", (b * rpb until (b + 1) * rpb)
+          .map(i => col(s"__mh_$i").cast("string")): _*))
+      }: _*))
+    // Candidate bench ids = any band-key collision with the literal;
+    // empty-shingle docs (0/1-token, null text) are never candidates —
+    // they have no posting rows in the batch pipeline either.
+    val withCand = withBands.withColumn("__cand",
+      when(size(col("__sh")) > 0, array_distinct(transform(
+        filter(keysLit, bk => element_at(col("__bk"), bk("_1") + 1) === bk("_2")),
+        bk => bk("_3"))))
+        .otherwise(array().cast("array<bigint>")))
+    val withHs = withCand.withColumn("__hs",
+      transform(col("__sh"), s => xxhash64(s)))
+    val verified = withHs.withColumn("__v",
+      filter(transform(
+        filter(benchLit, bd => array_contains(col("__cand"), bd("_1"))),
+        bd => {
+          val inter = size(array_intersect(col("__hs"), bd("_2")))
+          val j = inter.cast("double") / nullif(
+            (size(col("__hs")) + size(bd("_2")) - inter).cast("double"), lit(0.0))
+          struct(j.as("j"), (-bd("_1")).as("nb"))
+        }),
+        v => v("j") >= minJaccard))
+    val best = array_max(col("__v"))
+    verified
+      .withColumn("n_bench_matches", size(col("__v")).cast("long"))
+      .withColumn("best_jaccard",
+        when(size(col("__v")) > 0, round(best("j"), 6)).otherwise(lit(0.0)))
+      .withColumn("best_bench_id",
+        when(size(col("__v")) > 0, -best("nb")).otherwise(lit(null).cast("bigint")))
+      .withColumn("is_contaminated", (col("n_bench_matches") > 0).cast("int"))
+      .drop((Seq("__sh", "__hm", "__bk", "__cand", "__hs", "__v") ++
+        (0 until Perms).map(i => s"__mh_$i")): _*)
   }
 
   /** #40m contamination_report: the per-BENCHMARK-item rollup of
@@ -541,8 +652,56 @@ object Dedup {
     * remains inside [[exactSpans]]. Left join keeps span-free docs.
     */
   def removeSpans(documents: DataFrame, minLen: Int = 40,
-                  hashGrams: Boolean = true): DataFrame = {
-    val spans = exactSpans(documents, minLen, hashGrams)
+                  hashGrams: Boolean = true): DataFrame =
+    cutSpans(documents, exactSpans(documents, minLen, hashGrams))
+
+  /** Interval union of a span frame, per document: overlapping or
+    * touching `[span_start, span_end)` rows merge into one segment
+    * (running-max islands — the [[exactSpans]] break trick generalized
+    * to variable-length intervals, which a plain `lag` cannot handle:
+    * a long span can swallow several successors, so the break test is
+    * against the running MAX end, not the previous end). The window is
+    * doc-partitioned over span rows — already the duplicated fraction
+    * of the corpus, never corpus-wide.
+    *
+    * [[maximalSpans]] output needs this before cutting: left-maximal
+    * repeats overlap each other by construction (successive start
+    * positions of one long repeat), so cutting them verbatim would
+    * double-cut shared bytes.
+    */
+  def mergeSpans(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("span_start"), col("span_end"))
+    spans
+      .withColumn("__pmax", max(col("span_end")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__pmax").isNull || col("span_start") > col("__pmax"), 1)
+          .otherwise(0))
+      .withColumn("__grp", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("span_start")).as("span_start"),
+        max(col("span_end")).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+  }
+
+  /** The cut half of span removal, parameterized over any DISJOINT span
+    * frame (doc_id, span_start, span_end, span_len) — [[exactSpans]]
+    * islands are disjoint by construction; anything else goes through
+    * [[mergeSpans]] first. Per doc the kept text is the concatenation
+    * of the gaps between spans plus the tail; docs without spans pass
+    * through whole.
+    *
+    * Shape: spans per doc are few, so a per-doc sort_array(collect_list)
+    * + one Catalyst `aggregate` fold over the span array is bounded and
+    * local; the corpus-scale work remains inside the span producer.
+    * Left join keeps span-free docs.
+    */
+  def cutSpans(documents: DataFrame, spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
         count(lit(1)).as("n_spans"),
@@ -565,6 +724,30 @@ object Dedup {
       .select(col("doc_id"), col("clean_text"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_chars_removed"), lit(0L)).as("n_chars_removed"))
+  }
+
+  /** #40r dedup_spans_maximal_clean: removal at MAXIMAL-repeat grain —
+    * cut exactly the statistics tier's spans, closing the r7 gap where
+    * [[removeSpans]] cut window-exact islands while [[spanStats]]
+    * reported maximal lengths. Maximal repeats overlap, so the cut runs
+    * over their [[mergeSpans]] interval union: `n_spans` counts merged
+    * segments and `n_chars_removed` counts union bytes (Σ span_len over
+    * raw maximal spans double-counts shared bytes — the relationship to
+    * [[spanStats]] totals is union ≤ Σ, equality iff no two maximal
+    * repeats overlap). `pd = true` swaps in the prefix-doubling twin
+    * [[maximalSpansPD]] (output-identical, spec-asserted).
+    *
+    * NOTE: the union of maximal spans equals the island cover only for
+    * bytes inside SOME maximal repeat ≥ minLen; island bytes covered
+    * only by shorter overlapping repeats stay. That is the point —
+    * remove what the published statistics say is duplicated.
+    */
+  def removeMaximalSpans(documents: DataFrame, minLen: Int = 40,
+                         levels: Int = 12, hashGrams: Boolean = true,
+                         pd: Boolean = false): DataFrame = {
+    val spans = if (pd) maximalSpansPD(documents, minLen, levels, hashGrams)
+                else maximalSpans(documents, minLen, levels, hashGrams)
+    cutSpans(documents, mergeSpans(spans))
   }
 
   /** #40i dedup_spans_maximal: exact MAXIMAL duplicated substrings —

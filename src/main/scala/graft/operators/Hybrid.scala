@@ -43,6 +43,16 @@ object Hybrid {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
+    // Fail-loudly guard (ADVICE r7): a missing or zero-norm query
+    // vector would make `q` empty, the crossJoin an empty dense arm,
+    // and fuse would still return top-k — silently lexical-only. The
+    // count is a bounded driver action on a keyed filter (the
+    // quantizer-fit pattern), not a corpus collect.
+    val nq = e.filter(col("vec_id") === queryVecId).count()
+    require(nq == 1L,
+      s"hybrid topk: queryVecId=$queryVecId must have exactly one " +
+        s"nonzero-norm embedding row, found $nq — an empty dense arm " +
+        "would silently degrade the fusion to lexical-only results")
     val q = e.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), col("nrm").as("qn"))
     val cand = e.filter(col("vec_id") =!= queryVecId)

@@ -18,6 +18,48 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** Report-over-frame bench twins (r7 verdict item 8): the registry
+    * rows for cluster_stats / span_stats / dedup_keep_best re-derive
+    * their full upstream pipelines each run so the DuckDB oracle can
+    * check them end-to-end; in production those reports read an
+    * already-materialized frame. Each entry here SETS UP untimed (outer
+    * call: build + eagerly localCheckpoint the upstream frame) and
+    * returns a thunk that is the report alone — [[graft.Bench]] times
+    * the thunk, so BENCH_r*.json splits pipeline cost from report cost
+    * as two rows per operator. Not part of the Verify/oracle surface
+    * (the full-pipeline rows carry correctness).
+    */
+  def reportQueries: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+    "cluster_stats_report" -> ((s, d) => {
+      val clusters = Components.dedupClusters(
+        Similarity.nearDupPairs(emb(s, d), minCosine = 0.3), "id1", "id2",
+        pointerJump = true).localCheckpoint()
+      () => Components.clusterStats(clusters).orderBy(col("cluster_size"))
+    }),
+    "span_stats_report" -> ((s, d) => {
+      val spans = Dedup.maximalSpans(docs(s, d), minLen = 40).localCheckpoint()
+      () => Dedup.spanStats(spans).orderBy(col("len_bucket"))
+    }),
+    "dedup_keep_best_report" -> ((s, d) => {
+      val documents = docs(s, d)
+      val pairs = Dedup.ngramJaccardInvertedIndex(documents, minJaccard = 0.5)
+        .localCheckpoint()
+      () => Dedup.keepBest(documents, pairs)
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }))
+
+  /** Maximal-repeat span source honoring the `spark.graft.spans.pd`
+    * session conf: `false` (default) = the string-sort plan (wins at
+    * bench scale), `true` = the Manber–Myers prefix-doubling twin (the
+    * long-island / corpus-scale path). The twins are spec-asserted
+    * output-identical, so every consuming oracle row holds in both
+    * modes — the flag swaps the PHYSICAL plan only.
+    */
+  private def maximalSpansMode(s: SparkSession, d: String, minLen: Int): DataFrame =
+    if (s.conf.get("spark.graft.spans.pd", "false").toBoolean)
+      Dedup.maximalSpansPD(docs(s, d), minLen = minLen)
+    else Dedup.maximalSpans(docs(s, d), minLen = minLen)
+
   /** Shared CTE body for the DSIR oracles: hashed unigram+bigram bucket
     * fit against the lang='en' target, per-doc log-weights in `w`.
     */
@@ -204,15 +246,28 @@ object LlmQueries {
 
     // Suffix-grade maximal repeats (Lee et al. span statistics); the
     // window-exact row above stays as the cheap detection tier.
+    // `spark.graft.spans.pd=true` swaps in the prefix-doubling twin on
+    // every maximal-grain row (output-identical, spec-asserted, so the
+    // oracle holds in both modes) — the opt-in 100 TB path whose
+    // fixed-width shuffles win past the long-island crossover (§5).
     "dedup_spans_maximal" -> ((s, d) =>
-      Dedup.maximalSpans(docs(s, d), minLen = 40)
+      maximalSpansMode(s, d, minLen = 40)
         .orderBy(col("doc_id"), col("span_start"))),
 
     // Corpus-level duplication profile over the maximal repeats — the
     // report a curation run reads before picking a removal threshold.
     "span_stats" -> ((s, d) =>
-      Dedup.spanStats(Dedup.maximalSpans(docs(s, d), minLen = 40))
+      Dedup.spanStats(maximalSpansMode(s, d, minLen = 40))
         .orderBy(col("len_bucket"))),
+
+    // Removal at the SAME grain the statistics tier reports: cut the
+    // interval union of the maximal repeats (r8 — previously the
+    // cleaner cut window-exact islands while span_stats reported
+    // maximal lengths).
+    "dedup_spans_maximal_clean" -> ((s, d) =>
+      Dedup.cutSpans(docs(s, d),
+          Dedup.mergeSpans(maximalSpansMode(s, d, minLen = 40)))
+        .orderBy(col("doc_id"))),
 
     // Quality-aware canonical selection over the oracle-friendly ngram
     // emitter (same pair source as corpus_pipeline's dedup stage).
@@ -1446,6 +1501,40 @@ object LlmQueries {
          |  CAST(count(seg.s) AS BIGINT) AS n_spans,
          |  CAST(coalesce(sum(seg.e - seg.s), 0) AS BIGINT) AS n_chars_removed
          |FROM documents d LEFT JOIN seg ON d.doc_id = seg.doc_id
+         |GROUP BY d.doc_id, d.text
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Removal at maximal grain: the msp chain, its per-doc interval
+    // union (running-max islands — a long span can swallow several
+    // successors, so the break tests against max(e) over preceding
+    // rows, not lag(e)), then the identical gap/tail stitch as
+    // dedup_spans_clean.
+    "dedup_spans_maximal_clean" ->
+      s"""$MaxSpanChain,
+         |u0 AS (
+         |  SELECT doc_id, span_start AS s, span_end AS e,
+         |    max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM msp),
+         |u1 AS (
+         |  SELECT doc_id, s, e,
+         |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM u0),
+         |un AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM u1 GROUP BY doc_id, grp),
+         |seg2 AS (
+         |  SELECT doc_id, s, e,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs
+         |  FROM un)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE concat(
+         |    coalesce(string_agg(substr(d.text, CAST(gs + 1 AS INT),
+         |      CAST(seg2.s - gs AS INT)), '' ORDER BY seg2.s), ''),
+         |    substr(d.text, CAST(coalesce(max(seg2.e), 0) + 1 AS INT))) END
+         |    AS clean_text,
+         |  CAST(count(seg2.s) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(sum(seg2.e - seg2.s), 0) AS BIGINT) AS n_chars_removed
+         |FROM documents d LEFT JOIN seg2 ON d.doc_id = seg2.doc_id
          |GROUP BY d.doc_id, d.text
          |ORDER BY d.doc_id""".stripMargin,
 

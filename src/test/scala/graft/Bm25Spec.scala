@@ -91,5 +91,18 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
         Option(r.getAs[java.lang.Long]("dense_rk")).map(_.toLong),
         r.getAs[Double]("rrf_score"))).toSeq
     assert(fused == out, s"fuse must replay topk: $fused")
+
+    // Fail-loudly guard (ADVICE r7): a missing or zero-norm query
+    // embedding must raise, not silently return lexical-only results.
+    val eMissing = intercept[IllegalArgumentException] {
+      graft.operators.Hybrid.topk(hdocs, hemb, Seq("alpha"), queryVecId = 99L)
+    }
+    assert(eMissing.getMessage.contains("found 0"), eMissing.getMessage)
+    val zeroEmb = Seq((0L, Array(0f, 0f), 0), (1L, Array(1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val eZero = intercept[IllegalArgumentException] {
+      graft.operators.Hybrid.topk(hdocs, zeroEmb, Seq("alpha"), queryVecId = 0L)
+    }
+    assert(eZero.getMessage.contains("found 0"), eZero.getMessage)
   }
 }

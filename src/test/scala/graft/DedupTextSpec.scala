@@ -272,6 +272,61 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (3, 2L, 2L, 16L, 8L, 8L, 8.0)), out.toString)
   }
 
+  test("merge spans: running-max interval union (a long span swallows successors)") {
+    val spans = Seq(
+      // [0,10) swallows [5,20)? no — extends: union [0,20); [20,25)
+      // touches (start == running max) → merges; [40,50) separate.
+      (1L, 0L, 10L, 10L), (1L, 5L, 20L, 15L), (1L, 20L, 25L, 5L),
+      (1L, 40L, 50L, 10L),
+      // the lag-vs-max case: [0,30) then [5,10) then [12,20) — both
+      // inside the first; lag(e) would break at 12 > 10.
+      (2L, 0L, 30L, 30L), (2L, 5L, 10L, 5L), (2L, 12L, 20L, 8L)
+    ).toDF("doc_id", "span_start", "span_end", "span_len")
+    val out = Dedup.mergeSpans(spans).orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 0L, 25L, 25L), (1L, 40L, 50L, 10L),
+      (2L, 0L, 30L, 30L)), out.toString)
+  }
+
+  test("maximal-grain removal cuts the union of overlapping repeats") {
+    // Overlapping-repeats fixture: d1's maximal spans [2,7) and [3,8)
+    // union to [2,8) — one merged segment, 6 bytes, no double-cut.
+    val docs = Seq(
+      (1L, "ghABCDEFij"), (2L, "klABCDEmn"), (3L, "opBCDEFqr"),
+      (4L, "aaaaaaaa"), (5L, "aaaaaaaa")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeMaximalSpans(docs, minLen = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "ghij", 1L, 6L),
+      (2L, "klmn", 1L, 5L),
+      (3L, "opqr", 1L, 5L),
+      // periodic doc: spans [0,7) and [1,8) union to the whole doc
+      (4L, "", 1L, 8L),
+      (5L, "", 1L, 8L)), out.toString)
+    // The PD twin cuts identically (flag path).
+    val pd = Dedup.removeMaximalSpans(docs, minLen = 4, pd = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(pd == out)
+  }
+
+  test("spans.pd conf flips the physical plan, not the rows, on the query surface") {
+    val sfDir = "/root/testdata/sf0.001"
+    def run(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val conf = spark.conf
+    val base = Seq("dedup_spans_maximal", "span_stats",
+      "dedup_spans_maximal_clean").map(n => n -> run(n)).toMap
+    conf.set("spark.graft.spans.pd", "true")
+    try {
+      base.foreach { case (n, rows) =>
+        assert(run(n) == rows, s"$n drifted under spans.pd=true")
+      }
+    } finally conf.unset("spark.graft.spans.pd")
+  }
+
   test("maximal spans: island over the levels cap fails loudly") {
     val docs = Seq((1L, "a" * 40), (2L, "a" * 40)).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

@@ -717,4 +717,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(live == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 0L, 0)), live.toString)
     } finally query.stop()
   }
+
+  test("streaming FUZZY decontamination gate: row-equal to the batch join, live under append") {
+    // r7 verdict item 7: decontaminateFuzzy's verdict as a stateless
+    // projection against the two benchFuzzyArtifact literals — same
+    // portable band family, same exact-Jaccard verify — so the batch
+    // oracle carries transitively, and the identical operator runs
+    // under readStream in append mode.
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    import graft.operators.Dedup
+    val benchText = (1 to 40).map(i => s"tok$i").mkString(" ")      // doc 0 = bench
+    val nearDup = benchText.replace("tok7", "changed")              // J ≈ 0.85
+    val unrelated = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val corpus = Seq(
+      (0L, benchText), (1L, nearDup), (2L, unrelated), (3L, "a b"))
+      .map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val (keys, shingles) = Dedup.benchFuzzyArtifact(corpus)
+    assert(keys.nonEmpty && shingles.length == 1)
+    // Row-equality with the batch join on the non-bench rows (bench
+    // docs self-hit in the projection, by documented contract).
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bench_matches"),
+        r.getAs[Double]("best_jaccard"), Option(r.getAs[java.lang.Long]("best_bench_id")),
+        r.getAs[Int]("is_contaminated"))).toSeq.sortBy(_._1)
+    val proj = verdicts(Dedup.withContaminationFuzzy(corpus, keys, shingles)
+      .filter($"doc_id" % 20 =!= 0))
+    val batch = verdicts(Dedup.decontaminateFuzzy(corpus))
+    assert(proj == batch, s"proj=$proj batch=$batch")
+    assert(proj.map(v => (v._1, v._5)) == Seq((1L, 1), (2L, 0), (3L, 0)), proj.toString)
+    assert(proj.head._4.contains(0L) && proj.head._3 > 0.8, proj.head.toString)
+    // The same operator, streaming: verdicts as documents land.
+    val input = MemoryStream[(Long, String)]
+    val gated = Dedup.withContaminationFuzzy(
+      input.toDF().toDF("doc_id", "text"), keys, shingles)
+    val query = gated.writeStream.format("memory")
+      .queryName("fuzzy_decon_stream").outputMode("append").start()
+    try {
+      input.addData(1L -> nearDup, 2L -> unrelated, 3L -> (null: String))
+      query.processAllAvailable()
+      val live = spark.table("fuzzy_decon_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bench_matches"),
+          r.getAs[Int]("is_contaminated"))).toSeq.sorted
+      assert(live == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 0L, 0)), live.toString)
+    } finally query.stop()
+  }
 }
