@@ -36,12 +36,27 @@ object Dedup {
     * quality on exactly the multilingual corpus a 100 TB pipeline curates).
     * `\p{L}`/`\p{N}` are the Unicode general categories, spelled the same
     * in Java regex (Spark) and RE2 (the DuckDB oracle) — the pii_scrub
-    * portability rule. Known residual limit (documented, not silent):
-    * scripts written without word separators (CJK runs) tokenize as one
-    * token per run — still hashable, dedupable content, but shingle grain
-    * is coarse there; proper CJK segmentation needs a real segmenter.
+    * portability rule. Scripts written without word separators segment
+    * at CHARACTER grain (the Lucene CJKAnalyzer convention, r8): a
+    * space is injected around every Han/Hiragana/Katakana/Hangul char
+    * before the class split, so CJK text yields per-char tokens — and
+    * the bigram shingles every dedup/decontamination op builds become
+    * character bigrams, the standard CJK n-gram unit. One extra
+    * codegen'd regex pass per document; identity on non-CJK text. The
+    * oracle replays it with RE2's `\p{Han}`-family script classes
+    * (spelling differs from Java's `IsHan`, semantics match). Word-
+    * SHAPE profile rules (letter-token stopword hits, whitespace word
+    * lengths) deliberately stay run-grain — they measure layout, not
+    * content identity.
     */
-  def tokens(text: Column): Column = split(lower(text), "[^\\p{L}\\p{N}]+")
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(text), CjkCharClass, " $1 "), "[^\\p{L}\\p{N}]+")
+
+  /** One capture group around any char of the no-separator CJK scripts
+    * (Java spelling; the SQL oracles embed the RE2 spelling verbatim).
+    */
+  private val CjkCharClass =
+    "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])"
 
   /** Sentence-terminator class shared by [[sentenceDedup]] and
     * [[TextSignals.sentenceStats]] (and their oracles verbatim): ASCII

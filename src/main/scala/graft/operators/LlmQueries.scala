@@ -66,7 +66,7 @@ object LlmQueries {
   private val dsirWeightsCte: String =
     s"""t AS (
        |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+       |    list_filter(string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'),
        |      x -> x <> '') AS tk
        |  FROM documents),
        |grams AS (
@@ -651,7 +651,7 @@ object LlmQueries {
   private val FuzzyMatchChain: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, source,
-       |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') AS toks
+       |    string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks
        |  FROM documents),
        |d AS (
        |  SELECT doc_id, lang, source,
@@ -700,7 +700,7 @@ object LlmQueries {
     */
   private val MinhashPairCtes: String =
     s"""t AS (
-       |  SELECT doc_id, string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') AS toks
+       |  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks
        |  FROM documents),
        |d AS (
        |  SELECT doc_id,
@@ -798,7 +798,7 @@ object LlmQueries {
 
     "dedup_simhash" ->
       s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+')) AS w
+         |  SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+')) AS w
          |  FROM documents),
          |hh AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
          |bits AS (
@@ -848,7 +848,7 @@ object LlmQueries {
     "ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,
-        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
+        |    string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, source, lang,
@@ -894,7 +894,7 @@ object LlmQueries {
     "containment_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang,
-        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
+        |    string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, source, lang,
@@ -1353,7 +1353,7 @@ object LlmQueries {
     "contamination_report" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
+        |    string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
@@ -1380,7 +1380,7 @@ object LlmQueries {
     "decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,
-        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
+        |    string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, lang, source,
@@ -1433,7 +1433,7 @@ object LlmQueries {
 
     "chunk_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
+        |  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
@@ -1542,7 +1542,7 @@ object LlmQueries {
       s"""WITH RECURSIVE $QualityCtes,
          |t AS (
          |  SELECT doc_id, source, lang,
-         |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') AS toks
+         |    string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks
          |  FROM documents),
          |dsh AS (
          |  SELECT doc_id, source, lang,
@@ -1637,7 +1637,7 @@ object LlmQueries {
 
     "doc_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '[^\p{L}\p{N}]+') AS toks
+        |  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1680,7 +1680,7 @@ object LlmQueries {
 
     "vocab_topk" ->
       """WITH t AS (
-        |  SELECT lang, unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS token
+        |  SELECT lang, unnest(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+')) AS token
         |  FROM documents),
         |c AS (
         |  SELECT lang, token, count(*) AS n_occurrences
@@ -1694,7 +1694,7 @@ object LlmQueries {
 
     "bpe_pairs" ->
       """WITH words AS (
-        |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
+        |  SELECT unnest(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+')) AS w
         |  FROM documents),
         |freqs AS (
         |  SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
@@ -1732,7 +1732,7 @@ object LlmQueries {
     "bm25_topk" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'),
         |      x -> x <> '') AS tk
         |  FROM documents),
         |d AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
@@ -1774,7 +1774,7 @@ object LlmQueries {
          |dtop AS (SELECT doc_id, dense_rk FROM dr WHERE dense_rk <= 20),
          |t AS (
          |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+         |    list_filter(string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'),
          |      x -> x <> '') AS tk
          |  FROM documents WHERE doc_id <> 7),
          |d AS (SELECT doc_id, tk, len(tk) AS dl FROM t),
@@ -1849,7 +1849,7 @@ object LlmQueries {
     "lm_score" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'),
         |      x -> x <> '') AS tk
         |  FROM documents),
         |bgl AS (
@@ -1893,7 +1893,7 @@ object LlmQueries {
          |    FROM g)
          |  WHERE rn = 1),
          |t AS (SELECT doc_id, source, lang,
-         |    string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') AS toks FROM ex),
+         |    string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks FROM ex),
          |dsh AS (SELECT doc_id, source, lang,
          |    CASE WHEN len(toks) >= 2
          |      THEN list_distinct(list_transform(range(len(toks) - 1),
@@ -1958,7 +1958,7 @@ object LlmQueries {
     "blocklist_filter" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1973,7 +1973,7 @@ object LlmQueries {
       """WITH canon AS (
         |  SELECT doc_id, source, lang,
         |    array_to_string(list_sort(list_distinct(
-        |      list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))), ' ') AS ck
+        |      list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> x <> ''))), ' ') AS ck
         |  FROM documents),
         |seen AS (
         |  SELECT DISTINCT ck FROM canon
@@ -1988,7 +1988,7 @@ object LlmQueries {
     "length_profile" ->
       """WITH t AS (
         |  SELECT lang,
-        |    len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS w,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> x <> '')) AS w,
         |    length(text) AS c
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,

@@ -21,7 +21,7 @@ object TextSignalsQueries {
   private val tokCte: String =
     """t AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'),
       |      x -> x <> '') AS tk
       |  FROM documents)""".stripMargin
 

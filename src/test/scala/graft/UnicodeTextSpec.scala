@@ -31,12 +31,45 @@ class UnicodeTextSpec extends AnyFunSuite with SparkSpec {
     assert(toks("tỷ") == Seq("tỷ"))
   }
 
-  test("arabic and cyrillic tokenize as words; CJK runs stay one coarse token") {
+  test("arabic and cyrillic tokenize as words; CJK segments at character grain") {
     assert(toks("مرحبا بالعالم") == Seq("مرحبا", "بالعالم"))
     assert(toks("Привет мир") == Seq("привет", "мир"))
-    // Documented residual limit: no-separator scripts come out one token
-    // per run — coarse but hashable content, not empty-token noise.
-    assert(toks("漢字テスト abc") == Seq("漢字テスト", "abc"))
+    // No-separator scripts segment per character (the CJKAnalyzer
+    // convention), so downstream bigram shingles become the standard
+    // CJK character bigrams instead of one opaque run token.
+    assert(toks("漢字テスト abc") == Seq("漢", "字", "テ", "ス", "ト", "abc"))
+    assert(toks("한국어123") == Seq("한", "국", "어", "123"))
+    // Character-bigram shingles over a CJK doc — the unit minhash/
+    // decontamination now operate on. Edge-empty tokens ride along by
+    // the existing convention (raw `tokens` keeps them — same as
+    // punctuation-edged ASCII text; both engines split identically),
+    // so the doc boundary contributes " 漢" / "テ " boundary bigrams.
+    val sh = Seq("漢字テ").toDF("text")
+      .select(Dedup.bigramShingles(col("text")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq(" 漢", "漢 字", "字 テ", "テ "), sh.toString)
+  }
+
+  test("raw token lists match the DuckDB oracle engine on CJK fixtures") {
+    // The sf* testdata is ASCII, so the driver's oracle never exercises
+    // the CJK branch cross-engine; these expected lists are the VERBATIM
+    // output of DuckDB's regexp_replace+string_split_regex oracle idiom
+    // on the same strings (captured r8) — equality here pins the
+    // Java-IsHan / RE2-Han spelling pair to identical semantics,
+    // including the edge-empty tokens both engines keep.
+    val fixtures = Seq(
+      "漢字テスト abc 한국어123" ->
+        Seq("", "漢", "字", "テ", "ス", "ト", "abc", "한", "국", "어", "123"),
+      "Tỷ giá 25枚!" -> Seq("tỷ", "giá", "25", "枚", ""),
+      "ひらがなとカタカナ、漢字。" ->
+        Seq("", "ひ", "ら", "が", "な", "と", "カ", "タ", "カ", "ナ", "漢", "字", ""),
+      "no cjk here 42" -> Seq("no", "cjk", "here", "42"))
+    val got = fixtures.map(_._1).toDF("text")
+      .select(Dedup.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    fixtures.map(_._2).zip(got).foreach { case (want, have) =>
+      assert(have == want, s"want=$want have=$have")
+    }
   }
 
   test("sentence stats split on CJK/Arabic terminators") {
