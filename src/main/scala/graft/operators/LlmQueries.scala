@@ -1591,17 +1591,22 @@ object LlmQueries {
     "lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS labeled_lang,
-         |    string_split_regex(lower(text), '[^\\p{L}]+') AS toks
+         |    string_split_regex(lower(text), '[^\\p{L}]+') AS toks,
+         |    round(coalesce(
+         |      CAST(length(regexp_replace(text, '[^\\p{L}]|[\\p{Latin}]', '', 'g')) AS DOUBLE) /
+         |      nullif(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE), 0),
+         |      0), 6) AS nonlatin_share
          |  FROM documents),
          |h AS (
-         |  SELECT doc_id, labeled_lang,
+         |  SELECT doc_id, labeled_lang, nonlatin_share,
          |    len(list_filter(toks, w -> list_contains(['der', 'die', 'das', 'und', 'ist', 'ein', 'mit', 'von'], w))) AS de_hits,
          |    len(list_filter(toks, w -> list_contains([$EnStops], w))) AS en_hits,
          |    len(list_filter(toks, w -> list_contains(['el', 'la', 'de', 'y', 'en', 'es', 'un', 'que'], w))) AS es_hits,
          |    len(list_filter(toks, w -> list_contains(['le', 'la', 'de', 'et', 'un', 'est', 'que', 'dans'], w))) AS fr_hits
          |  FROM t)
-         |SELECT doc_id, labeled_lang, de_hits, en_hits, es_hits, fr_hits,
-         |  CASE WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |SELECT doc_id, labeled_lang, nonlatin_share, de_hits, en_hits, es_hits, fr_hits,
+         |  CASE WHEN nonlatin_share > 0.5 THEN 'other'
+         |       WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
          |       WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
          |       WHEN es_hits >= fr_hits THEN 'es'
          |       ELSE 'fr' END AS pred_lang

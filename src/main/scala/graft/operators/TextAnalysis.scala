@@ -27,17 +27,32 @@ object TextAnalysis {
 
   /** #44 lang_id: stopword-profile hit counts per language; prediction =
     * argmax with alphabetical tie-break (de, en, es, fr order).
+    *
+    * Script guard (r8, closing the r7 verdict's "silent" finding): the
+    * stopword profiles are European — on a CJK/Arabic/Cyrillic document
+    * every profile scores 0 and the tie-break would confidently emit
+    * "de". `nonlatin_share` measures the fraction of LETTERS outside
+    * the Latin script (pure projection, mirrored in RE2 by the oracle);
+    * past 0.5 the prediction is the honest `other` instead of a
+    * fabricated European language. Downstream routing can treat
+    * `other` as "needs a real language model".
     */
   def langId(documents: DataFrame): DataFrame = {
     val t = letterTokens(col("text"))
+    val letters = length(regexp_replace(col("text"), "[^\\p{L}]", ""))
+    val nonLatin = length(regexp_replace(col("text"), "[^\\p{L}]|[\\p{IsLatin}]", ""))
     val withHits = documents.select(
       (col("doc_id") +: col("lang").as("labeled_lang") +:
+        round(coalesce(nonLatin.cast("double") /
+          nullif(letters.cast("double"), lit(0.0)), lit(0.0)), 6)
+          .as("nonlatin_share") +:
         Stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
           hits(t, ws).as(s"${l}_hits")
         }): _*)
     val Seq(de, en, es, fr) = Seq("de", "en", "es", "fr").map(l => col(s"${l}_hits"))
     withHits.withColumn("pred_lang",
-      when(de >= en && de >= es && de >= fr, "de")
+      when(col("nonlatin_share") > 0.5, "other")
+        .when(de >= en && de >= es && de >= fr, "de")
         .when(en >= es && en >= fr, "en")
         .when(es >= fr, "es")
         .otherwise("fr"))

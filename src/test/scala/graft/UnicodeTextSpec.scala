@@ -72,6 +72,23 @@ class UnicodeTextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("lang id flags majority-non-Latin documents as 'other', not a fabricated language") {
+    // All four stopword profiles are European — before the guard a CJK
+    // doc scored 0 everywhere and the argmax tie-break confidently
+    // emitted "de". Vietnamese is LATIN script: diacritics must not
+    // trip the guard (it stays a normal zero-hit argmax).
+    val out = TextAnalysis.langId(docs(
+      1L -> "漢字テストの文書です",
+      2L -> "Tỷ giá tăng mạnh",
+      3L -> "the cat sat of the mat and it is"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("nonlatin_share"),
+        r.getAs[String]("pred_lang"))).toSeq
+    assert(out(0)._2 == 1.0 && out(0)._3 == "other", out.toString)
+    assert(out(1)._2 == 0.0 && out(1)._3 == "de", out.toString) // zero-hit tie, documented
+    assert(out(2)._2 == 0.0 && out(2)._3 == "en", out.toString)
+  }
+
   test("sentence stats split on CJK/Arabic terminators") {
     val out = TextSignals.sentenceStats(
       docs(1L -> "Xin chào thế giới。Tốt quá！Sao؟")).collect().head
