@@ -99,10 +99,20 @@ object Bench {
     // eagerly checkpoints the upstream frame); the thunk timed below is
     // the report alone, so the artifact splits pipeline cost from
     // report cost. localCheckpoint frames survive clearCache().
+    // A setup failure must surface as that row's -1, never crash the
+    // run before the JSON line prints (the driver parses it even on a
+    // gated round) — the failing thunk reports through timeThunk's
+    // existing catch.
     val reportFns: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       graft.operators.LlmQueries.reportQueries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
-        .map { case (n, setup) => n -> setup(spark, sfDir) }
+        .map { case (n, setup) =>
+          n -> (try setup(spark, sfDir) catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $n setup FAILED: ${e.getMessage}")
+              () => throw new RuntimeException(s"report setup failed: ${e.getMessage}", e)
+          })
+        }
     // In a full run the 60+ earlier queries amortize JVM/codegen warmup;
     // a filtered run has no such cushion and its first timed pass reads
     // 1.5–2× hot (observed repeatedly) — warm each selected query once
