@@ -1600,6 +1600,20 @@ object Dedup {
   private def guardedShinglePostings(documents: DataFrame, maxPostingDf: Int,
                                      stopShingleDf: Option[Int]): DataFrame = {
     require(maxPostingDf > 0, "maxPostingDf must be positive")
+    // The guarded frame feeds THREE consumers (self-join side a, side
+    // b, per-doc sizes) and Spark does not reuse the exchanges across
+    // them (verified r8: 0 ReusedExchange, the full scan→window→
+    // distinct→guard pipeline executed per consumer — the maximal-span
+    // LCP-pairs lesson at posting grain). localCheckpoint materializes
+    // postings + guard ONCE; the joins read the stored rows.
+    guardedShinglePostingsPlan(documents, maxPostingDf, stopShingleDf)
+      .localCheckpoint()
+  }
+
+  /** The un-checkpointed plan (separate for plan-shape tests). */
+  private[graft] def guardedShinglePostingsPlan(
+      documents: DataFrame, maxPostingDf: Int,
+      stopShingleDf: Option[Int]): DataFrame = {
     val postings = shinglePostings(documents)
     stopShingleDf match {
       case Some(cut) =>

@@ -402,26 +402,36 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       s"containment must stay posting-keyed:\n$pc")
   }
 
-  test("round-8: posting self-joins carry a live df guard; stop-shingle stays keyed") {
+  test("round-8: posting self-joins carry a live df guard over ONE posting derivation") {
     val docs = graft.sources.Tables.documents(spark, sf)
-    // Default mode: the 1-row max-df guard must survive column pruning
-    // (raise_error referenced by the filter) and ride a broadcast, never
-    // a cartesian.
+    // The guard subplan itself: the 1-row max-df aggregate must survive
+    // column pruning (raise_error referenced by the filter) and ride a
+    // broadcast, never a cartesian.
+    val pg = plan(graft.operators.Dedup.guardedShinglePostingsPlan(
+      docs, 10000, None))
+    assert(pg.contains("raise_error"),
+      s"the maxPostingDf guard must stay alive in the plan:\n$pg")
+    assert(!pg.contains("CartesianProduct"),
+      s"the 1-row guard must broadcast, not cartesian:\n$pg")
+    // Stop-shingle mode: the df filter joins on the same key as the pair
+    // self-join — no raise_error, no cartesian, still posting-keyed.
+    val ps = plan(graft.operators.Dedup.guardedShinglePostingsPlan(
+      docs, 10000, Some(1000)))
+    assert(!ps.contains("raise_error") && !ps.contains("Cartesian"),
+      s"stop-shingle mode is a keyed df filter, not a guard:\n$ps")
+    // The consuming operators read the MATERIALIZED guarded frame: the
+    // posting pipeline (scan → window → distinct → guard) must appear
+    // in NONE of their final plans — it runs once in the checkpoint job
+    // (verified r8: without this, 0 ReusedExchange and the pipeline
+    // executed per consumer: side a, side b, sizes).
     Seq(
       "ngram_jaccard" -> graft.operators.Dedup.ngramJaccardInvertedIndex(docs),
       "containment" -> graft.operators.Dedup.containmentPairs(docs)
     ).foreach { case (name, df) =>
       val p = plan(df)
-      assert(p.contains("raise_error"),
-        s"$name: the maxPostingDf guard must stay alive in the plan:\n$p")
-      assert(!p.contains("CartesianProduct"),
-        s"$name: the 1-row guard must broadcast, not cartesian:\n$p")
+      assert(!p.contains("FileScan") && !p.contains("Window"),
+        s"$name must read the checkpointed postings, not re-derive them:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian:\n$p")
     }
-    // Stop-shingle mode: the df filter joins on the same key as the pair
-    // self-join — no raise_error, no cartesian, still posting-keyed.
-    val ps = plan(graft.operators.Dedup.ngramJaccardInvertedIndex(
-      docs, stopShingleDf = Some(1000)))
-    assert(!ps.contains("raise_error") && !ps.contains("Cartesian"),
-      s"stop-shingle mode is a keyed df filter, not a guard:\n$ps")
   }
 }
