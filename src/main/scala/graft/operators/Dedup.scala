@@ -1318,9 +1318,16 @@ object Dedup {
     val benchKeys = banded.filter(pmod(col("doc_id"), lit(benchMod.toLong)) === 0)
       .select(col("band"), col("band_key"), col("doc_id").as("bench_id"))
       .distinct()
+    // cand is TINY (verified fuzzy candidates) but feeds THREE
+    // consumers (candDocs, candBench, the final join) — un-materialized
+    // it re-derives the ENTIRE two-branch banding pipeline per consumer
+    // (r8 ReuseProbe: 6 posting windows, 9 corpus scans; AQE reuses no
+    // exchange across the branches), silently defeating the
+    // one-corpus-pass claim above. localCheckpoint restores it.
     val cand = banded.filter(pmod(col("doc_id"), lit(benchMod.toLong)) =!= 0)
       .join(broadcast(benchKeys), Seq("band", "band_key"))
       .select(col("doc_id"), col("bench_id")).distinct()
+      .localCheckpoint()
     val candDocs = cand.select(col("doc_id")).distinct()
     val candBench = cand.select(col("bench_id").as("doc_id")).distinct()
     val shC = withHashedShingles(
@@ -1392,6 +1399,10 @@ object Dedup {
     // computes the signature pipeline ONCE and emits each bucket's pair
     // combinations locally (a self-join would re-derive the full
     // signature plan on both sides). Expansion is bounded by maxBucket.
+    // The candidate pair frame is SMALL (bounded by cappedPairs) but
+    // feeds three consumers (candidateIds + the two verify joins) —
+    // un-materialized, each re-derives the full signature + bucket
+    // pipeline (r8 ReuseProbe: zero exchange reuse across consumers).
     val candidates = banded
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -1399,6 +1410,7 @@ object Dedup {
       .select(explode(cappedPairs(col("ids"), maxBucket)).as("p"))
       .select(col("p.a").as("id1"), col("p.b").as("id2"))
       .distinct()
+      .localCheckpoint()
     // Exact-Jaccard verification: shingle ARRAYS are built only for docs
     // that appear in a candidate pair (left-semi on the candidate ids),
     // so the array path costs O(candidates), not O(corpus).
@@ -1406,9 +1418,13 @@ object Dedup {
     // two-branch union that re-derives the signature pipeline twice.
     val candidateIds = candidates
       .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    // Also O(candidates) rows, also two consumers (the id1/id2 verify
+    // joins) — materialized for the same reason as `candidates`, or the
+    // semi-filtered corpus scan + shingle build runs twice.
     val candidateShingles = withHashedShingles(
         documents.join(broadcast(candidateIds), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("hs"))
+      .localCheckpoint()
     candidates
       .join(candidateShingles.select(col("doc_id").as("id1"), col("hs").as("sh1")), Seq("id1"))
       .join(candidateShingles.select(col("doc_id").as("id2"), col("hs").as("sh2")), Seq("id2"))

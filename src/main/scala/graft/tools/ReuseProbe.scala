@@ -1,25 +1,47 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.sources.Tables
 
-/** One-off (r8): verify AQE reuses the guarded-posting exchange across
-  * the self-join's two sides + the sizes aggregate at runtime.
+/** Runtime re-derivation audit (r8): executes the named SparkEntry
+  * queries (all by default) and reports, from the POST-RUN adaptive
+  * plan, how many times the corpus is re-scanned and how many live
+  * shuffles ran — the static explain cannot show this, because AQE
+  * decides exchange reuse at runtime and (verified r8) reuses NOTHING
+  * across self-join branches built from separate DataFrame
+  * instantiations. A query whose FileScan count exceeds its table
+  * count is re-deriving a shared subplan per consumer; the fix is the
+  * localCheckpoint idiom (the maximal-span LCP-pairs / guarded-posting
+  * lesson) WHEN the subplan is expensive relative to its output size.
+  *
+  *   sbt "runMain graft.tools.ReuseProbe ngram_jaccard,sentence_dedup"
   */
 object ReuseProbe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.builder("graft-reuse-probe")
-      .master("local[4]").config("spark.sql.shuffle.partitions", "8")
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = graft.operators.Dedup.ngramJaccardInvertedIndex(Tables.documents(spark, d))
-    q.write.format("noop").mode("overwrite").save()
-    val p = q.queryExecution.executedPlan.toString
-    val reused = "ReusedExchange".r.findAllIn(p).size
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    println(s"[reuseprobe] ReusedExchange=$reused liveShuffles=$shuffles")
-    println(p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan") || l.contains("Window") || l.contains("HashAggregate")).map(_.take(140)).mkString("\n"))
+    val only = args.headOption.map(_.split(",").toSet)
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    names.foreach { name =>
+      try {
+        val q = graft.SparkEntry.queries(name)(spark, d)
+        q.write.format("noop").mode("overwrite").save()
+        val p = q.queryExecution.executedPlan.toString
+        def c(pat: String) = pat.r.findAllIn(p).size
+        val scans = c("FileScan parquet")
+        val rddScans = c("Scan ExistingRDD")
+        val shuffles = c("Exchange (hash|range|Single)")
+        val reused = c("ReusedExchange")
+        val windows = c("Window ")
+        println(f"[reuse] $name%-28s scans=$scans%2d rddScans=$rddScans%2d " +
+          f"liveShuffles=$shuffles%2d reused=$reused%2d windows=$windows%2d")
+      } catch {
+        case e: Throwable => println(s"[reuse] $name FAILED: ${e.getMessage}")
+      } finally spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
