@@ -78,30 +78,38 @@ object Scope {
     * rows without it are dropped from the capped exchange entirely
     * (pandas `dropna` before `nlargest`) — they never pad the top-N.
     *
-    * Scale shape: `universe` and `activity` are dim-grain. One left
-    * join tags liquidity; the cap ranks via [[TopK.withRank]] (no
-    * global window, map-side truncation); the has-liquidity decision is
-    * a 1-row aggregate broadcast into both branches — no driver action,
-    * the whole operator stays one lazy plan.
+    * Scale shape: `universe` and `activity` are dim-grain OUTPUTS, but
+    * `activity` is typically an aggregate OVER a corpus-scale fact
+    * table (the registry row folds orders) — and the tagged frame
+    * feeds five consumers (keep, the cap count, both rank branches'
+    * tagged reads), each of which would re-run that upstream aggregate
+    * (r8 ReuseProbe: 15 scans, zero exchange reuse). The entity-grain
+    * join is persisted — lazy, no driver action, so the operator still
+    * composes as one plan while the fact-table fold runs once.
     */
   def capExchangeByLiquidity(universe: DataFrame, activity: DataFrame,
                              primary: Seq[String], capped: String,
                              capN: Int): DataFrame = {
     require(capN >= 1, s"capN must be >= 1, got $capN")
     val u = universe.join(activity, Seq("entity_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = u.filter(col("exchange").isin(primary: _*))
     val cap = u.filter(col("exchange") === capped)
     val cnt = cap.agg(count(col("liquidity")).as("__nliq"))
     val tagged = cap.crossJoin(broadcast(cnt))
-    val byLiq = TopK.withRank(
-      tagged.filter(col("__nliq") > 0 && col("liquidity").isNotNull),
-      capN, Seq(TopK.descNum(col("liquidity")), col("symbol")))
-    val fallback = TopK.withRank(
-      tagged.filter(col("__nliq") === 0), capN, Seq(col("symbol")))
+    // One TopK serves both modes (r8 — was two branch TopKs over
+    // `tagged`, a fourth and fifth re-read of `u`): with liquidity
+    // present the rank key is (liquidity DESC, symbol) over non-null
+    // rows; with none, the liquidity key is uniformly NULL and the
+    // rank falls through to plain symbol order — exactly the fallback.
+    val ranked = TopK.withRank(
+      tagged.filter(col("__nliq") === 0 || col("liquidity").isNotNull),
+      capN,
+      Seq(TopK.descNum(when(col("__nliq") > 0, col("liquidity"))),
+        col("symbol")))
     val outCols = Seq("entity_id", "symbol", "exchange", "liquidity").map(col)
     keep.select(outCols: _*)
-      .unionByName(byLiq.select(outCols: _*))
-      .unionByName(fallback.select(outCols: _*))
+      .unionByName(ranked.select(outCols: _*))
   }
 
   /** Ticker universe with exchange-membership filtering — the engine

@@ -36,8 +36,13 @@ object ReuseProbe {
         val shuffles = c("Exchange (hash|range|Single)")
         val reused = c("ReusedExchange")
         val windows = c("Window ")
+        // A persisted frame PRINTS its full lineage under each
+        // InMemoryTableScan but executes it once — a high scan count
+        // with imts > 0 is (mostly) printing, not re-derivation.
+        val imts = c("InMemoryTableScan")
         println(f"[reuse] $name%-28s scans=$scans%2d rddScans=$rddScans%2d " +
-          f"liveShuffles=$shuffles%2d reused=$reused%2d windows=$windows%2d")
+          f"liveShuffles=$shuffles%2d reused=$reused%2d windows=$windows%2d " +
+          f"cacheReads=$imts%2d")
       } catch {
         case e: Throwable => println(s"[reuse] $name FAILED: ${e.getMessage}")
       } finally spark.catalog.clearCache()
