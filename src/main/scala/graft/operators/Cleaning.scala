@@ -67,9 +67,13 @@ object Cleaning {
       .stripPrefix("_").stripSuffix("_")
 
   /** Parse a financial value string (reference `_parse_financial_value`,
-    * data_cleaner.py:176): "12.5%" → 0.125; Vietnamese units "1,5 tỷ" →
+    * data_cleaner.py:176): "12.5%" → 0.125; Vietnamese units "1.5 tỷ" →
     * 1.5e9, "300 triệu" / "300 tr" → 3e8; plain numerics pass through;
-    * unparseable → null. Pure Catalyst (regexp + conditionals) — no UDF.
+    * unparseable → null. Commas are THOUSANDS separators and are
+    * stripped ("1,250" → 1250 — and so "1,5 tỷ" → 15e9, faithfully
+    * mirroring the reference's comma-strip; it does not treat the
+    * comma as a Vietnamese decimal mark either). Pure Catalyst
+    * (regexp + conditionals) — no UDF.
     */
   def parseFinancialValue(c: Column): Column = {
     val t = lower(trim(c))

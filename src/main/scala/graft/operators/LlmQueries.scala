@@ -1602,14 +1602,16 @@ object LlmQueries {
          |    len(list_filter(toks, w -> list_contains(['der', 'die', 'das', 'und', 'ist', 'ein', 'mit', 'von'], w))) AS de_hits,
          |    len(list_filter(toks, w -> list_contains([$EnStops], w))) AS en_hits,
          |    len(list_filter(toks, w -> list_contains(['el', 'la', 'de', 'y', 'en', 'es', 'un', 'que'], w))) AS es_hits,
-         |    len(list_filter(toks, w -> list_contains(['le', 'la', 'de', 'et', 'un', 'est', 'que', 'dans'], w))) AS fr_hits
+         |    len(list_filter(toks, w -> list_contains(['le', 'la', 'de', 'et', 'un', 'est', 'que', 'dans'], w))) AS fr_hits,
+         |    len(list_filter(toks, w -> list_contains(['và', 'của', 'là', 'có', 'cho', 'không', 'được', 'người'], w))) AS vi_hits
          |  FROM t)
-         |SELECT doc_id, labeled_lang, nonlatin_share, de_hits, en_hits, es_hits, fr_hits,
+         |SELECT doc_id, labeled_lang, nonlatin_share, de_hits, en_hits, es_hits, fr_hits, vi_hits,
          |  CASE WHEN nonlatin_share > 0.5 THEN 'other'
-         |       WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
-         |       WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
-         |       WHEN es_hits >= fr_hits THEN 'es'
-         |       ELSE 'fr' END AS pred_lang
+         |       WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= vi_hits THEN 'de'
+         |       WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= vi_hits THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= vi_hits THEN 'es'
+         |       WHEN fr_hits >= vi_hits THEN 'fr'
+         |       ELSE 'vi' END AS pred_lang
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->

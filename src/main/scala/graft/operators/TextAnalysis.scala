@@ -18,7 +18,11 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit", "von"),
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "y", "en", "es", "un", "que"),
-    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "dans"))
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "dans"),
+    // The reference's own market (r8, enabled by the Unicode tokenizer
+    // — under the ASCII rule these words shredded into fragments).
+    // Diacritic forms only, so they cannot collide with ASCII tokens.
+    "vi" -> Seq("và", "của", "là", "có", "cho", "không", "được", "người"))
 
   private def letterTokens(text: Column): Column = split(lower(text), "[^\\p{L}]+")
 
@@ -49,13 +53,15 @@ object TextAnalysis {
         Stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
           hits(t, ws).as(s"${l}_hits")
         }): _*)
-    val Seq(de, en, es, fr) = Seq("de", "en", "es", "fr").map(l => col(s"${l}_hits"))
+    val Seq(de, en, es, fr, vi) =
+      Seq("de", "en", "es", "fr", "vi").map(l => col(s"${l}_hits"))
     withHits.withColumn("pred_lang",
       when(col("nonlatin_share") > 0.5, "other")
-        .when(de >= en && de >= es && de >= fr, "de")
-        .when(en >= es && en >= fr, "en")
-        .when(es >= fr, "es")
-        .otherwise("fr"))
+        .when(de >= en && de >= es && de >= fr && de >= vi, "de")
+        .when(en >= es && en >= fr && en >= vi, "en")
+        .when(es >= fr && es >= vi, "es")
+        .when(fr >= vi, "fr")
+        .otherwise("vi"))
   }
 
   /** Quality columns appended in place (originals kept) — the composable

@@ -89,6 +89,18 @@ class UnicodeTextSpec extends AnyFunSuite with SparkSpec {
     assert(out(2)._2 == 0.0 && out(2)._3 == "en", out.toString)
   }
 
+  test("lang id recognizes vietnamese via its diacritic stopword profile") {
+    // "của" (1) + "là" (1) + "không" (1) = 3 vi hits, 0 on every
+    // European profile — enabled by the Unicode tokenizer (the ASCII
+    // rule shredded these words into fragments). Latin script, so the
+    // nonlatin guard stays quiet.
+    val r = TextAnalysis.langId(docs(
+      1L -> "giá của vàng là cao không ngừng")).collect().head
+    assert(r.getAs[Int]("vi_hits") == 3, r.toString)
+    assert(r.getAs[Double]("nonlatin_share") == 0.0)
+    assert(r.getAs[String]("pred_lang") == "vi", r.toString)
+  }
+
   test("sentence stats split on CJK/Arabic terminators") {
     val out = TextSignals.sentenceStats(
       docs(1L -> "Xin chào thế giới。Tốt quá！Sao؟")).collect().head
