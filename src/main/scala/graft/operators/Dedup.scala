@@ -610,22 +610,41 @@ object Dedup {
     */
   def exactSpans(documents: DataFrame, minLen: Int = 40,
                  hashGrams: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Positions explode first, the gram substring is a codegen'd
-    // projection after — a `transform(sequence, i -> substring(text …))`
-    // HOF would build every gram inside an interpreted lambda outside
-    // whole-stage codegen (the expression-hygiene rule at the top of
-    // this file; end-to-end the two measured within noise at sf0.1,
-    // where shuffles dominate — the codegen form is kept for the
-    // CPU-bound regime a wider corpus hits).
-    // The pre-explode repartition spreads the ~len× fan-out across the
-    // cluster when input splits < cores (one small parquet file read as
-    // one partition single-threads the whole gram pipeline — measured
-    // 2×: 6.2 s → 3.1 s at sf0.1); it shuffles only compact text (1× input bytes),
-    // noise next to the ~40×-input gram shuffle that follows. The
-    // partition count is EXPLICIT: AQE exempts user repartitions with a
-    // fixed width from coalescing — without it the tiny text shuffle
-    // coalesces straight back to one partition and the fix is void.
+    val keyed = charGramKeys(documents, minLen, hashGrams)
+    val dup = keyed.groupBy(col("k")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("k"))
+    val marked = keyed.join(dup, Seq("k"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    islandSpans(marked, minLen)
+  }
+
+  /** Keyed window positions shared by the window-exact span family
+    * ([[exactSpans]], [[contaminationSpans]]): one row per
+    * `minLen`-char window of every long-enough document —
+    * `(doc_id, pos, k)` with `k` either xxhash64 of the window (8-byte
+    * shuffle keys, the default) or the window string itself
+    * (hash-collision-free and engine-neutral, the mode that carries
+    * the DuckDB oracles; spec asserts the modes agree).
+    *
+    * Positions explode first, the gram substring is a codegen'd
+    * projection after — a `transform(sequence, i -> substring(text …))`
+    * HOF would build every gram inside an interpreted lambda outside
+    * whole-stage codegen (the expression-hygiene rule at the top of
+    * this file; end-to-end the two measured within noise at sf0.1,
+    * where shuffles dominate — the codegen form is kept for the
+    * CPU-bound regime a wider corpus hits).
+    * The pre-explode repartition spreads the ~len× fan-out across the
+    * cluster when input splits < cores (one small parquet file read as
+    * one partition single-threads the whole gram pipeline — measured
+    * 2×: 6.2 s → 3.1 s at sf0.1); it shuffles only compact text (1×
+    * input bytes), noise next to the ~40×-input gram shuffle that
+    * follows. The partition count is EXPLICIT: AQE exempts user
+    * repartitions with a fixed width from coalescing — without it the
+    * tiny text shuffle coalesces straight back to one partition and
+    * the fix is void.
+    */
+  private def charGramKeys(documents: DataFrame, minLen: Int,
+                           hashGrams: Boolean): DataFrame = {
     val width = documents.sparkSession.sessionState.conf.numShufflePartitions
     val grams = documents
       .repartition(width, col("doc_id"))
@@ -634,12 +653,18 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - (minLen - 1))).as("i"))
       .select(col("doc_id"), (col("i") - 1).cast("long").as("pos"),
         col("text").substr(col("i"), lit(minLen)).as("g"))
-    val keyed = grams.select(col("doc_id"), col("pos"),
+    grams.select(col("doc_id"), col("pos"),
       (if (hashGrams) xxhash64(col("g")) else col("g")).as("k"))
-    val dup = keyed.groupBy(col("k")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select(col("k"))
-    val marked = keyed.join(dup, Seq("k"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Gaps-and-islands merge of marked window positions `(doc_id, pos)`
+    * into maximal per-doc `[span_start, span_end)` intervals — the
+    * shared tail of the window-exact span family. The window is
+    * doc-partitioned over marked positions only (bounded by doc
+    * length — docs are MBs at most, never corpus-wide).
+    */
+  private def islandSpans(marked: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
       // new island when this window no longer overlaps/touches the
@@ -653,6 +678,59 @@ object Dedup {
         (max(col("pos")) + minLen).as("span_end"))
       .withColumn("span_len", col("span_end") - col("span_start"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+  }
+
+  /** #40s decontaminate_spans: exact-substring decontamination at SPAN
+    * grain — the ExactSubstr tier of the decontamination trio
+    * (verbatim word-n-grams [[decontaminate]], fuzzy minhash
+    * [[decontaminateFuzzy]], and this): every corpus position whose
+    * `minLen`-char window appears VERBATIM anywhere in the benchmark
+    * set is marked, and marked positions merge into per-doc
+    * `[span_start, span_end)` intervals — the train-side counterpart
+    * of Lee et al. 2022's train/test overlap removal, and the only
+    * tier that localizes WHERE the leak sits, so the cleaner can cut
+    * the leaked bytes instead of dropping the whole document.
+    * Benchmark set = `doc_id ≡ 0 (mod benchMod)` carved from the same
+    * table, the [[decontaminate]] convention the oracle reproduces.
+    * Bench documents themselves are not scanned for marks (every
+    * window of a bench doc trivially hits itself).
+    *
+    * Shape: char-grain bench keys number ≈ bench BYTES (not bench
+    * word-n-grams) — past the broadcast budget of [[decontaminate]]'s
+    * map-side join at realistic suite sizes — so the mark is a
+    * shuffled 8-byte-key left-semi join (AQE converts it to broadcast
+    * when the suite IS small). The bench-side `doc_id % benchMod`
+    * filter pushes below the posexplode (the predicate references only
+    * non-generated attributes), so the two branches explode DISJOINT
+    * document subsets: total gram work stays one corpus pass, same as
+    * [[exactSpans]]. The island merge is doc-grain.
+    */
+  def contaminationSpans(documents: DataFrame, minLen: Int = 40,
+                         benchMod: Int = 20,
+                         hashGrams: Boolean = true): DataFrame = {
+    val keyed = charGramKeys(documents, minLen, hashGrams)
+    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === 0
+    val benchKeys = keyed.filter(isBench).select(col("k")).distinct()
+    val marked = keyed.filter(!isBench)
+      .join(benchKeys, Seq("k"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    islandSpans(marked, minLen)
+  }
+
+  /** #40t decontaminate_spans_clean: cut the [[contaminationSpans]]
+    * intervals out of the non-bench corpus — keep the document, drop
+    * the leaked bytes (vs [[decontaminate]]'s keep-or-drop doc-grain
+    * verdict; a long document with one quoted benchmark item survives
+    * minus the quote). Island-merged spans are already disjoint, so
+    * the cut needs no prior [[mergeSpans]] union; bench documents are
+    * excluded from the output like [[decontaminate]].
+    */
+  def decontaminateSpans(documents: DataFrame, minLen: Int = 40,
+                         benchMod: Int = 20,
+                         hashGrams: Boolean = true): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === 0
+    cutSpans(documents.filter(!isBench),
+      contaminationSpans(documents, minLen, benchMod, hashGrams))
   }
 
   /** #40g dedup_spans_clean: apply [[exactSpans]] — cut every reported

@@ -227,6 +227,19 @@ object LlmQueries {
     "decontaminate_fuzzy" -> ((s, d) =>
       Dedup.decontaminateFuzzy(docs(s, d)).orderBy(col("doc_id"))),
 
+    // The ExactSubstr tier of the decontamination trio: char-grain
+    // spans locating WHERE benchmark text leaks into corpus docs
+    // (xxhash64-key default; the string-key mode carries the oracle,
+    // output-identical by the shared charGramKeys spec argument).
+    "decontaminate_spans" -> ((s, d) =>
+      Dedup.contaminationSpans(docs(s, d), minLen = 40)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // ...and the cut: keep the document, drop only the leaked bytes.
+    "decontaminate_spans_clean" -> ((s, d) =>
+      Dedup.decontaminateSpans(docs(s, d), minLen = 40)
+        .orderBy(col("doc_id"))),
+
     "chunk_dedup" -> ((s, d) =>
       Dedup.chunkDedup(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -399,6 +412,19 @@ object LlmQueries {
         col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .orderBy(col("doc_id"))),
 
+    // Snapshot diff over two deterministic carves of the documents
+    // table (old: drops doc_id%11==3, halves text at doc_id%7==2;
+    // new: drops doc_id%13==5) — so all four statuses populate and the
+    // oracle reproduces the carve in SQL.
+    "corpus_diff" -> ((s, d) =>
+      Snapshot.corpusDiff(oldSnapshot(docs(s, d)), newSnapshot(docs(s, d)))
+        .orderBy(col("doc_id"))),
+
+    "corpus_diff_stats" -> ((s, d) =>
+      Snapshot.diffStats(
+        Snapshot.corpusDiff(oldSnapshot(docs(s, d)), newSnapshot(docs(s, d))))
+        .orderBy(col("status"))),
+
     "length_profile" -> ((s, d) =>
       TextAnalysis.lengthProfile(docs(s, d)).orderBy(col("lang"))),
 
@@ -555,6 +581,71 @@ object LlmQueries {
       |        FROM documents WHERE length(text) >= 40)),
       |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
       |mk AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)),
+      |pr AS (
+      |  SELECT doc_id, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM mk),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM pr)""".stripMargin
+
+  /** Deterministic snapshot carves for the corpus_diff rows — one
+    * definition feeding both the query pair and (via [[DiffCte]]) both
+    * oracles, so the four-status fixture cannot drift (SpanCte rule).
+    * Old snapshot: doc_id%11==3 rows absent (→ `added` in new),
+    * doc_id%7==2 rows halved (→ `changed`); new snapshot: doc_id%13==5
+    * rows absent (→ `removed`).
+    */
+  private def oldSnapshot(doc: DataFrame): DataFrame =
+    doc.filter(pmod(col("doc_id"), lit(11L)) =!= 3)
+      .withColumn("text", when(pmod(col("doc_id"), lit(7L)) === 2,
+        col("text").substr(lit(1), floor(length(col("text")) / 2).cast("int")))
+        .otherwise(col("text")))
+
+  private def newSnapshot(doc: DataFrame): DataFrame =
+    doc.filter(pmod(col("doc_id"), lit(13L)) =!= 5)
+
+  /** The SQL twin of [[oldSnapshot]]/[[newSnapshot]] + the full-outer
+    * diff, ending in `j(doc_id, status, n_chars_old, n_chars_new)` —
+    * shared by the corpus_diff and corpus_diff_stats oracles. Text
+    * comparison is `IS NOT DISTINCT FROM` (NULL texts diff as values),
+    * matching the Spark side's null-folding hash equality.
+    */
+  private val DiffCte: String =
+    """WITH o AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 2
+      |      THEN substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+      |      ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |n AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+      |j AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+      |         ELSE 'changed' END AS status,
+      |    CAST(coalesce(length(o.text), 0) AS BIGINT) AS n_chars_old,
+      |    CAST(coalesce(length(n.text), 0) AS BIGINT) AS n_chars_new
+      |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)""".stripMargin
+
+  /** Shared char-window contamination CTE chain (decontaminate_spans /
+    * decontaminate_spans_clean) — bench windows (doc_id % 20 = 0) vs
+    * corpus positions, then the SpanCte island merge verbatim (the
+    * SpanCte rule: one definition, two consumers, no drift).
+    */
+  private val DecontSpanCte: String =
+    """WITH gr AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+      |    substr(text, CAST(i AS INT), 40) AS g
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, length(text) - 38)) AS i
+      |        FROM documents WHERE length(text) >= 40)),
+      |bg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 20 = 0),
+      |mk AS (SELECT doc_id, pos FROM gr JOIN bg USING (g)
+      |       WHERE doc_id % 20 <> 0),
       |pr AS (
       |  SELECT doc_id, pos,
       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
@@ -1464,6 +1555,35 @@ object LlmQueries {
          |FROM isl GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
 
+    "decontaminate_spans" ->
+      s"""$DecontSpanCte
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 40 AS span_end,
+         |  max(pos) + 40 - min(pos) AS span_len
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "decontaminate_spans_clean" ->
+      s"""$DecontSpanCte,
+         |sp AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+         |  FROM isl GROUP BY doc_id, island),
+         |seg AS (
+         |  SELECT doc_id, s, e,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs
+         |  FROM sp)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE concat(
+         |    coalesce(string_agg(substr(d.text, CAST(gs + 1 AS INT),
+         |      CAST(seg.s - gs AS INT)), '' ORDER BY seg.s), ''),
+         |    substr(d.text, CAST(coalesce(max(seg.e), 0) + 1 AS INT))) END
+         |    AS clean_text,
+         |  CAST(count(seg.s) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(sum(seg.e - seg.s), 0) AS BIGINT) AS n_chars_removed
+         |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0) d
+         |  LEFT JOIN seg ON d.doc_id = seg.doc_id
+         |GROUP BY d.doc_id, d.text
+         |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_spans_maximal" ->
       s"""$MaxSpanChain
          |SELECT doc_id, span_start, span_end, span_len
@@ -1991,6 +2111,18 @@ object LlmQueries {
         |FROM canon c LEFT JOIN seen s USING (ck)
         |WHERE c.source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
         |ORDER BY c.doc_id""".stripMargin,
+
+    "corpus_diff" ->
+      s"""$DiffCte
+         |SELECT doc_id, status, n_chars_old, n_chars_new
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "corpus_diff_stats" ->
+      s"""$DiffCte
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars_old) AS BIGINT) AS chars_old,
+         |  CAST(sum(n_chars_new) AS BIGINT) AS chars_new
+         |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "length_profile" ->
       """WITH t AS (

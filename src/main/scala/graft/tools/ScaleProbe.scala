@@ -188,6 +188,15 @@ object ScaleProbe {
       println(f"[scale-r7b] k=$k sentence_dedup=$tSentDedup%.2f " +
         f"containment=$tContain%.2f contamination_report=$tContamRep%.2f " +
         f"span_stats=$tSpanStats%.2f")
+      // Round-8 additions: maximal-grain removal (mergeSpans union +
+      // cut fold over the maximal pipeline) and the streaming fuzzy
+      // decontamination gate (stateless per-row projection against the
+      // two bench literals — cost should track corpus rows linearly).
+      val tMaxClean = noopTime(Dedup.removeMaximalSpans(docs))
+      val (fk, fs) = Dedup.benchFuzzyArtifact(docs)
+      val tFuzzyGate = noopTime(Dedup.withContaminationFuzzy(docs, fk, fs))
+      println(f"[scale-r8] k=$k spans_maximal_clean=$tMaxClean%.2f " +
+        f"fuzzy_gate=$tFuzzyGate%.2f (artifact keys=${fk.length} benches=${fs.length})")
     }
     // BPE batching: job-round collapse on the real corpus — the r6
     // verdict's "32k merges = 32k jobs" fix, measured.

@@ -204,6 +204,44 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (6L, "01234", 2L, 10L)), clean.toString)
   }
 
+  test("contamination spans: bench windows mark corpus bytes, corpus-corpus dups don't") {
+    // bench = doc_id % 20 == 0 (20, 40); corpus docs 2 and 4 share
+    // "QRSTUV" — a corpus-corpus duplicate that exactSpans would flag
+    // but decontamination must NOT; doc 3 leaks two separated bench
+    // substrings; doc 6 leaks from the SECOND bench doc.
+    val docs = Seq(
+      (20L, "ABCDEFGHIJ"),
+      (40L, "VWXYZ67890"),
+      (1L, "xxABCDEFGyy"),
+      (2L, "ppQRSTUVqq"),
+      (3L, "FGHIJ00000ABCDE"),
+      (4L, "ttQRSTUVuu"),
+      (6L, "aaVWXYZbb")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(docs, minLen = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 9L, 7L),                     // "ABCDEFG": windows 2,3,4 merged
+      (3L, 0L, 5L, 5L), (3L, 10L, 15L, 5L), // two islands, gap 10 > 0+5
+      (6L, 2L, 7L, 5L)), out.toString)      // leak from bench doc 40
+    // string-key (oracle) mode is identical to the xxhash64-key default
+    val viaStrings = Dedup.contaminationSpans(docs, minLen = 5, hashGrams = false)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaStrings == out)
+    // the cut drops exactly the leaked bytes, keeps the docs, excludes bench
+    val clean = Dedup.decontaminateSpans(docs, minLen = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(clean == Seq(
+      (1L, "xxyy", 1L, 7L),
+      (2L, "ppQRSTUVqq", 0L, 0L),
+      (3L, "00000", 2L, 10L),
+      (4L, "ttQRSTUVuu", 0L, 0L),
+      (6L, "aabb", 1L, 5L)), clean.toString)
+  }
+
   test("maximal spans: overlapping repeats stay separate with exact lengths") {
     // S1 = "ABCDE" occurs in d1@2 and d2@2; S2 = "BCDEF" in d1@3 and
     // d3@2. In d1 they overlap: window-exact fuses them into one island
@@ -1234,6 +1272,31 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"bloom probe must stay inside codegen, got:\n$physical")
     assert(physical.contains("might_contain"),
       s"definite-new branch should probe via might_contain, got:\n$physical")
+  }
+
+  test("corpus diff: all four statuses, NULL text diffs as a value") {
+    import graft.operators.Snapshot
+    val old = Seq((1L, "aaa"), (2L, "bbb"), (3L, null: String),
+      (5L, "eee"), (6L, null: String)).toDF("doc_id", "text")
+    val nw = Seq((2L, "BBB"), (3L, null: String), (4L, "ddd"),
+      (5L, "eee"), (6L, "x")).toDF("doc_id", "text")
+    val out = Snapshot.corpusDiff(old, nw).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "removed", 3L, 0L),
+      (2L, "changed", 3L, 3L),
+      (3L, "unchanged", 0L, 0L), // NULL == NULL: same content
+      (4L, "added", 0L, 3L),
+      (5L, "unchanged", 3L, 3L),
+      (6L, "changed", 0L, 1L)), out.toString) // NULL → text IS a change
+    val st = Snapshot.diffStats(Snapshot.corpusDiff(old, nw))
+      .orderBy("status").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(st == Seq(
+      ("added", 1L, 0L, 3L),
+      ("changed", 2L, 3L, 4L),
+      ("removed", 1L, 3L, 0L),
+      ("unchanged", 2L, 3L, 3L)), st.toString)
   }
 
   test("length profile: exact quantiles on a hand-checked stratum") {
