@@ -179,6 +179,14 @@ object LlmQueries {
     "ivf_stats" -> ((s, d) =>
       Similarity.ivfStats(emb(s, d)).orderBy(col("cell"))),
 
+    // Distributed Lloyd (k=8, 2 rounds) + cluster profile — the
+    // full-corpus refinement tier between the seeded quantizers and the
+    // driver-sample codebook fits; integer micro-unit centroid means
+    // keep the ladder bit-deterministic, so the oracle replays it
+    // round for round.
+    "kmeans_clusters" -> ((s, d) =>
+      Similarity.kmeansClusters(emb(s, d)).orderBy(col("cluster"))),
+
     "ann_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(emb(s, d)).orderBy(col("query_id"), col("rk"))),
 
@@ -331,6 +339,11 @@ object LlmQueries {
 
     "lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(docs(s, d)).orderBy(col("doc_id"))),
+
+    // CCNet head/middle/tail: per-lang exact ppl terciles broadcast
+    // back over the lm_score pipeline.
+    "lm_buckets" -> ((s, d) =>
+      TextAnalysis.lmBuckets(docs(s, d)).orderBy(col("doc_id"))),
 
     "vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(docs(s, d)).orderBy(col("lang"), col("rk"))),
@@ -512,6 +525,69 @@ object LlmQueries {
       |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dist)
       |  WHERE rn = 1)""".stripMargin
 
+  /** Lloyd rounds for the kmeans_clusters oracle — generated to stay in
+    * lockstep with [[Similarity.kmeansFit]] (k=8, iters=2). Assignment
+    * replays the |c|²−2⟨v,c⟩ argmin with the (d2, cell) tie-break; the
+    * update replays the exact integer micro-unit mean (Σ round(v_d·10⁶)
+    * as BIGINT, ÷ 10⁶·n), empty cells keeping the previous centroid —
+    * so every refined centroid, and therefore every next-round
+    * assignment, is bit-identical across engines. Ends at `af`
+    * (vec_id, v, cell, d2 under the final centroids).
+    */
+  private val KmeansChain: String = {
+    def asg(prev: String, out: String): String =
+      s"""${out}p AS (
+         |  SELECT z.vec_id, z.v, b.cell,
+         |    b.n2 - 2.0 * list_reduce(
+         |      list_transform(range(len(z.v)), i -> z.v[i+1] * b.cv[i+1]),
+         |      (s, x) -> s + x) AS d2
+         |  FROM nz z CROSS JOIN $prev b),
+         |$out AS (
+         |  SELECT vec_id, v, cell, d2
+         |  FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM ${out}p)
+         |  WHERE rn = 1)""".stripMargin
+    def upd(a: String, prev: String, out: String): String =
+      s"""${out}x AS (
+         |  SELECT cell,
+         |    unnest(range(len(v))) AS d,
+         |    unnest(list_transform(range(len(v)),
+         |      i -> CAST(round(v[i + 1] * 1000000) AS BIGINT))) AS mv
+         |  FROM $a),
+         |${out}s AS (SELECT cell, d, sum(mv) AS s FROM ${out}x GROUP BY cell, d),
+         |${out}n AS (SELECT cell, count(*) AS n FROM $a GROUP BY cell),
+         |${out}m AS (
+         |  SELECT s.cell, list(CAST(s.s AS DOUBLE) /
+         |      (1000000.0 * CAST(n.n AS DOUBLE)) ORDER BY s.d) AS cv
+         |  FROM ${out}s s JOIN ${out}n n USING (cell) GROUP BY s.cell),
+         |${out}c AS (
+         |  SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN ${out}m m USING (cell)),
+         |$out AS (
+         |  SELECT cell, cv,
+         |    list_reduce(list_transform(range(len(cv)), i -> cv[i+1] * cv[i+1]),
+         |      (s, x) -> s + x) AS n2
+         |  FROM ${out}c)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+       |      (s, x) -> s + x)) AS nrm
+       |  FROM e),
+       |nz AS (SELECT vec_id, v FROM nn WHERE nrm > 0),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv,
+       |    list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+       |      (s, x) -> s + x) AS n2
+       |  FROM (SELECT vec_id, v FROM nz ORDER BY vec_id LIMIT 8)),
+       |${asg("c0", "a1")},
+       |${upd("a1", "c0", "c1")},
+       |${asg("c1", "a2")},
+       |${upd("a2", "c1", "c2")},
+       |${asg("c2", "af")}""".stripMargin
+  }
+
   private val EnStops = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
 
   /** Hyperplane p as a DuckDB list literal. The plane components are
@@ -590,6 +666,40 @@ object LlmQueries {
       |    sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
       |  FROM pr)""".stripMargin
+
+  /** Shared bigram-LM CTE chain (lm_score / lm_buckets) ending at
+    * `sc(doc_id, n_bigrams, lp)` — one definition so the scorer and the
+    * bucketer cannot drift (the SpanCte rule). Mirrors
+    * [[TextAnalysis.lmScore]] stage for stage: per-doc bigram
+    * multiplicities → model counts folded FROM the per-doc counts →
+    * add-one-smoothed per-doc mean log-prob.
+    */
+  private val LmCte: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'),
+      |      x -> x <> '') AS tk
+      |  FROM documents),
+      |bgl AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
+      |  FROM t),
+      |dbg AS (
+      |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2, count(*) AS m
+      |  FROM bgl GROUP BY doc_id, s.w1, s.w2),
+      |bc AS (SELECT w1, w2, sum(m) AS c12 FROM dbg GROUP BY w1, w2),
+      |cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+      |voc AS (
+      |  SELECT count(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(tk) AS tok FROM t)),
+      |sc AS (
+      |  SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+      |    sum(d.m * ln((b.c12 + 1.0) / (c.c1 + voc.v))) / sum(d.m) AS lp
+      |  FROM dbg d
+      |  JOIN bc b ON d.w1 = b.w1 AND d.w2 = b.w2
+      |  JOIN cc c ON d.w1 = c.w1
+      |  CROSS JOIN voc
+      |  GROUP BY d.doc_id)""".stripMargin
 
   /** Deterministic snapshot carves for the corpus_diff rows — one
     * definition feeding both the query pair and (via [[DiffCte]]) both
@@ -1108,6 +1218,21 @@ object LlmQueries {
          |  round(CAST(s1 AS DOUBLE) / (n_vecs * 1000000.0), 6) AS avg_cen_cos,
          |  min_cen_cos
          |FROM pc CROSS JOIN tt ORDER BY cell""".stripMargin,
+
+    "kmeans_clusters" ->
+      s"""$KmeansChain,
+         |f AS (
+         |  SELECT cell, count(*) AS n_members,
+         |    sum(CAST(round((list_reduce(
+         |      list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
+         |      (s, x) -> s + x) + d2) * 1000000) AS BIGINT)) AS im
+         |  FROM af GROUP BY cell)
+         |SELECT CAST(cell AS INT) AS cluster,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  round(CAST(im AS DOUBLE) / 1000000.0, 6) AS inertia,
+         |  round(CAST(im AS DOUBLE) / (1000000.0 * CAST(n_members AS DOUBLE)), 6)
+         |    AS avg_dist2
+         |FROM f ORDER BY cluster""".stripMargin,
 
     "embed_outliers" ->
       s"""$SeedAsgChain,
@@ -1974,34 +2099,28 @@ object LlmQueries {
     // implementations and the group-sum order differs — both vanish
     // under the shared round(…, 6) policy.
     "lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'),
-        |      x -> x <> '') AS tk
-        |  FROM documents),
-        |bgl AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-        |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
-        |  FROM t),
-        |dbg AS (
-        |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2, count(*) AS m
-        |  FROM bgl GROUP BY doc_id, s.w1, s.w2),
-        |bc AS (SELECT w1, w2, sum(m) AS c12 FROM dbg GROUP BY w1, w2),
-        |cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
-        |voc AS (
-        |  SELECT count(DISTINCT tok) AS v
-        |  FROM (SELECT unnest(tk) AS tok FROM t)),
-        |sc AS (
-        |  SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
-        |    sum(d.m * ln((b.c12 + 1.0) / (c.c1 + voc.v))) / sum(d.m) AS lp
-        |  FROM dbg d
-        |  JOIN bc b ON d.w1 = b.w1 AND d.w2 = b.w2
-        |  JOIN cc c ON d.w1 = c.w1
-        |  CROSS JOIN voc
-        |  GROUP BY d.doc_id)
-        |SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logprob,
-        |  round(exp(-lp), 6) AS ppl
-        |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""$LmCte
+         |SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logprob,
+         |  round(exp(-lp), 6) AS ppl
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Terciles over the ROUNDED ppl, themselves rounded before the
+    // comparison — bucket edges exactly as portable as the metric.
+    "lm_buckets" ->
+      s"""$LmCte,
+         |pp AS (
+         |  SELECT d.lang, sc.doc_id, round(exp(-sc.lp), 6) AS ppl
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |th AS (
+         |  SELECT lang, round(quantile_cont(ppl, 1.0/3), 6) AS t33,
+         |    round(quantile_cont(ppl, 2.0/3), 6) AS t66
+         |  FROM pp GROUP BY lang)
+         |SELECT pp.doc_id, pp.lang, pp.ppl, th.t33, th.t66,
+         |  CASE WHEN pp.ppl <= th.t33 THEN 'head'
+         |       WHEN pp.ppl <= th.t66 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM pp JOIN th USING (lang)
+         |ORDER BY doc_id""".stripMargin,
 
     "corpus_pipeline" ->
       s"""WITH RECURSIVE b AS (

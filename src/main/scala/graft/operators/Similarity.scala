@@ -656,17 +656,12 @@ object Similarity {
     */
   private def seededAssigned(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val cn2 = cents.map(_.foldLeft(0.0)((s, x) => s + x * x))
-    val cellStructs = cents.zipWithIndex.map { case (c, i) =>
-      struct((lit(cn2(i)) - lit(2.0) * dot(col("v"), typedlit(c))).as("d2"),
-        lit(i).as("cell"))
-    }
-    e.withColumn("m", array_min(array(cellStructs: _*)))
-      .withColumn("cell", col("m.cell"))
+    assignCell(e, cents)
       .withColumn("cen_cos", round(
-        (element_at(typedlit(cn2), col("cell") + 1) - col("m.d2")) / lit(2.0)
+        (element_at(typedlit(cn2), col("cell") + 1) - col("d2")) / lit(2.0)
           / (col("nrm") * element_at(typedlit(cn2.map(math.sqrt)), col("cell") + 1)),
         6))
-      .drop("m")
+      .drop("d2")
   }
 
   /** #41c embed_outliers: embedding-space outlier flagging — the
@@ -752,6 +747,115 @@ object Similarity {
         round(col("__s1").cast("double") / (col("n_vecs") * 1e6), 6).as("avg_cen_cos"),
         col("min_cen_cos"))
   }
+
+  /** Zero-Exchange literal-centroid argmin: adds `cell` (nearest
+    * centroid, ties → lowest index) and `d2` = |c|² − 2⟨v,c⟩ (the L2²
+    * distance up to the per-vector |v|² constant, which cannot change
+    * the argmin). Shared by [[seededAssigned]] and the kmeans rounds.
+    */
+  private def assignCell(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val cn2 = cents.map(_.foldLeft(0.0)((s, x) => s + x * x))
+    val cellStructs = cents.zipWithIndex.map { case (c, i) =>
+      struct((lit(cn2(i)) - lit(2.0) * dot(col("v"), typedlit(c))).as("d2"),
+        lit(i).as("cell"))
+    }
+    e.withColumn("m", array_min(array(cellStructs: _*)))
+      .withColumn("cell", col("m.cell"))
+      .withColumn("d2", col("m.d2"))
+      .drop("m")
+  }
+
+  /** #43f kmeans_clusters (fit half): distributed Lloyd refinement over
+    * the FULL corpus — the tier between the zero-iteration seeded
+    * quantizers (assignment-only artifacts: [[ivfTopKSeeded]],
+    * [[semanticDedupSeeded]]) and the driver-sample codebook fits
+    * ([[pqTopK]]): topic clustering for data mixing / cluster-balanced
+    * sampling wants centroids refined on EVERY vector, which neither a
+    * seed nor a driver sample gives.
+    *
+    * Per round: (1) assignment is the zero-Exchange literal-centroid
+    * argmin projection ([[assignCell]] — centroids are a k×dim driver
+    * artifact, bounded by contract); (2) the update folds per-cell
+    * element sums + counts through ONE map-side-combined hash aggregate
+    * (k rows × dim columns collected). The corpus frame is re-scanned
+    * per round rather than cached: its lineage is scan→project, and
+    * pinning corpus-sized vectors in memory is exactly what 100 TB
+    * forbids. Deterministic end to end: init = first k nonzero-norm
+    * vectors by vec_id, argmin ties break to the lowest cell, empty
+    * cells keep their previous centroid.
+    *
+    * The update folds INTEGER MICRO-UNITS (Σ round(v_d·10⁶) as BIGINT;
+    * mean = Σ/(10⁶·n)): double partial sums are shuffle-order-dependent,
+    * and a refined centroid feeds the NEXT round's argmin, where a
+    * last-bit wobble can flip a boundary vector's cell — integer sums
+    * are exact and order-free, so the ladder is bit-deterministic under
+    * any partitioning AND the DuckDB oracle replays it round for round.
+    * Quantization error ≤ 5·10⁻⁷ per coordinate per round — noise next
+    * to the float32 grid the embeddings arrive on.
+    */
+  def kmeansFit(embeddings: DataFrame, k: Int = 8,
+                iters: Int = 2): Array[Array[Double]] = {
+    require(k > 0 && iters >= 0,
+      s"kmeans: need k > 0 and iters >= 0, got k=$k iters=$iters")
+    val e = withNorm(embeddings).select(col("vec_id"), col("v"))
+    var cents = e.orderBy(col("vec_id")).limit(k).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == k,
+      s"corpus has only ${cents.length} nonzero vectors; need $k centroids")
+    val dim = cents(0).length
+    val sums = (0 until dim).map(d =>
+      sum(round(element_at(col("v"), d + 1) * 1e6).cast("long")).as(s"__s$d"))
+    for (_ <- 1 to iters) {
+      val upd = assignCell(e, cents).groupBy(col("cell"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+      val byCell = upd.map(r => r.getInt(0) -> r).toMap
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        byCell.get(i).fold(c) { r =>
+          val n = r.getLong(1).toDouble
+          Array.tabulate(dim)(d => r.getLong(d + 2).toDouble / (1e6 * n))
+        }
+      }
+    }
+    cents
+  }
+
+  /** #43f kmeans_clusters: the cluster profile after [[kmeansFit]] —
+    * per cluster: member count, exact micro-unit inertia (Σ L2² to the
+    * refined centroid), mean member distance². The read before
+    * cluster-balanced sampling (per-cluster quotas) or before promoting
+    * the refined centroids to an IVF coarse quantizer (#43b). One
+    * argmin projection + one ≤k-row hash aggregate on top of the fit's
+    * `iters` passes; empty clusters have no members and thus no row.
+    */
+  def kmeansClusters(embeddings: DataFrame, k: Int = 8,
+                     iters: Int = 2): DataFrame = {
+    val cents = kmeansFit(embeddings, k, iters)
+    val assigned = assignCell(
+      withNorm(embeddings).select(col("vec_id"), col("v")), cents)
+      .withColumn("dist2", dot(col("v"), col("v")) + col("d2"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("dist2") * 1e6).cast("long")).as("__im"))
+      .select(col("cell").as("cluster"), col("n_members"),
+        round(col("__im") / 1e6, 6).as("inertia"),
+        round(col("__im") / (lit(1e6) * col("n_members")), 6).as("avg_dist2"))
+  }
+
+  /** #49i streaming topic routing: [[assignCell]] with a PRECOMPUTED
+    * [[kmeansFit]] artifact is a stateless projection — no join, no
+    * aggregation, no state — so the IDENTICAL operator routes incoming
+    * embeddings to topic cells under readStream in append mode (assign
+    * documents to curation topics as they LAND; the fit stays a batch
+    * job — the same fit/deploy split every seeded ANN tier here uses).
+    * Zero-norm vectors are dropped, matching the batch corpus rule.
+    * Returns (vec_id, cell, dist2 rounded 6).
+    */
+  def kmeansAssign(embeddings: DataFrame,
+                   cents: Array[Array[Double]]): DataFrame =
+    assignCell(withNorm(embeddings).select(col("vec_id"), col("v")), cents)
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("v"), col("v")) + col("d2"), 6).as("dist2"))
 
   private def semanticDedupSearch(e: DataFrame, cents: Array[Array[Double]],
                                   tau: Double, maxCellRows: Int): DataFrame = {

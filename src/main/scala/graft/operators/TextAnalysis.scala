@@ -491,6 +491,41 @@ object TextAnalysis {
       round(exp(-col("__lp")), 6).as("ppl"))
   }
 
+  /** #47x lm_buckets: CCNet-style perplexity partition (Wenzek et al.
+    * 2020's head/middle/tail): per language, split the corpus at the
+    * [[lmScore]] ppl terciles — head trains as-is, middle gets a second
+    * look, tail is dropped or re-filtered. Thresholds are exact
+    * per-lang terciles ((n−1)p interpolation, the length_profile
+    * convention) over the 6-ROUNDED ppl, themselves 6-rounded BEFORE
+    * the comparison, so the bucket verdict is exactly as portable as
+    * the metric (the gopher_filter policy). Docs without a ppl (fewer
+    * than 2 tokens) are excluded, matching lm_score.
+    *
+    * Shape: the lm_score pipeline + one ≤n_langs-row exact-tercile
+    * aggregate BROADCAST back + a projection. `percentile` sorts
+    * per-lang groups exactly — the oracle-carrying form; at corpus
+    * scale swap `percentile_approx` in with a stated error budget (the
+    * [[lengthProfileApprox]] split).
+    */
+  def lmBuckets(documents: DataFrame): DataFrame = {
+    // The scored frame feeds TWO consumers (the tercile aggregate and
+    // the final join) — without materialization the whole bigram-LM
+    // pipeline executes twice (the guarded-postings rule: AQE reuses
+    // no exchanges across separately-planned branches). Narrow rows
+    // (doc_id, lang, ppl), so the checkpoint is doc-count × ~30 bytes.
+    val ppl = lmScore(documents).select(col("doc_id"), col("ppl"))
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint()
+    val th = ppl.groupBy(col("lang")).agg(
+      round(percentile(col("ppl"), lit(1.0 / 3)), 6).as("t33"),
+      round(percentile(col("ppl"), lit(2.0 / 3)), 6).as("t66"))
+    ppl.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("t33"), col("t66"),
+        when(col("ppl") <= col("t33"), "head")
+          .when(col("ppl") <= col("t66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** #47 doc_fingerprint: polynomial rolling hash over word tokens —
     * term(w) = 131·len(w) + code(first char), fingerprint = left fold
     * h ← (31·h + term) mod 1e9+7. Bounded intermediates (< 2⁶³), engine-

@@ -463,6 +463,38 @@ object TextSignals {
     * one map-side-combinable groupBy(source) over source-grain keys —
     * bounded output, no join wider than the broadcast corpus total.
     */
+  /** #45g quality_calibration: agreement matrix of the two quality
+    * signals at classifier-probability grain — per prob decile
+    * (floor(prob·10), the 1.0 edge folded into 9): doc count,
+    * classifier keeps, Gopher keeps, both-keep count, Gopher keep
+    * rate. THE threshold-picking read before wiring either gate into
+    * [[graft.CorpusPipeline]]: a calibrated classifier shows
+    * gopher_keep_rate rising with the decile; mass in a
+    * high-prob/low-gopher cell means the classifier is blind to a rule
+    * (or the rule is too strict for that register of text).
+    *
+    * Shape: the [[sourceQuality]] composition at a different grain —
+    * classifier fold + Gopher projection joined ONCE on the unique
+    * doc_id (no skew possible), then one 10-group hash aggregate; the
+    * Gopher side is column-pruned to (doc_id, verdict) before the
+    * join. Deciles bucket the 6-ROUNDED prob, so the bucket edges are
+    * exactly as portable as the metric (the gopher_filter policy).
+    */
+  def qualityCalibration(documents: DataFrame): DataFrame = {
+    val cls = qualityClassifier(documents)
+      .select(col("doc_id"), col("prob"), col("keep"))
+    val gop = withGopher(documents).select(col("doc_id"), col("gopher_keep"))
+    cls.join(gop, Seq("doc_id"))
+      .withColumn("decile", least(floor(col("prob") * 10).cast("int"), lit(9)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_cls_keep"),
+        sum(col("gopher_keep").cast("long")).as("n_gopher_keep"),
+        sum((col("keep") && col("gopher_keep")).cast("long")).as("n_both_keep"))
+      .withColumn("gopher_keep_rate",
+        round(col("n_gopher_keep").cast("double") / col("n_docs"), 6))
+  }
+
   def sourceQuality(documents: DataFrame): DataFrame = {
     val cls = qualityClassifier(documents).select(col("doc_id"), col("prob"))
     val sig = withGopher(documents)

@@ -136,6 +136,12 @@ object TextSignalsQueries {
     "source_quality" -> ((s, d) =>
       TextSignals.sourceQuality(docs(s, d)).orderBy(col("source"))),
 
+    // Classifier-vs-Gopher agreement per prob decile — the
+    // threshold-picking read before wiring either gate into the
+    // curation DAG.
+    "quality_calibration" -> ((s, d) =>
+      TextSignals.qualityCalibration(docs(s, d)).orderBy(col("decile"))),
+
     "chunk_split" -> ((s, d) =>
       TextSignals.chunkSplit(docs(s, d)).orderBy(col("doc_id"), col("chunk_id"))),
 
@@ -276,6 +282,30 @@ object TextSignalsQueries {
          |  CAST(len(fl) AS INT) AS n_fail, len(fl) = 0 AS keep,
          |  coalesce(array_to_string(fl, ','), '') AS reasons
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // The sourceQuality composition at prob-decile grain: classifier
+    // keep + prob joined to the gopher verdict on doc_id, bucketed on
+    // the 6-ROUNDED prob (edges exactly as portable as the metric).
+    "quality_calibration" ->
+      s"""WITH $gopherCte,
+         |$clsCte,
+         |cls AS (
+         |  SELECT t.doc_id,
+         |    coalesce(round(1.0 / (1.0 + exp(-(a.ws / (a.n_tokens * 1000000.0)))), 6),
+         |      0.5) AS prob,
+         |    coalesce(a.ws >= 0, TRUE) AS ck
+         |  FROM t LEFT JOIN a USING (doc_id)),
+         |j AS (
+         |  SELECT least(CAST(floor(cls.prob * 10) AS INT), 9) AS decile,
+         |    cls.ck, len(f.fl) = 0 AS gk
+         |  FROM cls JOIN f USING (doc_id))
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ck THEN 1 ELSE 0 END) AS BIGINT) AS n_cls_keep,
+         |  CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep,
+         |  CAST(sum(CASE WHEN ck AND gk THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+         |  round(sum(CASE WHEN gk THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         |    AS gopher_keep_rate
+         |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
 
     // Per-source rollup: gopher verdicts + classifier probabilities
     // joined at doc grain, folded to source grain over exact integer

@@ -197,6 +197,22 @@ object ScaleProbe {
       val tFuzzyGate = noopTime(Dedup.withContaminationFuzzy(docs, fk, fs))
       println(f"[scale-r8] k=$k spans_maximal_clean=$tMaxClean%.2f " +
         f"fuzzy_gate=$tFuzzyGate%.2f (artifact keys=${fk.length} benches=${fs.length})")
+      // Round-8 second half: span-grain decontamination (one corpus
+      // gram pass, disjoint bench/corpus explode branches), snapshot
+      // diff (24-byte hash rows through the full-outer join — should
+      // track the SCAN, not the text), distributed Lloyd (rounds ×
+      // [projection + k-key agg]), perplexity terciles (lm pipeline +
+      // checkpointed narrow frame + broadcast terciles), calibration
+      // (classifier fold + gopher projection + doc_id join).
+      val tDeconSpans = noopTime(Dedup.decontaminateSpans(docs))
+      val tDiff = noopTime(graft.operators.Snapshot.corpusDiff(
+        docs.filter(pmod(col("doc_id"), lit(11L)) =!= 3), docs))
+      val tKmeans = noopTime(Similarity.kmeansClusters(emb))
+      val tLmBuckets = noopTime(TextAnalysis.lmBuckets(docs))
+      val tCalib = noopTime(TextSignals.qualityCalibration(docs))
+      println(f"[scale-r8b] k=$k decon_spans=$tDeconSpans%.2f " +
+        f"corpus_diff=$tDiff%.2f kmeans=$tKmeans%.2f " +
+        f"lm_buckets=$tLmBuckets%.2f calibration=$tCalib%.2f")
     }
     // BPE batching: job-round collapse on the real corpus — the r6
     // verdict's "32k merges = 32k jobs" fix, measured.

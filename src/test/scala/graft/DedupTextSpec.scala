@@ -158,6 +158,42 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Double]("cos_sim")).toSeq == Seq(1.0, 0.0, -1.0))
   }
 
+  test("kmeans: Lloyd refinement converges on a hand-computed fixture") {
+    // init = first 2 nonzero vectors: c0=(1,0), c1=(9,0).
+    // Round 1: {1,3,5}→c0, {2,4}→c1; means → c0=(1,2), c1=(9,1).
+    // Round 2: memberships unchanged, means unchanged.
+    // Final dist²: v1:(0,−2)→4, v3:0, v5:4 | v2:(0,−1)→1, v4:1.
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(9f, 0f), 0),
+      (3L, Array(1f, 2f), 0), (4L, Array(9f, 2f), 0),
+      (5L, Array(1f, 4f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val fit = Similarity.kmeansFit(emb, k = 2, iters = 2)
+    assert(fit.map(_.toSeq).toSeq == Seq(Seq(1.0, 2.0), Seq(9.0, 1.0)), fit.map(_.toSeq))
+    val out = Similarity.kmeansClusters(emb, k = 2, iters = 2)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(out == Seq((0, 3L, 8.0, 2.666667), (1, 2L, 2.0, 1.0)), out.toString)
+  }
+
+  test("kmeans: duplicate seed ties break low, empty cell keeps its centroid") {
+    // Seeds (2,0),(2,0),(8,0): v1/v2 tie between cells 0 and 1 → cell 0;
+    // cell 1 never receives members and must keep its seed centroid.
+    val emb = Seq(
+      (1L, Array(2f, 0f), 0), (2L, Array(2f, 0f), 0), (3L, Array(8f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val fit = Similarity.kmeansFit(emb, k = 3, iters = 2)
+    assert(fit.map(_.toSeq).toSeq ==
+      Seq(Seq(2.0, 0.0), Seq(2.0, 0.0), Seq(8.0, 0.0)), fit.map(_.toSeq))
+    val out = Similarity.kmeansClusters(emb, k = 3, iters = 2)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(out == Seq((0, 2L, 0.0, 0.0), (2, 1L, 0.0, 0.0)), out.toString)
+    // fail-loudly guards
+    intercept[IllegalArgumentException](Similarity.kmeansFit(emb, k = 0))
+    intercept[IllegalArgumentException](Similarity.kmeansFit(emb, k = 5))
+  }
+
   test("near-dup pairs stay inside label buckets") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0.01f), 0),
@@ -545,6 +581,45 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     // The template doc (frequent transitions) must be more probable —
     // lower perplexity — than the doc with a rare transition.
     assert(out(0).getAs[Double]("ppl") < out(1).getAs[Double]("ppl"))
+  }
+
+  test("lm_buckets: per-lang terciles replay lm_score, all three buckets land") {
+    // Two strata: 'en' docs 0–3 with increasing bigram rarity, a lone
+    // 'xx' doc that must tercile against itself only (head by <=).
+    val rows = Seq(
+      (0L, "a b a b a b a b", "en"), (1L, "a b a b c", "en"),
+      (2L, "a b c d", "en"), (3L, "c d e f g", "en"),
+      (4L, "q r q r", "xx"),
+      (5L, "z", "en")) // one token → no ppl → excluded
+      .map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.lmBuckets(rows).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5))).toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L), out.toString)
+    // Hand-derive from lm_score: terciles with (n−1)p interpolation over
+    // the rounded ppls, rounded 6, then the <= comparisons.
+    val ppl = TextAnalysis.lmScore(rows).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    def tercile(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val pos = (s.size - 1) * p
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      val v = s(lo) + (pos - lo) * (s(hi) - s(lo))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val en = Seq(0L, 1L, 2L, 3L).map(ppl)
+    val (t33, t66) = (tercile(en, 1.0 / 3), tercile(en, 2.0 / 3))
+    out.filter(_._2 == "en").foreach { case (id, _, p, a33, a66, b) =>
+      assert(p == ppl(id) && a33 == t33 && a66 == t66)
+      val exp = if (p <= t33) "head" else if (p <= t66) "middle" else "tail"
+      assert(b == exp, s"doc $id: $b vs $exp")
+    }
+    // Monotone fixture → the en stratum shows all three buckets.
+    assert(out.filter(_._2 == "en").map(_._6).distinct.sorted ==
+      Seq("head", "middle", "tail"), out.toString)
+    // Single-doc stratum: both terciles equal its own ppl → head.
+    val xx = out.find(_._2 == "xx").get
+    assert(xx._6 == "head" && xx._4 == xx._3 && xx._5 == xx._3, xx.toString)
   }
 
   test("PQ/ADC ANN: full refine is exact; shortlist recall holds; deterministic") {

@@ -434,4 +434,35 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name: no cartesian:\n$p")
     }
   }
+
+  test("round-8: span decontamination marks via semi-join; diff joins hashes") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // The bench-window mark must be a semi-join (rows never widen past
+    // the corpus side) and never a cartesian.
+    val pd = plan(graft.operators.Dedup.contaminationSpans(docs))
+    assert(pd.contains("LeftSemi"),
+      s"contamination mark must be a left-semi join:\n$pd")
+    assert(!pd.contains("Cartesian"), s"no cartesian in the mark:\n$pd")
+    // Snapshot diff: full-outer on doc_id over xxhash64'd sides — the
+    // join carries hashes + lengths, never document bytes.
+    val pc = plan(graft.operators.Snapshot.corpusDiff(docs, docs))
+    assert(pc.contains("FullOuter"), s"diff must keep both sides:\n$pc")
+    assert(pc.contains("xxhash64"), s"diff must compare hashes:\n$pc")
+    assert(!pc.contains("Cartesian"), s"diff joins on the unique key:\n$pc")
+  }
+
+  test("round-8: kmeans profile is a zero-Exchange argmin + ONE k-key aggregate") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = plan(graft.operators.Similarity.kmeansClusters(emb, k = 4, iters = 1))
+    // Assignment must stay a literal-centroid projection: no join (the
+    // centroid table is a driver artifact, never a joined frame), no
+    // window, no cartesian; the only shuffle is the k-key aggregate.
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("Cartesian"),
+      s"kmeans profile is projection + aggregate only:\n$p")
+    val nEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(nEx == 1, s"kmeans profile must shuffle exactly once (got $nEx):\n$p")
+    assert(p.contains("vec_dot"),
+      s"distances must ride the codegen'd native dot:\n$p")
+  }
 }

@@ -764,4 +764,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(live == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 0L, 0)), live.toString)
     } finally query.stop()
   }
+
+  test("streaming topic routing: kmeans assignment batch-identical under append") {
+    // #49i: assignCell with a precomputed kmeansFit artifact is a
+    // stateless projection (literal centroids, no join/agg/state) —
+    // the identical operator routes arriving embeddings to topic
+    // cells; the fit stays a batch job.
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(9f, 0f), 0),
+      (3L, Array(1f, 2f), 0), (4L, Array(9f, 2f), 0),
+      (5L, Array(1f, 4f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansFit(corpus, k = 2, iters = 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val routed = Similarity.kmeansAssign(
+      input.toDF().toDF("vec_id", "embedding"), cents)
+    val query = routed.writeStream.format("memory")
+      .queryName("kmeans_route_stream").outputMode("append").start()
+    try {
+      val arriving = Seq(6L -> Array(0f, 3f), 7L -> Array(10f, 1f),
+        8L -> Array(0f, 0f)) // zero-norm → dropped, the batch rule
+      input.addData(arriving: _*)
+      query.processAllAvailable()
+      val live = spark.table("kmeans_route_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sorted
+      val batch = Similarity.kmeansAssign(
+        arriving.map { case (id, v) => (id, v, 0) }
+          .toDF("vec_id", "embedding", "label"), cents)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sorted
+      assert(live == batch, s"live=$live batch=$batch")
+      // (0,3)→c0=(1,2): 1+1=2; (10,1)→c1=(9,1): 1+0=1; zero-norm absent
+      assert(live == Seq((6L, 0, 2.0), (7L, 1, 1.0)), live.toString)
+    } finally query.stop()
+  }
 }

@@ -279,6 +279,36 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(a.getAs[Double]("mean_words") == 8.0)
   }
 
+  test("quality_calibration: deciles replay the joined per-doc signals exactly") {
+    val good = "the cat and the dog sat in the house and it was warm today"
+    val rows = Seq(
+      (1L, good, "en", "siteA", good.length.toLong),
+      (2L, "too short", "en", "siteA", 9L),            // gopher drops
+      (3L, good + " extra", "en", "siteB", good.length + 6L),
+      (4L, "", "en", "siteB", 0L))                     // token-less: prob 0.5
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextSignals.qualityCalibration(rows).orderBy("decile").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // Expected = the two per-doc operators joined and folded by hand.
+    val cls = TextSignals.qualityClassifier(rows).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("prob"), r.getAs[Boolean]("keep"))).toMap
+    val gop = TextSignals.gopherFilter(rows).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val exp = cls.toSeq.map { case (id, (prob, ck)) =>
+      (math.min(math.floor(prob * 10).toInt, 9), ck, gop(id))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (dec, g) =>
+      (dec, g.size.toLong, g.count(_._2).toLong, g.count(_._3).toLong,
+        g.count(t => t._2 && t._3).toLong,
+        BigDecimal(g.count(_._3).toDouble / g.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out == exp, s"out=$out exp=$exp")
+    // The fixture populates ≥2 deciles and the gopher-drop lands in one.
+    assert(out.map(_._1).distinct.size >= 2)
+    assert(out.map(_._4).sum == 2L) // docs 1 and 3 survive gopher
+  }
+
   test("chunk_split: stride windows, clamped tail, full coverage, empty doc dropped") {
     // 6 tokens, chunk=3, stride=2 → windows [1..3], [3..5], [5..6].
     val out = TextSignals.chunkSplit(docs(
