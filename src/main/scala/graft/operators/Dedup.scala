@@ -441,47 +441,56 @@ object Dedup {
     * [[withContamination]]: bench docs flag themselves — filter them
     * before comparing with [[decontaminateFuzzy]], which excludes them.
     *
-    * Cost shape: the 32-perm fold runs as interpreted HOFs over the
-    * materialized per-row base-hash array (Perms passes per doc — the
-    * price of statelessness; the batch twin folds map-side instead),
-    * and verification touches only band-collision candidates. Both
-    * literals are benchmark-bounded, not corpus-bounded.
+    * Cost shape (re-engineered after tools/FuzzyGateProbe measured the
+    * original HOF form at ~80–180 ms/row — 32 interpreted
+    * `array_min(transform(...))` passes per row, jstack'd to the
+    * interpreted ArrayTransform/BinaryArithmetic frames): the
+    * signature is ONE native codegen'd expression
+    * ([[graft.functions.PortableMinhashSig]] — per shingle one MD5 +
+    * 32 primitive multiply-add-mods, spec-pinned bit-equal to the HOF
+    * chain), candidacy is a per-band BINARY SEARCH over the sorted key
+    * artifact ([[graft.functions.BandKeyLookup]] — one expression call
+    * per row, not bands×benchDocs lambda evals), and the Jaccard
+    * verify runs only on rows with ≥1 candidate (the `__cand` guard
+    * short-circuits the bench-set scan on the clean majority). Both
+    * literals stay benchmark-bounded, not corpus-bounded.
     */
   def withContaminationFuzzy(documents: DataFrame,
                              benchKeys: Array[(Int, String, Long)],
                              benchShingles: Array[(Long, Array[Long])],
                              minJaccard: Double = 0.5): DataFrame = {
-    val keysLit = typedlit(benchKeys)
+    import graft.functions.MinhashSigOps.{band_key_lookup, minhash_sig}
     val benchLit = typedlit(benchShingles)
+    val pA = (0 until Perms).map(permA).toArray
+    val pB = (0 until Perms).map(permB).toArray
     val base = documents
       .withColumn("__sh", bigramShingles(col("text")))
-      .withColumn("__hm", transform(col("__sh"),
-        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % lit(PermM)))
-    // 32 signature mins as separate materialized columns off the one
-    // __hm array (fan-out hygiene — inlining would re-derive the md5
-    // base hash Perms times per row).
-    val withSig = (0 until Perms).foldLeft(base) { (df, i) =>
-      df.withColumn(s"__mh_$i", array_min(transform(col("__hm"),
-        h => (lit(permA(i)) * h + lit(permB(i))) % lit(PermM))))
-    }
+      .withColumn("__sig", minhash_sig(col("__sh"), pA, pB, PermM))
     val rpb = Perms / Bands
-    val withBands = withSig.withColumn("__bk",
+    // Band keys exactly as the batch banding builds them; a NULL
+    // signature (empty-shingle doc) yields all-null parts → the same
+    // md5 the old per-column form produced for those rows.
+    val withBands = base.withColumn("__bk",
       array((0 until Bands).map { b =>
         md5(concat_ws("|", (b * rpb until (b + 1) * rpb)
-          .map(i => col(s"__mh_$i").cast("string")): _*))
+          .map(i => element_at(col("__sig"), i + 1).cast("string")): _*))
       }: _*))
-    // Candidate bench ids = any band-key collision with the literal;
-    // empty-shingle docs (0/1-token, null text) are never candidates —
-    // they have no posting rows in the batch pipeline either.
+    // Candidate bench ids = any band-key collision — binary search per
+    // band over the sorted artifact; empty-shingle docs (0/1-token,
+    // null text) are never candidates — they have no posting rows in
+    // the batch pipeline either.
     val withCand = withBands.withColumn("__cand",
-      when(size(col("__sh")) > 0, array_distinct(transform(
-        filter(keysLit, bk => element_at(col("__bk"), bk("_1") + 1) === bk("_2")),
-        bk => bk("_3"))))
+      when(size(col("__sh")) > 0, band_key_lookup(col("__bk"), benchKeys))
         .otherwise(array().cast("array<bigint>")))
+    // The xxhash shingle set feeds only the Jaccard verify — skip the
+    // per-shingle interpreted transform on candidate-less rows too.
     val withHs = withCand.withColumn("__hs",
-      transform(col("__sh"), s => xxhash64(s)))
+      when(size(col("__cand")) > 0, transform(col("__sh"), s => xxhash64(s)))
+        .otherwise(array().cast("array<bigint>")))
+    // The bench-set scan only runs on rows with a candidate — the
+    // clean majority of a corpus short-circuits here.
     val verified = withHs.withColumn("__v",
-      filter(transform(
+      when(size(col("__cand")) > 0, filter(transform(
         filter(benchLit, bd => array_contains(col("__cand"), bd("_1"))),
         bd => {
           val inter = size(array_intersect(col("__hs"), bd("_2")))
@@ -490,6 +499,7 @@ object Dedup {
           struct(j.as("j"), (-bd("_1")).as("nb"))
         }),
         v => v("j") >= minJaccard))
+        .otherwise(array().cast("array<struct<j:double,nb:bigint>>")))
     val best = array_max(col("__v"))
     verified
       .withColumn("n_bench_matches", size(col("__v")).cast("long"))
@@ -498,8 +508,7 @@ object Dedup {
       .withColumn("best_bench_id",
         when(size(col("__v")) > 0, -best("nb")).otherwise(lit(null).cast("bigint")))
       .withColumn("is_contaminated", (col("n_bench_matches") > 0).cast("int"))
-      .drop((Seq("__sh", "__hm", "__bk", "__cand", "__hs", "__v") ++
-        (0 until Perms).map(i => s"__mh_$i")): _*)
+      .drop("__sh", "__sig", "__bk", "__cand", "__hs", "__v")
   }
 
   /** #40m contamination_report: the per-BENCHMARK-item rollup of

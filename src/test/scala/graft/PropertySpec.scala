@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+import graft.operators.{Dedup, Similarity, Snapshot, TopK}
+
+/** Randomized property tests with INDEPENDENT brute-force oracles —
+  * fixed seeds, so every run checks the same fixtures (no flaky
+  * shrinking). Where the fixture specs pin hand-computed cases, these
+  * pin the operator against a from-scratch reimplementation on many
+  * random shapes: span marking vs a substring-count oracle, kmeans
+  * assignment vs an argmin in plain Scala, snapshot diff vs set
+  * algebra, bounded ranking vs sort-and-take.
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("exactSpans + removeSpans equal a brute-force substring oracle") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 8) {
+      val minLen = 3 + rnd.nextInt(3) // 3..5
+      val docs = (0 until 6).map { i =>
+        val len = rnd.nextInt(25)
+        (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      // Oracle: count every minLen-char window across the corpus; a
+      // position is marked iff its window occurs >= 2 times; marked
+      // positions merge into islands (break iff p > prev + minLen).
+      val counts = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      docs.foreach { case (_, t) =>
+        (0 to t.length - minLen).foreach(p => counts(t.substring(p, p + minLen)) += 1)
+      }
+      def spansOf(id: Long, t: String): Seq[(Long, Long, Long)] = {
+        val marked = (0 to t.length - minLen)
+          .filter(p => counts(t.substring(p, p + minLen)) >= 2)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        var start = -1
+        var prev = -1000
+        marked.foreach { p =>
+          if (start < 0) start = p
+          else if (p > prev + minLen) {
+            out += ((id, start.toLong, (prev + minLen).toLong)); start = p
+          }
+          prev = p
+        }
+        if (start >= 0) out += ((id, start.toLong, (prev + minLen).toLong))
+        out.toSeq
+      }
+      val expected = docs.flatMap { case (id, t) => spansOf(id, t) }
+        .map { case (d, s, e) => (d, s, e, e - s) }
+      val df = docs.toDF("doc_id", "text")
+      val out = Dedup.exactSpans(df, minLen = minLen)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(out == expected, s"trial $trial minLen=$minLen docs=$docs")
+      // The cleaner removes exactly the span bytes: clean_text equals
+      // the oracle's gap concatenation and the length arithmetic holds.
+      val clean = Dedup.removeSpans(df, minLen = minLen)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      clean.foreach { case (id, ct, nSpans, nRemoved) =>
+        val t = docs.find(_._1 == id).get._2
+        val sp = spansOf(id, t)
+        val expClean = {
+          val sb = new StringBuilder
+          var cur = 0
+          sp.foreach { case (_, s, e) =>
+            sb.append(t.substring(cur, s.toInt)); cur = e.toInt
+          }
+          sb.append(t.substring(cur)); sb.toString
+        }
+        assert(ct == expClean && nSpans == sp.size.toLong &&
+          nRemoved == sp.map(x => x._3 - x._2).sum &&
+          ct.length == t.length - nRemoved,
+          s"trial $trial doc $id text='$t' spans=$sp clean='$ct'")
+      }
+    }
+  }
+
+  test("kmeans: assignments are true argmins; output invariant to partitioning") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 4) {
+      val n = 30 + rnd.nextInt(20)
+      val dim = 3
+      val k = 4
+      val emb = (1 to n).map(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextInt(21) - 10).toFloat), 0))
+      val df = emb.toDF("vec_id", "embedding", "label")
+      val cents = Similarity.kmeansFit(df, k = k, iters = 2)
+      val got = Similarity.kmeansAssign(df, cents).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      emb.filter(_._2.exists(_ != 0f)).foreach { case (id, v, _) =>
+        val d2 = cents.map(c =>
+          c.zip(v.map(_.toDouble)).map { case (ci, vi) => (vi - ci) * (vi - ci) }.sum)
+        val sorted = d2.zipWithIndex.sortBy(t => (t._1, t._2))
+        // Skip near-ties: the operator computes |c|²−2⟨v,c⟩, a different
+        // floating expression from the oracle's |v−c|²−|v|².
+        if (sorted.length < 2 || sorted(1)._1 - sorted(0)._1 > 1e-9)
+          assert(got(id) == sorted.head._2,
+            s"trial $trial vec $id: got ${got(id)} want ${sorted.head._2} d2=${d2.toSeq}")
+      }
+      // Bit-determinism under any partitioning — the integer micro-unit
+      // claim: repartitioned input must yield the identical profile.
+      def profile(d: org.apache.spark.sql.DataFrame) =
+        Similarity.kmeansClusters(d, k = k, iters = 2).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          .sortBy(_._1).toSeq
+      assert(profile(df) == profile(df.repartition(7)),
+        s"trial $trial: kmeans profile changed under repartition")
+    }
+  }
+
+  test("corpus diff: statuses partition the id universe, stats roll up exactly") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 5) {
+      def corpus(): Map[Long, String] = (1 to 30).collect {
+        case i if rnd.nextBoolean() =>
+          i.toLong -> (0 until rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }.toMap
+      val o = corpus()
+      val n = corpus()
+      val out = Snapshot.corpusDiff(
+        o.toSeq.toDF("doc_id", "text"), n.toSeq.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(out.keySet == o.keySet ++ n.keySet, s"trial $trial universe")
+      out.foreach { case (id, (st, co, cn)) =>
+        val exp =
+          if (!o.contains(id)) "added"
+          else if (!n.contains(id)) "removed"
+          else if (o(id) == n(id)) "unchanged" else "changed"
+        assert(st == exp, s"trial $trial id $id: $st vs $exp")
+        assert(co == o.get(id).map(_.length.toLong).getOrElse(0L) &&
+          cn == n.get(id).map(_.length.toLong).getOrElse(0L), s"trial $trial id $id chars")
+      }
+      val stats = Snapshot.diffStats(Snapshot.corpusDiff(
+        o.toSeq.toDF("doc_id", "text"), n.toSeq.toDF("doc_id", "text")))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val byStatus = out.toSeq.groupBy(_._2._1)
+      assert(stats.keySet == byStatus.keySet, s"trial $trial stats keys")
+      byStatus.foreach { case (st, rows) =>
+        assert(stats(st) == ((rows.size.toLong,
+          rows.map(_._2._2).sum, rows.map(_._2._3).sum)), s"trial $trial $st")
+      }
+    }
+  }
+
+  test("groupedWithRank equals per-group sort-and-take on random data") {
+    val rnd = new Random(99)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 120).map(i =>
+        (rnd.nextInt(5), rnd.nextInt(20).toDouble, i.toLong)) // id unique → total order
+      val k = 1 + rnd.nextInt(4)
+      val df = rows.toDF("grp", "v", "id")
+      val out = TopK.groupedWithRank(df, Seq(col("grp")), k,
+        Seq(col("v"), col("id"))).collect()
+        .map(r => (r.getAs[Int]("grp"), r.getAs[Int]("rk"),
+          r.getAs[Double]("v"), r.getAs[Long]("id"))).toSeq.sorted
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(t => (t._2, t._3)).take(k).zipWithIndex.map {
+          case ((_, v, id), i) => (g, i + 1, v, id)
+        }
+      }.sorted
+      assert(out == exp, s"trial $trial k=$k")
+    }
+  }
+}
