@@ -194,7 +194,12 @@ object ScaleProbe {
       // two bench literals — cost should track corpus rows linearly).
       val tMaxClean = noopTime(Dedup.removeMaximalSpans(docs))
       val (fk, fs) = Dedup.benchFuzzyArtifact(docs)
-      val tFuzzyGate = noopTime(Dedup.withContaminationFuzzy(docs, fk, fs))
+      // The gate is a pure projection — parallelism comes from the
+      // input's partitioning, and the unioned sweep frame reads as a
+      // couple of partitions (the exactSpans lesson). Spread it as a
+      // deployment would; FuzzyGateProbe sweeps bench-artifact size.
+      val tFuzzyGate = noopTime(Dedup.withContaminationFuzzy(
+        docs.repartition(32, col("doc_id")), fk, fs))
       println(f"[scale-r8] k=$k spans_maximal_clean=$tMaxClean%.2f " +
         f"fuzzy_gate=$tFuzzyGate%.2f (artifact keys=${fk.length} benches=${fs.length})")
       // Round-8 second half: span-grain decontamination (one corpus
