@@ -149,6 +149,62 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BPE: batched merge rounds equal sequential training on random corpora") {
+    import graft.operators.Bpe
+    val rnd = new Random(21)
+    for (trial <- 1 to 4) {
+      val words = (1 to 12).map(_ =>
+        (2 + rnd.nextInt(3) to 0 by -1).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = (1 to 6).map(i =>
+        (i.toLong, (1 to 8).map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val seq = Bpe.train(docs, merges = 6)
+      val (bat, rounds) = Bpe.trainBatched(docs, merges = 6)
+      assert(bat.map(m => (m.lhs, m.rhs, m.merged, m.pair_count)) ==
+        seq.map(m => (m.lhs, m.rhs, m.merged, m.pair_count)),
+        s"trial $trial: batched=$bat sequential=$seq")
+      assert(rounds <= seq.size, s"trial $trial: $rounds rounds for ${seq.size} merges")
+    }
+  }
+
+  test("maximal spans: sound, window-complete, PD-identical on random corpora") {
+    val rnd = new Random(5)
+    for (trial <- 1 to 5) {
+      val minLen = 4
+      val docs = (0 until 5).map { i =>
+        val len = 8 + rnd.nextInt(18)
+        (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val all = docs.map(_._2)
+      def occurrences(s: String): Int =
+        all.map(t => Iterator.range(0, t.length - s.length + 1)
+          .count(p => t.regionMatches(p, s, 0, s.length))).sum
+      val ms = Dedup.maximalSpans(df, minLen = minLen)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // Soundness: every reported span's substring occurs >= 2 times.
+      ms.foreach { case (id, s, e) =>
+        val t = docs.find(_._1 == id).get._2
+        val sub = t.substring(s.toInt, e.toInt)
+        assert(occurrences(sub) >= 2, s"trial $trial span ($id,$s,$e)='$sub' unique")
+      }
+      // Window-completeness: maximal spans cover exactly the bytes the
+      // window-exact islands cover (every duplicated window lives
+      // inside some maximal repeat and vice versa).
+      def bytes(spans: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+        spans.flatMap { case (id, s, e) => (s until e).map(id -> _) }.toSet
+      val we = Dedup.exactSpans(df, minLen = minLen).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(bytes(ms) == bytes(we), s"trial $trial byte cover mismatch")
+      // The prefix-doubling twin is output-identical on arbitrary data.
+      val pd = Dedup.maximalSpansPD(df, minLen = minLen)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(pd == ms, s"trial $trial PD twin diverged")
+    }
+  }
+
   test("groupedWithRank equals per-group sort-and-take on random data") {
     val rnd = new Random(99)
     for (trial <- 1 to 5) {
