@@ -590,6 +590,40 @@ object LlmQueries {
 
   private val EnStops = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
 
+  /** lang_id oracle GENERATED from [[TextAnalysis.LangProfiles]] — one
+    * source of truth for the profile lists and the alphabetical-
+    * tie-break argmax chain, so adding a language cannot drift the two
+    * engines (the MinhashSigCols rule).
+    */
+  private val LangIdSql: String = {
+    val langs = TextAnalysis.LangProfiles.keys.toSeq.sorted
+    val hitCols = langs.map { l =>
+      val ws = TextAnalysis.LangProfiles(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, w -> list_contains([$ws], w))) AS ${l}_hits"
+    }.mkString(",\n    ")
+    val chain = langs.init.zipWithIndex.map { case (l, i) =>
+      val ge = langs.drop(i + 1).map(l2 => s"${l}_hits >= ${l2}_hits").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString("\n       ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    string_split_regex(lower(text), '[^\\p{L}]+') AS toks,
+       |    round(coalesce(
+       |      CAST(length(regexp_replace(text, '[^\\p{L}]|[\\p{Latin}]', '', 'g')) AS DOUBLE) /
+       |      nullif(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE), 0),
+       |      0), 6) AS nonlatin_share
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, labeled_lang, nonlatin_share,
+       |    $hitCols
+       |  FROM t)
+       |SELECT doc_id, labeled_lang, nonlatin_share, ${langs.map(l => s"${l}_hits").mkString(", ")},
+       |  CASE WHEN nonlatin_share > 0.5 THEN 'other'
+       |       $chain
+       |       ELSE '${langs.last}' END AS pred_lang
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   /** Hyperplane p as a DuckDB list literal. The plane components are
     * DRIVER-deterministic doubles ([[Similarity.planeComponent]] — a
     * hash of (plane, index), never of data), so the oracle can embed the
@@ -1833,31 +1867,7 @@ object LlmQueries {
         |  CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    "lang_id" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang AS labeled_lang,
-         |    string_split_regex(lower(text), '[^\\p{L}]+') AS toks,
-         |    round(coalesce(
-         |      CAST(length(regexp_replace(text, '[^\\p{L}]|[\\p{Latin}]', '', 'g')) AS DOUBLE) /
-         |      nullif(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE), 0),
-         |      0), 6) AS nonlatin_share
-         |  FROM documents),
-         |h AS (
-         |  SELECT doc_id, labeled_lang, nonlatin_share,
-         |    len(list_filter(toks, w -> list_contains(['der', 'die', 'das', 'und', 'ist', 'ein', 'mit', 'von'], w))) AS de_hits,
-         |    len(list_filter(toks, w -> list_contains([$EnStops], w))) AS en_hits,
-         |    len(list_filter(toks, w -> list_contains(['el', 'la', 'de', 'y', 'en', 'es', 'un', 'que'], w))) AS es_hits,
-         |    len(list_filter(toks, w -> list_contains(['le', 'la', 'de', 'et', 'un', 'est', 'que', 'dans'], w))) AS fr_hits,
-         |    len(list_filter(toks, w -> list_contains(['và', 'của', 'là', 'có', 'cho', 'không', 'được', 'người'], w))) AS vi_hits
-         |  FROM t)
-         |SELECT doc_id, labeled_lang, nonlatin_share, de_hits, en_hits, es_hits, fr_hits, vi_hits,
-         |  CASE WHEN nonlatin_share > 0.5 THEN 'other'
-         |       WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= vi_hits THEN 'de'
-         |       WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= vi_hits THEN 'en'
-         |       WHEN es_hits >= fr_hits AND es_hits >= vi_hits THEN 'es'
-         |       WHEN fr_hits >= vi_hits THEN 'fr'
-         |       ELSE 'vi' END AS pred_lang
-         |FROM h ORDER BY doc_id""".stripMargin,
+    "lang_id" -> LangIdSql,
 
     "text_quality" ->
       s"""WITH b AS (

@@ -24,6 +24,20 @@ object TextAnalysis {
     // Diacritic forms only, so they cannot collide with ASCII tokens.
     "vi" -> Seq("và", "của", "là", "có", "cho", "không", "được", "người"))
 
+  /** Language-ID profiles: the battery languages above plus
+    * identification-only additions (r8: pt/it/nl/id — Latin-script
+    * languages a market-data crawl actually encounters). Deliberately
+    * a SEPARATE map from [[Stopwords]]: the battery list is a
+    * curation-rule constant (Gopher stop_hits, quality gates) whose
+    * thresholds must NOT move when a language is added for
+    * identification.
+    */
+  val LangProfiles: Map[String, Seq[String]] = Stopwords ++ Map(
+    "pt" -> Seq("o", "de", "que", "em", "do", "da", "um", "para"),
+    "it" -> Seq("il", "di", "che", "per", "non", "sono", "della", "con"),
+    "nl" -> Seq("de", "het", "een", "van", "op", "te", "voor", "niet"),
+    "id" -> Seq("yang", "dan", "di", "ke", "untuk", "ini", "dengan", "itu"))
+
   private def letterTokens(text: Column): Column = split(lower(text), "[^\\p{L}]+")
 
   private def hits(tokens: Column, words: Seq[String]): Column =
@@ -42,6 +56,7 @@ object TextAnalysis {
     * `other` as "needs a real language model".
     */
   def langId(documents: DataFrame): DataFrame = {
+    val langs = LangProfiles.keys.toSeq.sorted
     val t = letterTokens(col("text"))
     val letters = length(regexp_replace(col("text"), "[^\\p{L}]", ""))
     val nonLatin = length(regexp_replace(col("text"), "[^\\p{L}]|[\\p{IsLatin}]", ""))
@@ -50,18 +65,18 @@ object TextAnalysis {
         round(coalesce(nonLatin.cast("double") /
           nullif(letters.cast("double"), lit(0.0)), lit(0.0)), 6)
           .as("nonlatin_share") +:
-        Stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
-          hits(t, ws).as(s"${l}_hits")
-        }): _*)
-    val Seq(de, en, es, fr, vi) =
-      Seq("de", "en", "es", "fr", "vi").map(l => col(s"${l}_hits"))
+        langs.map(l => hits(t, LangProfiles(l)).as(s"${l}_hits"))): _*)
+    // Alphabetical-tie-break argmax, generated over the profile list:
+    // lang_i wins when its hits >= every LATER lang's (earlier langs
+    // already lost to someone when their branch fell through).
+    val argmax = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), els) =>
+        val geLater = langs.drop(i + 1)
+          .map(l2 => col(s"${l}_hits") >= col(s"${l2}_hits")).reduce(_ && _)
+        when(geLater, lit(l)).otherwise(els)
+    }
     withHits.withColumn("pred_lang",
-      when(col("nonlatin_share") > 0.5, "other")
-        .when(de >= en && de >= es && de >= fr && de >= vi, "de")
-        .when(en >= es && en >= fr && en >= vi, "en")
-        .when(es >= fr && es >= vi, "es")
-        .when(fr >= vi, "fr")
-        .otherwise("vi"))
+      when(col("nonlatin_share") > 0.5, "other").otherwise(argmax))
   }
 
   /** Quality columns appended in place (originals kept) — the composable

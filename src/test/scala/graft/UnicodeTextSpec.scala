@@ -101,6 +101,24 @@ class UnicodeTextSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[String]("pred_lang") == "vi", r.toString)
   }
 
+  test("lang id recognizes the r8 identification-only profiles (pt/it/nl/id)") {
+    // Each text hits its own profile ≥5 times and every other ≤3 —
+    // and the profile additions live in LangProfiles, NOT Stopwords,
+    // so the Gopher battery's stop list (a curation-rule constant)
+    // did not move.
+    val out = TextAnalysis.langId(docs(
+      1L -> "o preço de mercado que sobe em um dia para a bolsa",
+      2L -> "il prezzo di mercato che non sale per la borsa sono",
+      3L -> "de koers van het aandeel stijgt op de beurs niet",
+      4L -> "harga yang naik dan turun di pasar untuk hari ini"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred_lang")))
+    assert(out.toSeq == Seq((1L, "pt"), (2L, "it"), (3L, "nl"), (4L, "id")),
+      out.mkString(","))
+    assert(TextAnalysis.Stopwords.keySet ==
+      Set("de", "en", "es", "fr", "vi"), "battery list must not grow")
+  }
+
   test("sentence stats split on CJK/Arabic terminators") {
     val out = TextSignals.sentenceStats(
       docs(1L -> "Xin chào thế giới。Tốt quá！Sao؟")).collect().head
