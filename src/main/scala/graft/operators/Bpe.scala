@@ -234,4 +234,36 @@ object Bpe {
       ).as("__s"))
     segmented.select(col("doc_id"), flatten(col("__s")).as("bpe_tokens"))
   }
+
+  /** [[tokenize]] at the VOCABULARY grain — the corpus-batch default.
+    * The per-word merge fold is word-pure, so running it per occurrence
+    * (what [[tokenize]]'s projection does) re-evaluates an interpreted
+    * R-deep HOF ladder once per corpus POSITION; here it runs once per
+    * DISTINCT word (the same positions-vs-vocabulary argument the
+    * trainer makes: millions of words where the corpus is trillions of
+    * positions), and positions just join the result back by word — a
+    * vocabulary-sized build side Spark broadcasts while it fits, with
+    * sort-merge as the natural fallback when a 100 TB vocabulary
+    * outgrows it. Per-doc reassembly is a collect_list bounded by doc
+    * length; wordless docs come back with an empty token array via the
+    * left join, so the output is row-identical to [[tokenize]]
+    * (spec-pinned). [[tokenize]] stays as the streaming-safe pure
+    * projection — the two-plans-kept idiom.
+    */
+  def tokenizeByVocab(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), filter(Dedup.tokens(col("text")), w => w =!= "").as("__w"))
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "w")))
+    val vocab = words.select(col("w")).distinct()
+      .withColumn("syms",
+        merges.foldLeft(initSymbols(col("w")))((s, m) => mergeSyms(s, m.lhs, m.rhs)))
+    val perDoc = words.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        e => e.getField("syms"))).as("bpe_tokens"))
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe_tokens"), array().cast("array<string>")).as("bpe_tokens"))
+  }
 }

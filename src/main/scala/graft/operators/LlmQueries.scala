@@ -351,6 +351,24 @@ object LlmQueries {
     "bpe_pairs" -> ((s, d) =>
       Bpe.bpePairs(docs(s, d)).orderBy(col("rk"))),
 
+    // Production tokenization with the trained merge table — the
+    // apply-tier completing the BPE family: the batched trainer fits
+    // the model artifact (spec-pinned sequential-equal), then the
+    // VOCABULARY-grain fold segments the corpus (one merge fold per
+    // distinct word; positions join the segmentation back — the
+    // trainer's own positions-vs-vocabulary scale argument). The
+    // oracle replays the whole sequential train-then-apply ladder in
+    // SQL (see [[BpeTokenizeSql]]).
+    "bpe_tokenize" -> ((s, d) => {
+      val documents = docs(s, d)
+      val (merges, _) = Bpe.trainBatched(documents, merges = BpeTokenizeMerges)
+      Bpe.tokenizeByVocab(documents, merges)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe"),
+          concat_ws(" ", col("bpe_tokens")).as("bpe_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights against the lang='en' target slice — the
     // hashed-feature fit and scoring replayed exactly by the oracle.
     "dsir_weights" -> ((s, d) =>
@@ -622,6 +640,67 @@ object LlmQueries {
        |       $chain
        |       ELSE '${langs.last}' END AS pred_lang
        |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Number of merge rounds the bpe_tokenize row trains — small enough
+    * that the generated oracle's round chain stays readable, large
+    * enough that merged symbols themselves merge again (3-deep chains
+    * on the corpus).
+    */
+  private val BpeTokenizeMerges = 10
+
+  /** bpe_tokenize oracle — replays the FULL sequential train ladder
+    * (pair count → (count DESC, lhs, rhs) argmax → fold-in, one CTE
+    * triple per round, the kmeans generated-ladder precedent) and then
+    * the per-word apply fold, all in SQL. The greedy left-to-right
+    * merge fold over a symbol list is EXACTLY one left-to-right
+    * non-overlapping `replace` pass over the double-space symbol
+    * encoding `' s1  s2  … '`: a match `' a  b '` consumes one
+    * boundary space from each side and its replacement `' ab '`
+    * re-emits them, so the scan resumes precisely where the next
+    * pair's pattern would start, and an overlapping run (`a a a`
+    * under (a,a)) resolves leftmost on both engines. Symbols are
+    * `\p{L}\p{N}` characters plus `</w>` — never a space — so the
+    * separator cannot collide with symbol text.
+    */
+  private val BpeTokenizeSql: String = {
+    val tok = "list_filter(string_split_regex(regexp_replace(lower(text), " +
+      "'([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), " +
+      "'[^\\p{L}\\p{N}]+'), w -> w <> '')"
+    val enc = "' ' || array_to_string(list_append(regexp_split_to_array(w, ''), '</w>'), '  ') || ' '"
+    val head =
+      s"""w0 AS (
+         |  SELECT unnest($tok) AS w FROM documents),
+         |vf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY w),
+         |v0 AS (SELECT $enc AS s, freq FROM vf)""".stripMargin
+    val rounds = (1 to BpeTokenizeMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT l[i] AS lhs, l[i+1] AS rhs, sum(freq) AS pair_count
+         |  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l, freq
+         |        FROM v${r - 1}),
+         |    unnest(generate_series(1, len(l)-1)) AS t(i)
+         |  WHERE len(l) >= 2 GROUP BY 1, 2),
+         |m$r AS (SELECT lhs, rhs FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |v$r AS (
+         |  SELECT replace(v.s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+         |                 ' ' || m.lhs || m.rhs || ' ') AS s, freq
+         |  FROM v${r - 1} v CROSS JOIN m$r m)""".stripMargin
+    }
+    val applyChain = (1 to BpeTokenizeMerges).foldLeft(enc) { (acc, r) =>
+      s"replace($acc, ' ' || m$r.lhs || '  ' || m$r.rhs || ' ', ' ' || m$r.lhs || m$r.rhs || ' ')"
+    }
+    val mJoin = (1 to BpeTokenizeMerges).map(r => s"m$r").mkString(" CROSS JOIN ")
+    s"""WITH ${(head +: rounds).mkString(",\n")},
+       |d AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform($tok,
+       |      w -> trim(regexp_replace($applyChain, '  ', ' ', 'g'))), ' ') AS bpe_str
+       |  FROM documents CROSS JOIN $mJoin)
+       |SELECT doc_id,
+       |  CASE WHEN bpe_str = '' THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(len(string_split(bpe_str, ' ')) AS BIGINT) END AS n_bpe,
+       |  bpe_str
+       |FROM d ORDER BY doc_id""".stripMargin
   }
 
   /** Hyperplane p as a DuckDB list literal. The plane components are
@@ -1972,6 +2051,8 @@ object LlmQueries {
         |  FROM pairs)
         |SELECT rk, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "bpe_tokenize" -> BpeTokenizeSql,
 
     "dsir_weights" ->
       s"""WITH $dsirWeightsCte

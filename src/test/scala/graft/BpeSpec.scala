@@ -52,6 +52,29 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(toks == Seq("aa", "a", Bpe.Eow))
   }
 
+  test("tokenizeByVocab is row-identical to tokenize, empty docs included") {
+    // One normal doc, one wordless doc (must come back as an EMPTY
+    // array, not a dropped row), one overlap run (the greedy-leftmost
+    // edge), one doc repeating another's words (the vocab grain must
+    // not conflate docs).
+    val merges = Bpe.train(sennrich, merges = 5) :+
+      Bpe.Merge(6, "a", "a", "aa", 0L)
+    val documents = Seq(
+      (1L, "low lowest aaa"), (2L, "!!! ..."), (3L, ""),
+      (4L, "aaa low low")).toDF("doc_id", "text")
+    val viaProjection = Bpe.tokenize(documents, merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val viaVocab = Bpe.tokenizeByVocab(documents, merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(viaVocab.toSeq == viaProjection.toSeq)
+    assert(viaVocab.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(viaVocab(1)._2.isEmpty && viaVocab(2)._2.isEmpty)
+    assert(viaVocab(0)._2 == Seq("low", Bpe.Eow, "low", "est" + Bpe.Eow,
+      "aa", "a", Bpe.Eow))
+  }
+
   test("train stops early when the vocabulary is fully merged") {
     val merges = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"), merges = 10)
     // "ab" → a b </w>: two pairs, then one, then none.

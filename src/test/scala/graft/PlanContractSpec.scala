@@ -322,6 +322,20 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles <= 3, s"expected word/pair-count shuffles only, got $shuffles:\n$p")
   }
 
+  test("BPE apply-tier: vocab-grain fold, broadcast segmentation join, no window") {
+    // tokenizeByVocab must keep the expensive merge fold on the
+    // DISTINCT-word side and bring it to positions via a broadcast
+    // (vocabulary-sized build side); reassembly is a hash aggregate,
+    // never a doc window.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val merges = Seq(graft.operators.Bpe.Merge(1, "e", "r", "er", 0L),
+      graft.operators.Bpe.Merge(2, "t", "h", "th", 0L))
+    val p = plan(graft.operators.Bpe.tokenizeByVocab(docs, merges))
+    assert(!p.contains("Window"), s"no per-doc window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab side should broadcast at fixture scale:\n$p")
+  }
+
   test("media featurize: payload bytes never shuffle before features") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = plan(graft.ops.Multimodal.featurize(docs).toDF())

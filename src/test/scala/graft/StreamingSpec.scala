@@ -801,4 +801,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(live == Seq((6L, 0, 2.0), (7L, 1, 1.0)), live.toString)
     } finally query.stop()
   }
+
+  test("streaming BPE segmentation: trained-artifact tokenize batch-identical under append") {
+    // #49j: Bpe.tokenize with a precomputed merge table is a stateless
+    // projection (the merges fold into one nested column expression —
+    // no join, no agg, no state), so the identical operator segments
+    // documents as they land; training stays a batch job, exactly the
+    // kmeansAssign fit/route split. tokenizeByVocab is the corpus-batch
+    // twin (distinct+join+groupBy — not append-safe by construction).
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    import graft.operators.Bpe
+    val fitCorpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = Bpe.train(Seq((1L, fitCorpus)).toDF("doc_id", "text"), merges = 5)
+    val input = MemoryStream[(Long, String)]
+    val segmented = Bpe.tokenize(input.toDF().toDF("doc_id", "text"), merges)
+    val query = segmented.writeStream.format("memory")
+      .queryName("bpe_stream").outputMode("append").start()
+    try {
+      val arriving = Seq(10L -> "lowest newest", 11L -> "", 12L -> "wide low")
+      input.addData(arriving: _*)
+      query.processAllAvailable()
+      val live = spark.table("bpe_stream").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq.sortBy(_._1)
+      val batch = Bpe.tokenize(arriving.toDF("doc_id", "text"), merges)
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq.sortBy(_._1)
+      assert(live == batch, s"live=$live batch=$batch")
+      assert(live.head._2 == List("low", "est" + Bpe.Eow, "n", "e", "w",
+        "est" + Bpe.Eow), live.head.toString)
+      assert(live(1)._2.isEmpty, "wordless doc must keep its row with [] tokens")
+    } finally query.stop()
+  }
 }
