@@ -266,4 +266,28 @@ object Bpe {
       .select(col("doc_id"),
         coalesce(col("bpe_tokens"), array().cast("array<string>")).as("bpe_tokens"))
   }
+
+  /** #47y3 bpe_fertility: per-language tokenizer capacity read — BPE
+    * tokens per word under a trained merge table. A language whose
+    * fertility stays high after training is under-served by the merge
+    * budget (its frequent words never merged), the signal that decides
+    * vocab size and per-lang merge allocation before a production
+    * tokenizer run. One segmentation pass ([[tokenizeByVocab]]) plus
+    * two bounded aggregates; fertility divides two exact BIGINT sums,
+    * so the ratio is deterministic under any partitioning.
+    */
+  def fertility(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val seg = tokenizeByVocab(documents, merges)
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("nb"))
+    documents.select(col("doc_id"), col("lang"),
+        size(filter(Dedup.tokens(col("text")), w => w =!= ""))
+          .cast("long").as("nw"))
+      .join(seg, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe"),
+        round(sum(col("nb")).cast("double") /
+          nullif(sum(col("nw")).cast("double"), lit(0.0)), 6).as("fertility"))
+  }
 }

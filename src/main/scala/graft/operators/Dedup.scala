@@ -1814,6 +1814,49 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_sent_frac"))
   }
 
+  /** #40q sentence_dedup_clean: the REMOVAL tier of [[sentenceDedup]] —
+    * the CCNet/RefinedWeb line-level boilerplate STRIP: every
+    * occurrence of a sentence whose exact trimmed text occurs
+    * ≥ `minCount` times across the corpus is cut (nav bars, footers,
+    * cookie banners repeat corpus-wide; cutting all occurrences is the
+    * boilerplate semantic — there is no "original" to keep), and the
+    * document keeps its row with the surviving sentences rejoined
+    * single-spaced (terminators are split separators and do not
+    * survive, the documented rebuild convention). At the default
+    * `minCount = 2` the cut count per doc EQUALS the report's
+    * `n_dup_sents` by construction (spec-pinned), so [[sentenceDedup]]
+    * is this cutter's exact preview.
+    *
+    * Scale shape — the report's count-by-key pattern plus ordered
+    * reassembly: sentences shuffle as 8-byte xxhash64 keys, the
+    * count-per-key frame joins back to the posting (one count row per
+    * key — a viral sentence is a skewed-but-bounded join AQE splits),
+    * the keep verdict is a projection, and per-doc rebuild is one hash
+    * aggregate whose collect_list is bounded by doc length. Docs with
+    * no sentences keep their row through the left join.
+    */
+  def sentenceDedupClean(documents: DataFrame, minCount: Long = 2L): DataFrame = {
+    val sents = filter(transform(split(col("text"), SentenceClass), s => trim(s)),
+      s => s =!= "")
+    val pos = documents.select(col("doc_id"), posexplode(sents).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), col("s"), xxhash64(col("s")).as("h"))
+    val counts = pos.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+    val per = pos.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum((col("__n") >= minCount).cast("long")).as("n_cut"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__n") < minCount,
+            struct(col("pos"), col("s"))))),
+          e => e.getField("s"))).as("clean_text"))
+    documents.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** #40n containment_pairs: asymmetric n-gram CONTAINMENT (Broder
     * 1997's second resemblance measure) — c(A,B) = |A∩B| / |A|. The
     * quote/excerpt detector symmetric Jaccard structurally misses: a

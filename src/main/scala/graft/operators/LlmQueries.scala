@@ -128,6 +128,13 @@ object LlmQueries {
     "sentence_dedup" -> ((s, d) =>
       Dedup.sentenceDedup(docs(s, d)).orderBy(col("doc_id"))),
 
+    // The report's removal tier: cut every occurrence of a
+    // corpus-duplicated sentence, rebuild the doc from the survivors —
+    // n_cut ≡ sentence_dedup.n_dup_sents at the default threshold, so
+    // the report is the cutter's exact preview.
+    "sentence_dedup_clean" -> ((s, d) =>
+      Dedup.sentenceDedupClean(docs(s, d)).orderBy(col("doc_id"))),
+
     "embed_near_dup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d))
         .withColumn("cos_sim", round(col("cos_sim"), 6))
@@ -367,6 +374,27 @@ object LlmQueries {
           size(col("bpe_tokens")).cast("long").as("n_bpe"),
           concat_ws(" ", col("bpe_tokens")).as("bpe_str"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The merge table itself as an oracle row — the model artifact the
+    // apply-tier ships, checked round for round against the SQL
+    // ladder's per-round argmax.
+    "bpe_vocab" -> ((s, d) => {
+      val (merges, _) = Bpe.trainBatched(docs(s, d), merges = BpeTokenizeMerges)
+      import s.implicits._
+      merges.toDF()
+        .select(col("round"), col("lhs"), col("rhs"), col("merged"),
+          col("pair_count"))
+        .orderBy(col("round"))
+    }),
+
+    // Tokenizer fertility (BPE tokens per word) per language — the
+    // vocab-sizing capacity read: a lang whose fertility stays high
+    // after training is under-served by the merge budget.
+    "bpe_fertility" -> ((s, d) => {
+      val documents = docs(s, d)
+      val (merges, _) = Bpe.trainBatched(documents, merges = BpeTokenizeMerges)
+      Bpe.fertility(documents, merges).orderBy(col("lang"))
     }),
 
     // DSIR importance weights against the lang='en' target slice — the
@@ -642,6 +670,23 @@ object LlmQueries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared sentence-posting front of the sentence_dedup /
+    * sentence_dedup_clean oracles (the SpanCte rule: one CTE val, so
+    * the report and its cutter cannot drift): positions split on the
+    * [[Dedup.SentenceClass]] terminator runs, trimmed, empties
+    * dropped, plus the corpus occurrence count per exact sentence
+    * text.
+    */
+  private val sentencePostingCte =
+    """sp AS (
+      |  SELECT doc_id, i AS pos, trim(l[i]) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(text, '[.!?。！？؟…]+') AS l
+      |        FROM documents),
+      |    unnest(generate_series(1, len(l))) AS t(i)
+      |  WHERE trim(l[i]) <> ''),
+      |c AS (SELECT s, count(*) AS n FROM sp GROUP BY 1)""".stripMargin
+
   /** Number of merge rounds the bpe_tokenize row trains — small enough
     * that the generated oracle's round chain stays readable, large
     * enough that merged symbols themselves merge again (3-deep chains
@@ -663,16 +708,23 @@ object LlmQueries {
     * `\p{L}\p{N}` characters plus `</w>` — never a space — so the
     * separator cannot collide with symbol text.
     */
-  private val BpeTokenizeSql: String = {
-    val tok = "list_filter(string_split_regex(regexp_replace(lower(text), " +
-      "'([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), " +
-      "'[^\\p{L}\\p{N}]+'), w -> w <> '')"
-    val enc = "' ' || array_to_string(list_append(regexp_split_to_array(w, ''), '</w>'), '  ') || ' '"
+  private val BpeTok = "list_filter(string_split_regex(regexp_replace(lower(text), " +
+    "'([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), " +
+    "'[^\\p{L}\\p{N}]+'), w -> w <> '')"
+
+  private val BpeEnc = "' ' || array_to_string(list_append(regexp_split_to_array(w, ''), '</w>'), '  ') || ' '"
+
+  /** The generated train ladder shared by the three BPE oracles
+    * (bpe_tokenize / bpe_vocab / bpe_fertility — one val, so the
+    * family cannot drift): w0/vf/v0 seed the symbol vocabulary, then
+    * one (p,m,v) CTE triple per round.
+    */
+  private val BpeLadderCte: String = {
     val head =
       s"""w0 AS (
-         |  SELECT unnest($tok) AS w FROM documents),
+         |  SELECT unnest($BpeTok) AS w FROM documents),
          |vf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY w),
-         |v0 AS (SELECT $enc AS s, freq FROM vf)""".stripMargin
+         |v0 AS (SELECT $BpeEnc AS s, freq FROM vf)""".stripMargin
     val rounds = (1 to BpeTokenizeMerges).map { r =>
       s"""p$r AS (
          |  SELECT l[i] AS lhs, l[i+1] AS rhs, sum(freq) AS pair_count
@@ -680,28 +732,77 @@ object LlmQueries {
          |        FROM v${r - 1}),
          |    unnest(generate_series(1, len(l)-1)) AS t(i)
          |  WHERE len(l) >= 2 GROUP BY 1, 2),
-         |m$r AS (SELECT lhs, rhs FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |m$r AS (SELECT lhs, rhs, pair_count FROM p$r
+         |        ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
          |v$r AS (
          |  SELECT replace(v.s, ' ' || m.lhs || '  ' || m.rhs || ' ',
          |                 ' ' || m.lhs || m.rhs || ' ') AS s, freq
          |  FROM v${r - 1} v CROSS JOIN m$r m)""".stripMargin
     }
-    val applyChain = (1 to BpeTokenizeMerges).foldLeft(enc) { (acc, r) =>
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** The apply fold as a nested replace chain over [[BpeEnc]], plus the
+    * cross join bringing every round's 1-row merge CTE into scope.
+    */
+  private val BpeApplyChain: String =
+    (1 to BpeTokenizeMerges).foldLeft(BpeEnc) { (acc, r) =>
       s"replace($acc, ' ' || m$r.lhs || '  ' || m$r.rhs || ' ', ' ' || m$r.lhs || m$r.rhs || ' ')"
     }
-    val mJoin = (1 to BpeTokenizeMerges).map(r => s"m$r").mkString(" CROSS JOIN ")
-    s"""WITH ${(head +: rounds).mkString(",\n")},
-       |d AS (
+
+  private val BpeMergesJoin: String =
+    (1 to BpeTokenizeMerges).map(r => s"m$r").mkString(" CROSS JOIN ")
+
+  /** Per-doc BPE segmentation CTE (`d`: doc_id, bpe_str) over the
+    * ladder — the shared back half of bpe_tokenize / bpe_fertility.
+    */
+  private val BpeDocCte: String =
+    s"""d AS (
        |  SELECT doc_id,
-       |    array_to_string(list_transform($tok,
-       |      w -> trim(regexp_replace($applyChain, '  ', ' ', 'g'))), ' ') AS bpe_str
-       |  FROM documents CROSS JOIN $mJoin)
+       |    array_to_string(list_transform($BpeTok,
+       |      w -> trim(regexp_replace($BpeApplyChain, '  ', ' ', 'g'))), ' ') AS bpe_str
+       |  FROM documents CROSS JOIN $BpeMergesJoin)""".stripMargin
+
+  private val BpeTokenizeSql: String = {
+    s"""WITH $BpeLadderCte,
+       |$BpeDocCte
        |SELECT doc_id,
        |  CASE WHEN bpe_str = '' THEN CAST(0 AS BIGINT)
        |       ELSE CAST(len(string_split(bpe_str, ' ')) AS BIGINT) END AS n_bpe,
        |  bpe_str
        |FROM d ORDER BY doc_id""".stripMargin
   }
+
+  /** bpe_vocab oracle: the merge table itself — each round's 1-row
+    * argmax CTE unioned with its round number.
+    */
+  private val BpeVocabSql: String = {
+    val union = (1 to BpeTokenizeMerges).map { r =>
+      s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM m$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $BpeLadderCte
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
+  /** bpe_fertility oracle: per-lang tokens-per-word off the shared
+    * per-doc segmentation CTE.
+    */
+  private val BpeFertilitySql: String =
+    s"""WITH $BpeLadderCte,
+       |$BpeDocCte,
+       |f AS (
+       |  SELECT doc.lang,
+       |    CAST(len($BpeTok) AS BIGINT) AS nw,
+       |    CASE WHEN d.bpe_str = '' THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(string_split(d.bpe_str, ' ')) AS BIGINT) END AS nb
+       |  FROM documents doc JOIN d USING (doc_id))
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nb) AS BIGINT) AS n_bpe,
+       |  round(CAST(sum(nb) AS DOUBLE) / nullif(CAST(sum(nw) AS DOUBLE), 0), 6) AS fertility
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Hyperplane p as a DuckDB list literal. The plane components are
     * DRIVER-deterministic doubles ([[Similarity.planeComponent]] — a
@@ -1185,25 +1286,33 @@ object LlmQueries {
         |ORDER BY id1, id2""".stripMargin,
 
     "sentence_dedup" ->
-      """WITH sp AS (
-        |  SELECT doc_id, trim(s) AS s
-        |  FROM (SELECT doc_id,
-        |          unnest(string_split_regex(text, '[.!?。！？؟…]+')) AS s
-        |        FROM documents)
-        |  WHERE trim(s) <> ''),
-        |c AS (SELECT s, count(*) AS n FROM sp GROUP BY 1),
-        |per AS (
-        |  SELECT doc_id, count(*) AS n_sents,
-        |    sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS n_dup
-        |  FROM sp JOIN c USING (s) GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(n_sents, 0) AS BIGINT) AS n_sents,
-        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_sents,
-        |  CASE WHEN coalesce(n_sents, 0) > 0
-        |    THEN round(CAST(n_dup AS DOUBLE) / n_sents, 6)
-        |    ELSE 0.0 END AS dup_sent_frac
-        |FROM documents d LEFT JOIN per USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $sentencePostingCte,
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_sents,
+         |    sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM sp JOIN c USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_sents, 0) AS BIGINT) AS n_sents,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_sents,
+         |  CASE WHEN coalesce(n_sents, 0) > 0
+         |    THEN round(CAST(n_dup AS DOUBLE) / n_sents, 6)
+         |    ELSE 0.0 END AS dup_sent_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "sentence_dedup_clean" ->
+      s"""WITH $sentencePostingCte,
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_sents,
+         |    sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS n_cut,
+         |    array_to_string(list(s ORDER BY pos) FILTER (WHERE c.n < 2), ' ') AS clean_text
+         |  FROM sp JOIN c USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_sents, 0) AS BIGINT) AS n_sents,
+         |  CAST(coalesce(n_cut, 0) AS BIGINT) AS n_cut,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "containment_pairs" ->
       """WITH t AS (
@@ -2053,6 +2162,10 @@ object LlmQueries {
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
 
     "bpe_tokenize" -> BpeTokenizeSql,
+
+    "bpe_vocab" -> BpeVocabSql,
+
+    "bpe_fertility" -> BpeFertilitySql,
 
     "dsir_weights" ->
       s"""WITH $dsirWeightsCte

@@ -75,6 +75,22 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       "aa", "a", Bpe.Eow))
   }
 
+  test("fertility: per-lang tokens-per-word under a fixed merge table") {
+    val merges = Bpe.train(sennrich, merges = 5)
+    // en: low×5→2 toks each, lower×2→[low,e,r,</w>]=4, newest×6→
+    // [n,e,w,est</w>]=4, widest×3→[w,i,d,est</w>]=4: 16 words, 54 toks.
+    // de: "low low" → 2 words, 4 toks (merges trained on en only).
+    val enText = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val documents = Seq((1L, enText, "en"), (2L, "low low", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Bpe.fertility(documents, merges).orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(("de", 1L, 2L, 4L, 2.0), ("en", 1L, 16L, 54L, 3.375)),
+      out.toString)
+  }
+
   test("train stops early when the vocabulary is fully merged") {
     val merges = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"), merges = 10)
     // "ab" → a b </w>: two pairs, then one, then none.

@@ -851,6 +851,25 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (4L, 0L, 0L, 0.0)), out.toString)
   }
 
+  test("sentence dedup clean: cuts every duplicated occurrence, report is the exact preview") {
+    val d = docs(
+      1L -> "Buy now. Unique thought one! Buy now.", // within-doc repeat ×2
+      2L -> "Buy now. Another thing entirely?",      // shares the boilerplate
+      3L -> "Totally fresh. Nothing shared here!",
+      4L -> "")                                      // zero sentences, row kept
+    val out = Dedup.sentenceDedupClean(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "Unique thought one"),     // both "Buy now" cut
+      (2L, 2L, 1L, "Another thing entirely"),
+      (3L, 2L, 0L, "Totally fresh Nothing shared here"),
+      (4L, 0L, 0L, "")), out.toString)
+    // n_cut == the report's n_dup_sents at the shared default threshold
+    val preview = Dedup.sentenceDedup(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out.map(r => (r._1, r._3)) == preview, preview.toString)
+  }
+
   test("cluster stats: size histogram with removable counts") {
     import graft.operators.Components
     val edges = Seq(

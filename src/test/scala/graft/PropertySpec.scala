@@ -167,6 +167,51 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BPE: vocab-grain tokenization equals the projection on random corpora") {
+    import graft.operators.Bpe
+    val rnd = new Random(33)
+    for (trial <- 1 to 4) {
+      val words = (1 to 10).map(_ =>
+        (1 + rnd.nextInt(4) to 0 by -1).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = (1 to 8).map { i =>
+        val n = rnd.nextInt(9) // 0 words possible — the empty-doc row rule
+        (i.toLong, (1 to n).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val merges = Bpe.train(docs, merges = 4)
+      val a = Bpe.tokenize(docs, merges).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+      val b = Bpe.tokenizeByVocab(docs, merges).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+      assert(a == b, s"trial $trial merges=$merges")
+    }
+  }
+
+  test("sentence dedup clean equals a brute-force count-and-strip oracle") {
+    val rnd = new Random(77)
+    for (trial <- 1 to 6) {
+      val pool = (1 to 6).map(i => s"s$i ${('a' + rnd.nextInt(3)).toChar}")
+      val docs = (1 to 7).map { i =>
+        val n = rnd.nextInt(6)
+        (i.toLong, (1 to n).map(_ => pool(rnd.nextInt(pool.size))).mkString(". ") +
+          (if (n > 0) "." else ""))
+      }
+      // Brute force: split on the operator's terminator runs, trim,
+      // drop empties; count occurrences corpus-wide; cut count>=2.
+      val sentsOf = docs.map { case (id, t) =>
+        id -> t.split("[.!?。！？؟…]+").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+      val counts = sentsOf.flatMap(_._2).groupBy(identity).map { case (s, o) => s -> o.size }
+      val expected = sentsOf.map { case (id, ss) =>
+        (id, ss.size.toLong, ss.count(s => counts(s) >= 2).toLong,
+          ss.filter(s => counts(s) < 2).mkString(" "))
+      }
+      val out = Dedup.sentenceDedupClean(docs.toDF("doc_id", "text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(out == expected, s"trial $trial docs=$docs")
+    }
+  }
+
   test("maximal spans: sound, window-complete, PD-identical on random corpora") {
     val rnd = new Random(5)
     for (trial <- 1 to 5) {
