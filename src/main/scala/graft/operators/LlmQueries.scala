@@ -46,6 +46,15 @@ object LlmQueries {
         .localCheckpoint()
       () => Dedup.keepBest(documents, pairs)
         .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+    "bpe_fertility_report" -> ((s, d) => {
+      // In production the merge table is a fitted artifact read from
+      // the model store — this row prices the fertility read alone
+      // (segmentation + two bounded aggregates) without the trainer's
+      // driver rounds the bpe_* registry rows re-run per invocation.
+      val documents = docs(s, d)
+      val (merges, _) = Bpe.trainBatched(documents, merges = BpeTokenizeMerges)
+      () => Bpe.fertility(documents, merges).orderBy(col("lang"))
     }))
 
   /** Maximal-repeat span source honoring the `spark.graft.spans.pd`

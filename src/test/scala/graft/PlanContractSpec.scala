@@ -336,6 +336,17 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
       s"vocab side should broadcast at fixture scale:\n$p")
   }
 
+  test("sentence cutter: count-join + hash-aggregate rebuild, no per-doc window") {
+    // The ordered rebuild must be collect_list+array_sort inside one
+    // hash aggregate (bounded by doc length), never a doc-partitioned
+    // window over the corpus posting.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.operators.Dedup.sentenceDedupClean(docs))
+    assert(!p.contains("Window"), s"no per-doc window in the rebuild:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"count frame joins back to the posting:\n$p")
+  }
+
   test("media featurize: payload bytes never shuffle before features") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val p = plan(graft.ops.Multimodal.featurize(docs).toDF())
