@@ -267,6 +267,35 @@ object Bpe {
         coalesce(col("bpe_tokens"), array().cast("array<string>")).as("bpe_tokens"))
   }
 
+  /** Persist the trained merge table — the model-store step between
+    * the fit ([[trainBatched]], a batch job) and the deployments
+    * ([[tokenize]] as the streaming gate, [[tokenizeByVocab]] as the
+    * corpus batch). Parquet carries the schema; merge ORDER is the
+    * model, recorded explicitly in `round`.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    require(merges.nonEmpty, "saveMerges: empty merge table")
+    merges.toDF().repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a merge table written by [[saveMerges]]. The apply fold
+    * replays merges IN TRAINING ORDER, so a gapped or duplicated
+    * `round` column means a corrupt/partial artifact — fail loudly
+    * rather than tokenize with a silently reordered model.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    import spark.implicits._
+    val merges = spark.read.parquet(path).as[Merge]
+      .collect().sortBy(_.round).toSeq
+    require(merges.nonEmpty, s"loadMerges: empty merge table at $path")
+    require(merges.map(_.round) == (1 to merges.size),
+      s"loadMerges: rounds must be contiguous 1..${merges.size}, " +
+        s"got ${merges.map(_.round).mkString(",")} at $path")
+    merges
+  }
+
   /** #47y3 bpe_fertility: per-language tokenizer capacity read — BPE
     * tokens per word under a trained merge table. A language whose
     * fertility stays high after training is under-served by the merge

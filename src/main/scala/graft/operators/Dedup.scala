@@ -1835,13 +1835,21 @@ object Dedup {
     * aggregate whose collect_list is bounded by doc length. Docs with
     * no sentences keep their row through the left join.
     */
-  def sentenceDedupClean(documents: DataFrame, minCount: Long = 2L): DataFrame = {
+  def sentenceDedupClean(documents: DataFrame, minCount: Long = 2L,
+                         bySource: Boolean = false): DataFrame = {
     val sents = filter(transform(split(col("text"), SentenceClass), s => trim(s)),
       s => s =!= "")
-    val pos = documents.select(col("doc_id"), posexplode(sents).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"), col("s"), xxhash64(col("s")).as("h"))
-    val counts = pos.groupBy(col("h")).agg(count(lit(1)).as("__n"))
-    val per = pos.join(counts, Seq("h"))
+    // bySource counts within each `source` bucket — the RefinedWeb
+    // grain (boilerplate is per-site: a sentence legitimately common
+    // ACROSS sources is quotation, not chrome). Corpus-wide stays the
+    // default to match the #40o report's definition exactly.
+    val keyCols = if (bySource) Seq(col("source"), col("h")) else Seq(col("h"))
+    val pos = documents.select(
+        col("doc_id") +: (if (bySource) Seq(col("source")) else Nil) :+
+          posexplode(sents).as(Seq("pos", "s")): _*)
+      .withColumn("h", xxhash64(col("s")))
+    val counts = pos.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val per = pos.join(counts, keyCols.map(_.toString))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sents"),
         sum((col("__n") >= minCount).cast("long")).as("n_cut"),

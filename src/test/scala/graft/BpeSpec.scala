@@ -91,6 +91,24 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       out.toString)
   }
 
+  test("merge table round-trips through the model store; corrupt rounds fail loudly") {
+    val merges = Bpe.train(sennrich, merges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_store").toString
+    val path = s"$dir/merges"
+    Bpe.saveMerges(spark, merges, path)
+    assert(Bpe.loadMerges(spark, path) == merges)
+    // Tokenization with the reloaded table is bit-identical.
+    val doc = Seq((7L, "lowest")).toDF("doc_id", "text")
+    val a = Bpe.tokenize(doc, merges).collect().head.getSeq[String](1)
+    val b = Bpe.tokenize(doc, Bpe.loadMerges(spark, path)).collect().head.getSeq[String](1)
+    assert(a == b)
+    // A gapped artifact (round 3 missing) must not load.
+    val gapped = merges.filterNot(_.round == 3)
+    Bpe.saveMerges(spark, gapped, s"$dir/gapped")
+    val e = intercept[IllegalArgumentException](Bpe.loadMerges(spark, s"$dir/gapped"))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("train stops early when the vocabulary is fully merged") {
     val merges = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"), merges = 10)
     // "ab" → a b </w>: two pairs, then one, then none.

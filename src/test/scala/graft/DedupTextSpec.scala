@@ -870,6 +870,25 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(r => (r._1, r._3)) == preview, preview.toString)
   }
 
+  test("sentence dedup clean bySource: cross-source repeats are quotation, not chrome") {
+    // "Shared line" repeats across two DIFFERENT sources: corpus-wide
+    // counting cuts it everywhere; per-source counting keeps it
+    // (quotation), while the within-source repeat is still cut.
+    val d = Seq(
+      (1L, "Shared line. Footer a. Footer a.", "siteA"),
+      (2L, "Shared line. Own text here.", "siteB"))
+      .toDF("doc_id", "text", "source")
+    val global = Dedup.sentenceDedupClean(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(global == Seq((1L, 3L, ""), (2L, 1L, "Own text here")), global.toString)
+    val perSource = Dedup.sentenceDedupClean(d, bySource = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(perSource == Seq(
+      (1L, 2L, "Shared line"), (2L, 0L, "Shared line Own text here")),
+      perSource.toString)
+  }
+
   test("cluster stats: size histogram with removable counts") {
     import graft.operators.Components
     val edges = Seq(
