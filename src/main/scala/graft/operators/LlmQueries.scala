@@ -329,6 +329,11 @@ object LlmQueries {
     "shard_pack" -> ((s, d) =>
       Shard.shardPack(docs(s, d)).orderBy(col("doc_id"))),
 
+    // The trainer-grain layout: fixed 512-token sequences, docs split
+    // across boundaries — the packing manifest a data loader consumes.
+    "sequence_pack" -> ((s, d) =>
+      Shard.sequencePack(docs(s, d)).orderBy(col("doc_id"), col("seq_id"))),
+
     "lang_id" -> ((s, d) =>
       TextAnalysis.langId(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -2063,6 +2068,30 @@ object LlmQueries {
         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t),
+        |o AS (
+        |  SELECT doc_id, n_tokens, cum_tokens,
+        |    cum_tokens - n_tokens AS doc_off
+        |  FROM c)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(0, seq_id * 512 - doc_off) AS BIGINT) AS tok_start,
+        |  CAST(least(n_tokens, (seq_id + 1) * 512 - doc_off) AS BIGINT) AS tok_end,
+        |  CAST(least(n_tokens, (seq_id + 1) * 512 - doc_off)
+        |    - greatest(0, seq_id * 512 - doc_off) AS BIGINT) AS n_toks
+        |FROM o, unnest(generate_series(
+        |    CAST(floor(doc_off / 512.0) AS BIGINT),
+        |    CAST(floor((cum_tokens - 1) / 512.0) AS BIGINT))) AS s(seq_id)
+        |ORDER BY doc_id, seq_id""".stripMargin,
 
     "lang_id" -> LangIdSql,
 

@@ -34,9 +34,11 @@ object Shard {
     * PRECEDING running total falls in, so documents are never split).
     * Token convention matches `token_count`'s ws_tokens.
     */
-  def shardPack(documents: DataFrame, budgetTokens: Long = 2000L,
-                parts: Int = 32): DataFrame = {
-    require(budgetTokens > 0, "budgetTokens must be positive")
+  /** (doc_id, n_tokens, cum_tokens) — the two-phase global running
+    * total documented above, shared by [[shardPack]] and
+    * [[sequencePack]].
+    */
+  private def withGlobalCum(documents: DataFrame, parts: Int): DataFrame = {
     val toks = documents.select(col("doc_id"),
       size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
     val ranged = toks.repartitionByRange(parts, col("doc_id"))
@@ -52,9 +54,52 @@ object Shard {
       .select(col("pid"), col("offset"))
     local.join(broadcast(offsets), Seq("pid"))
       .withColumn("cum_tokens", (col("offset") + col("local_cum")).cast("bigint"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** doc_id → (n_tokens, cum_tokens, shard_id) with shards cut every
+    * `budgetTokens` whitespace tokens (a document lands in the shard its
+    * PRECEDING running total falls in, so documents are never split).
+    * Token convention matches `token_count`'s ws_tokens.
+    */
+  def shardPack(documents: DataFrame, budgetTokens: Long = 2000L,
+                parts: Int = 32): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    withGlobalCum(documents, parts)
       .withColumn("shard_id",
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / budgetTokens)
           .cast("bigint"))
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard_id"))
+  }
+
+  /** #47z sequence_pack: the TRAINER-grain layout — pack the doc_id
+    * stream into fixed `seqLen`-token training sequences, SPLITTING
+    * documents across sequence boundaries ([[shardPack]] keeps docs
+    * whole per shard; a trainer's data loader wants dense fixed-length
+    * rows with nothing dropped). Emits the packing manifest: one row
+    * per (document, sequence) overlap with the doc-relative token
+    * slice [tok_start, tok_end) that sequence consumes — every
+    * sequence except the corpus tail is exactly full by construction
+    * (spec-asserted), and concatenating each doc's slices in seq order
+    * reconstructs the doc exactly.
+    *
+    * Scale shape: the same two-phase prefix sum (no corpus-wide
+    * single-partition window), then a per-doc `sequence()` explode
+    * bounded by n_tokens/seqLen + 2 rows — output is corpus positions
+    * over seqLen, the manifest a loader shards by seq_id range.
+    */
+  def sequencePack(documents: DataFrame, seqLen: Long = 512L,
+                   parts: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    withGlobalCum(documents, parts)
+      .withColumn("__o", col("cum_tokens") - col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__o").cast("double") / seqLen).cast("bigint"),
+        floor((col("cum_tokens") - 1).cast("double") / seqLen).cast("bigint"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * seqLen - col("__o")).as("tok_start"),
+        least(col("n_tokens"), (col("seq_id") + lit(1L)) * seqLen - col("__o"))
+          .as("tok_end"))
+      .withColumn("n_toks", col("tok_end") - col("tok_start"))
   }
 }

@@ -1010,6 +1010,39 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       (1L, 3L, 3L, 0L), (2L, 2L, 5L, 0L), (3L, 1L, 6L, 1L), (4L, 4L, 10L, 1L)))
   }
 
+  test("sequence_pack: docs split at sequence boundaries, every non-tail sequence full") {
+    import graft.operators.Shard
+    // L=5, token counts 3/4/7 → offsets 0/3/7, cum 3/7/14:
+    // seq0 = doc1[0,3) + doc2[0,2); seq1 = doc2[2,4) + doc3[0,3);
+    // seq2 = doc3[3,7) — the corpus tail, 4 tokens.
+    val d = docs(1L -> "a b c", 2L -> "a b c d", 3L -> "a b c d e f g")
+    val out = Shard.sequencePack(d, seqLen = 5L).orderBy("doc_id", "seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 3L, 3L),
+      (2L, 0L, 0L, 2L, 2L), (2L, 1L, 2L, 4L, 2L),
+      (3L, 1L, 0L, 3L, 3L), (3L, 2L, 3L, 7L, 4L)), out.toString)
+    // Per-sequence totals: full at seqLen except the corpus tail, and
+    // per-doc slices concatenate back to the whole doc.
+    val bySeq = out.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(bySeq == Map(0L -> 5L, 1L -> 5L, 2L -> 4L), bySeq.toString)
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(byDoc == Map(1L -> 3L, 2L -> 4L, 3L -> 7L), byDoc.toString)
+  }
+
+  test("sequence_pack is partitioning-invariant") {
+    import graft.operators.Shard
+    val d = docs((1L to 60L).map(i =>
+      i -> (1 to (i % 9 + 1).toInt).map(j => s"t$j").mkString(" ")): _*)
+    def run(parts: Int) = Shard.sequencePack(d, seqLen = 7L, parts = parts)
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val one = run(1)
+    assert(run(8) == one && run(64) == one)
+  }
+
   test("shard_pack is partitioning-invariant (two-phase prefix sum is exact)") {
     import graft.operators.Shard
     val d = docs((1L to 100L).map(i =>
