@@ -34,10 +34,17 @@ object Bpe {
   case class Merge(round: Int, lhs: String, rhs: String,
                    merged: String, pair_count: Long)
 
+  /** [[Dedup.tokens]] with NULL text folded to the empty document, so
+    * every Bpe entry point treats a null `text` exactly like "" (a
+    * bare `size(tokens(NULL))` is -1 and silently corrupts sums; the
+    * projection/vocab twins would also disagree on the row).
+    */
+  private def docWords: Column =
+    filter(Dedup.tokens(coalesce(col("text"), lit(""))), w => w =!= "")
+
   /** Word-frequency vocabulary over [[Dedup.tokens]] words. */
   def wordFreqs(documents: DataFrame): DataFrame =
-    documents.select(explode(Dedup.tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
+    documents.select(explode(docWords).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
   /** Initial segmentation: characters plus the end-of-word marker. */
@@ -227,8 +234,7 @@ object Bpe {
     */
   def tokenize(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
     val segmented = documents
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("__w"))
-      .select(col("doc_id"), filter(col("__w"), w => w =!= "").as("__w"))
+      .select(col("doc_id"), docWords.as("__w"))
       .select(col("doc_id"), transform(col("__w"), w =>
         merges.foldLeft(initSymbols(w))((s, m) => mergeSyms(s, m.lhs, m.rhs))
       ).as("__s"))
@@ -252,12 +258,9 @@ object Bpe {
     */
   def tokenizeByVocab(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
     val words = documents
-      .select(col("doc_id"), filter(Dedup.tokens(col("text")), w => w =!= "").as("__w"))
+      .select(col("doc_id"), docWords.as("__w"))
       .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "w")))
-    val vocab = words.select(col("w")).distinct()
-      .withColumn("syms",
-        merges.foldLeft(initSymbols(col("w")))((s, m) => mergeSyms(s, m.lhs, m.rhs)))
-    val perDoc = words.join(vocab, Seq("w"))
+    val perDoc = wordSegments(words, merges)
       .groupBy(col("doc_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("syms")))),
@@ -265,6 +268,25 @@ object Bpe {
     documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("bpe_tokens"), array().cast("array<string>")).as("bpe_tokens"))
+  }
+
+  /** The (position, word) posting joined to its per-distinct-word
+    * segmentation. The join ships 8-byte xxhash64 keys (the repo's
+    * string-key-shuffle rule — at broadcast scale it's moot, but the
+    * documented sort-merge fallback would otherwise sort the corpus
+    * posting on variable-width word strings); a residual `w` equality
+    * keeps exactness against hash collisions.
+    */
+  private def wordSegments(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val vocab = words.select(col("w")).distinct()
+      .withColumn("__h", xxhash64(col("w")))
+      .withColumn("syms",
+        merges.foldLeft(initSymbols(col("w")))((s, m) => mergeSyms(s, m.lhs, m.rhs)))
+      .withColumnRenamed("w", "__vw")
+    words.withColumn("__h", xxhash64(col("w")))
+      .join(vocab, Seq("__h"))
+      .filter(col("w") === col("__vw"))
+      .drop("__h", "__vw")
   }
 
   /** Persist the trained merge table — the model-store step between
@@ -306,17 +328,26 @@ object Bpe {
     * so the ratio is deterministic under any partitioning.
     */
   def fertility(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val seg = tokenizeByVocab(documents, merges)
-      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("nb"))
-    documents.select(col("doc_id"), col("lang"),
-        size(filter(Dedup.tokens(col("text")), w => w =!= ""))
-          .cast("long").as("nw"))
-      .join(seg, Seq("doc_id"))
+    // Counts only — no token-array assembly: the per-word fold's SIZE
+    // is all the report needs, so the posting aggregates size(syms)
+    // per doc instead of collect_list'ing and flattening full symbol
+    // arrays (the r8 review finding), and word counts fall out of the
+    // same posting instead of a second corpus tokens pass. Zero-word
+    // docs re-enter through the left join with 0/0.
+    val words = documents
+      .select(col("doc_id"), docWords.as("__w"))
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "w")))
+    val perDoc = wordSegments(words, merges)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(size(col("syms"))).as("nb"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("nw")).as("n_words"),
-        sum(col("nb")).as("n_bpe"),
-        round(sum(col("nb")).cast("double") /
-          nullif(sum(col("nw")).cast("double"), lit(0.0)), 6).as("fertility"))
+        sum(coalesce(col("nw"), lit(0L))).as("n_words"),
+        sum(coalesce(col("nb"), lit(0L))).as("n_bpe"),
+        round(sum(coalesce(col("nb"), lit(0L))).cast("double") /
+          nullif(sum(coalesce(col("nw"), lit(0L))).cast("double"), lit(0.0)), 6)
+          .as("fertility"))
   }
 }

@@ -65,6 +65,15 @@ object Dedup {
     */
   val SentenceClass = "[.!?。！？؟…]+"
 
+  /** The sentence-split convention as ONE expression ([[SentenceClass]]
+    * runs, trimmed, empties dropped) — shared by [[sentenceDedup]] and
+    * [[sentenceDedupClean]] so the report/cutter pairing (`n_cut` ≡
+    * `n_dup_sents`, spec-pinned) cannot drift through a one-sided edit.
+    */
+  private[operators] def trimmedSentences: Column =
+    filter(transform(split(col("text"), SentenceClass), s => trim(s)),
+      s => s =!= "")
+
   /** Distinct word-bigram shingles from a MATERIALIZED token-array
     * column. `t` must be a column reference, not an inline split(...)
     * expression: element_at(t, i) inside the lambda evaluates `t` on
@@ -1795,9 +1804,7 @@ object Dedup {
     * from a left join so zero-sentence docs keep their row.
     */
   def sentenceDedup(documents: DataFrame): DataFrame = {
-    val sents = filter(transform(split(col("text"), SentenceClass), s => trim(s)),
-      s => s =!= "")
-    val pos = documents.select(col("doc_id"), explode(sents).as("s"))
+    val pos = documents.select(col("doc_id"), explode(trimmedSentences).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val counts = pos.groupBy(col("h")).agg(count(lit(1)).as("__n"))
     val per = pos.join(counts, Seq("h"))
@@ -1837,19 +1844,22 @@ object Dedup {
     */
   def sentenceDedupClean(documents: DataFrame, minCount: Long = 2L,
                          bySource: Boolean = false): DataFrame = {
-    val sents = filter(transform(split(col("text"), SentenceClass), s => trim(s)),
-      s => s =!= "")
     // bySource counts within each `source` bucket — the RefinedWeb
     // grain (boilerplate is per-site: a sentence legitimately common
     // ACROSS sources is quotation, not chrome). Corpus-wide stays the
-    // default to match the #40o report's definition exactly.
-    val keyCols = if (bySource) Seq(col("source"), col("h")) else Seq(col("h"))
+    // default to match the #40o report's definition exactly. A NULL
+    // source folds to '' so the count join cannot drop its postings
+    // (null-unsafe equality would otherwise EMPTY every null-source
+    // doc's rebuilt text).
+    val keyNames = if (bySource) Seq("__src", "h") else Seq("h")
     val pos = documents.select(
-        col("doc_id") +: (if (bySource) Seq(col("source")) else Nil) :+
-          posexplode(sents).as(Seq("pos", "s")): _*)
+        col("doc_id") +:
+          (if (bySource) Seq(coalesce(col("source"), lit("")).as("__src"))
+           else Nil) :+
+          posexplode(trimmedSentences).as(Seq("pos", "s")): _*)
       .withColumn("h", xxhash64(col("s")))
-    val counts = pos.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
-    val per = pos.join(counts, keyCols.map(_.toString))
+    val counts = pos.groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("__n"))
+    val per = pos.join(counts, keyNames)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sents"),
         sum((col("__n") >= minCount).cast("long")).as("n_cut"),

@@ -746,8 +746,16 @@ object LlmQueries {
          |        FROM v${r - 1}),
          |    unnest(generate_series(1, len(l)-1)) AS t(i)
          |  WHERE len(l) >= 2 GROUP BY 1, 2),
-         |m$r AS (SELECT lhs, rhs, pair_count FROM p$r
-         |        ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |m$r AS (
+         |  -- Argmax, or a chr(1) sentinel when the round is exhausted
+         |  -- (chr(1) is outside \\p{L}\\p{N} and '</w>', so its replace
+         |  -- pattern can never match): an EMPTY m$r would otherwise
+         |  -- zero out every downstream CROSS JOIN — the Spark side
+         |  -- stops early and keeps tokenizing, so the oracle must too.
+         |  SELECT lhs, rhs, pair_count FROM (
+         |    SELECT lhs, rhs, pair_count, 1 AS pri FROM p$r
+         |    UNION ALL SELECT chr(1), chr(1), 0, 2)
+         |  ORDER BY pri, pair_count DESC, lhs, rhs LIMIT 1),
          |v$r AS (
          |  SELECT replace(v.s, ' ' || m.lhs || '  ' || m.rhs || ' ',
          |                 ' ' || m.lhs || m.rhs || ' ') AS s, freq
@@ -791,8 +799,10 @@ object LlmQueries {
     * argmax CTE unioned with its round number.
     */
   private val BpeVocabSql: String = {
+    // pair_count > 0 drops the exhaustion sentinels — real merges
+    // always count >= 1, so the table matches Spark's early stop.
     val union = (1 to BpeTokenizeMerges).map { r =>
-      s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM m$r"
+      s"SELECT $r AS round, lhs, rhs, lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM m$r WHERE pair_count > 0"
     }.mkString("\nUNION ALL\n")
     s"""WITH $BpeLadderCte
        |$union

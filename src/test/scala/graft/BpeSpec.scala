@@ -109,6 +109,22 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("contiguous"))
   }
 
+  test("NULL text folds to the empty document across the whole family") {
+    val merges = Bpe.train(sennrich, merges = 3)
+    val documents = Seq((1L, "low low", "en"), (2L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val a = Bpe.tokenize(documents, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    val b = Bpe.tokenizeByVocab(documents, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    assert(a == b, s"twins must agree on NULL text: a=$a b=$b")
+    assert(a(1)._2.isEmpty, "NULL text tokenizes to []")
+    // fertility: the NULL doc contributes 0/0, never a size(NULL) = -1.
+    val f = Bpe.fertility(documents, merges).collect().head
+    assert(f.getAs[Long]("n_docs") == 2L && f.getAs[Long]("n_words") == 2L,
+      f.toString)
+  }
+
   test("train stops early when the vocabulary is fully merged") {
     val merges = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"), merges = 10)
     // "ab" → a b </w>: two pairs, then one, then none.

@@ -887,6 +887,17 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(perSource == Seq(
       (1L, 2L, "Shared line"), (2L, 0L, "Shared line Own text here")),
       perSource.toString)
+    // NULL source folds to one '' bucket — the doc's text must SURVIVE
+    // (a null-unsafe count join would drop its postings and empty it).
+    val n = Seq((1L, "Keep me. Keep me.", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val nOut = Dedup.sentenceDedupClean(n, bySource = true).collect().head
+    assert((nOut.getLong(1), nOut.getLong(2), nOut.getString(3)) ==
+      ((2L, 2L, "")), nOut.toString)
+    val nKeep = Seq((1L, "Only once here.", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val kOut = Dedup.sentenceDedupClean(nKeep, bySource = true).collect().head
+    assert(kOut.getString(3) == "Only once here", kOut.toString)
   }
 
   test("cluster stats: size histogram with removable counts") {
