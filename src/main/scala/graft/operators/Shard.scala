@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,12 +38,18 @@ object Shard {
     * total documented above, shared by [[shardPack]] and
     * [[sequencePack]].
     */
-  private def withGlobalCum(documents: DataFrame, parts: Int): DataFrame = {
-    val toks = documents.select(col("doc_id"),
+  private def withGlobalCum(documents: DataFrame, parts: Int,
+                            orderKey: Option[Column] = None): DataFrame = {
+    val toks0 = documents.select(col("doc_id"),
       size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
-    val ranged = toks.repartitionByRange(parts, col("doc_id"))
+    // Optional ordering key ahead of doc_id (doc_id stays the
+    // tie-break, so the total order is always strict).
+    val toks = orderKey.fold(toks0)(k => toks0.withColumn("__k", k))
+    val sortCols = if (orderKey.isDefined) Seq(col("__k"), col("doc_id"))
+                   else Seq(col("doc_id"))
+    val ranged = toks.repartitionByRange(parts, sortCols: _*)
       .withColumn("pid", spark_partition_id())
-    val byPid = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val byPid = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
     val local = ranged.withColumn("local_cum", sum(col("n_tokens")).over(byPid))
     // Exclusive prefix offsets over the per-range totals: ≤ `parts` rows,
     // so the unpartitioned window is metadata-sized by construction.
@@ -89,9 +95,18 @@ object Shard {
     * over seqLen, the manifest a loader shards by seq_id range.
     */
   def sequencePack(documents: DataFrame, seqLen: Long = 512L,
-                   parts: Int = 32): DataFrame = {
+                   parts: Int = 32, shuffled: Boolean = false): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    withGlobalCum(documents, parts)
+    // shuffled packs the DERANDOMIZED-shuffle doc order (xxhash64 of
+    // doc_id, doc_id tie-break) instead of doc_id order: adjacent docs
+    // in a crawl are correlated (same source/site/day), and packing
+    // them into the same training sequence concentrates that
+    // correlation — hash order decorrelates deterministically, stays
+    // partition-invariant, and reproduces bit-identically run to run.
+    // doc_id order stays the default (and the oracle row): it is the
+    // inspectable layout, and a loader can always shuffle sequences.
+    val key = if (shuffled) Some(xxhash64(col("doc_id"))) else None
+    withGlobalCum(documents, parts, key)
       .withColumn("__o", col("cum_tokens") - col("n_tokens"))
       .withColumn("seq_id", explode(sequence(
         floor(col("__o").cast("double") / seqLen).cast("bigint"),

@@ -1043,6 +1043,34 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(byDoc == Map(1L -> 3L, 2L -> 4L, 3L -> 7L), byDoc.toString)
   }
 
+  test("sequence_pack shuffled: hash-order packing keeps the invariants, different layout") {
+    import graft.operators.Shard
+    val d = docs((1L to 20L).map(i =>
+      i -> (1 to (i % 5 + 2).toInt).map(j => s"t$j").mkString(" ")): _*)
+    val out = Shard.sequencePack(d, seqLen = 7L, shuffled = true)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // Same conservation laws as doc_id order: per-doc slices cover each
+    // doc exactly, and every sequence except the tail is exactly full.
+    val nTokens = (1L to 20L).map(i => i -> (i % 5 + 2)).toMap
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(byDoc == nTokens, byDoc.toString)
+    val bySeq = out.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val tail = bySeq.keys.max
+    assert(bySeq.filterKeys(_ != tail).values.forall(_ == 7L), bySeq.toString)
+    // Determinism + a genuinely different layout from doc_id order.
+    val again = Shard.sequencePack(d, seqLen = 7L, shuffled = true, parts = 64)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(again == out, "hash order must be partition-invariant")
+    val plain = Shard.sequencePack(d, seqLen = 7L)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(plain != out.map(r => (r._1, r._2)), "layouts should differ")
+  }
+
   test("sequence_pack is partitioning-invariant") {
     import graft.operators.Shard
     val d = docs((1L to 60L).map(i =>

@@ -119,6 +119,19 @@ class UnicodeTextSpec extends AnyFunSuite with SparkSpec {
       Set("de", "en", "es", "fr", "vi"), "battery list must not grow")
   }
 
+  test("sentence cutter splits on CJK terminators and strips CJK boilerplate") {
+    // The CJK full stop bounds sentences; the repeated banner is cut
+    // everywhere, per-doc unique sentences survive with their scripts
+    // intact.
+    val out = Dedup.sentenceDedupClean(docs(
+      1L -> "重要提示。市場が上がる。",
+      2L -> "重要提示。Giá tăng mạnh!")).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, "市場が上がる"),
+      (2L, 2L, 1L, "Giá tăng mạnh")), out.toString)
+  }
+
   test("sentence stats split on CJK/Arabic terminators") {
     val out = TextSignals.sentenceStats(
       docs(1L -> "Xin chào thế giới。Tốt quá！Sao؟")).collect().head
