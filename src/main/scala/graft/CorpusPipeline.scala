@@ -57,13 +57,29 @@ object CorpusPipeline {
              keepBestQuality: Boolean = false,
              normalizeFirst: Boolean = false,
              gopherRules: Boolean = false,
-             classifierGate: Boolean = false): DataFrame = {
+             classifierGate: Boolean = false,
+             stripBoilerplate: Boolean = false): DataFrame = {
     // 0. Optional canonicalization — BEFORE hashing/gating so exact
     //    dedup collapses case/whitespace variants of the same content.
     //    (n_chars needs no recompute: withQuality overwrites it.)
-    val canonical =
+    val canonical0 =
       if (!normalizeFirst) documents
       else documents.withColumn("text", operators.TextSignals.normalizeExpr(col("text")))
+    // 0.5. Optional boilerplate strip ([[Dedup.sentenceDedupClean]] at
+    //    the per-source grain — the RefinedWeb rule) BEFORE anything
+    //    hashes or gates: dedup keys and quality scores then see
+    //    CONTENT bytes, not chrome — a page's hash no longer changes
+    //    when its banner does, and a chrome-only page strips to empty
+    //    and dies at the quality gate instead of passing on banner
+    //    text. Unlike the other opt-in stages this one is NOT
+    //    projection-form — it adds the cutter's count-by-key shuffle
+    //    plus a doc_id join — so it is opt-in at a documented cost, on
+    //    the RAW (pre-gate) corpus where boilerplate counts belong.
+    val canonical =
+      if (!stripBoilerplate) canonical0
+      else canonical0.drop("text")
+        .join(Dedup.sentenceDedupClean(canonical0, bySource = true)
+          .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
     // 1. Annotate + gate: one projection, every enabled predicate in the
     //    same pass (the optional gates are appended columns, not joins).
     //    The gopher annotation columns are dropped after gating so the

@@ -1376,6 +1376,37 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(cls == plain.filter(keepMap))
   }
 
+  test("corpus pipeline: stripBoilerplate cuts chrome before gating and hashing") {
+    import graft.CorpusPipeline
+    val bodyA = ("the cat and the dog sat in the house and it was warm " * 3).trim
+    val bodyB = ("the bird flew over the hill and the sea was calm there " * 3).trim
+    val banner = "Subscribe to our newsletter now"
+    val rows = Seq(
+      (1L, s"$banner. $bodyA.", "en", "src0"),
+      (2L, s"$bodyB. $banner.", "en", "src0"),  // banner at the other end
+      (3L, s"$banner. $banner.", "en", "src0"), // chrome-only page
+      (4L, s"$bodyB.", "en", "src1"))           // same body, no chrome
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.99)
+    val out = CorpusPipeline.curate(rows, pairsOf = pairs,
+        stripBoilerplate = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // The banner (4 same-source occurrences) is gone from every
+    // survivor; the chrome-only page stripped to "" and died at the
+    // quality gate; bodyB stays under the per-source cut on BOTH sides
+    // (one occurrence per source bucket), so docs 2 and 4 strip to the
+    // SAME content bytes and exact dedup collapses them — the raw-hash
+    // path cannot see that (doc 4 survives the plain run).
+    assert(out.keySet == Set(1L, 2L), out.toString)
+    assert(out(1L) == bodyA && out(2L) == bodyB, out.toString)
+    assert(!out.values.exists(_.contains("Subscribe")), out.toString)
+    val plain = CorpusPipeline.curate(rows, pairsOf = pairs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(plain.contains(4L), plain.toString)
+  }
+
   test("banded LSH near-dup pairs: exact parity on identical-direction clusters") {
     // Scaled copies share the hyperplane signature exactly (sign(⟨v,r⟩)
     // is scale-invariant), so every true pair is a candidate in every
