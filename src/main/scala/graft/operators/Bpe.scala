@@ -289,6 +289,47 @@ object Bpe {
       .drop("__h", "__vw")
   }
 
+  /** #47z2 sequence_pack_bpe: the ACTUAL trainer feed — fixed-length
+    * sequences of REAL BPE tokens. [[Shard.sequencePack]] lays out
+    * whitespace-token counts (a manifest); this op packs the trained
+    * tokenizer's output itself: segment ([[tokenizeByVocab]]), prefix-
+    * sum the BPE counts (the same two-phase [[Shard.globalCum]] — no
+    * corpus-wide single-partition window), explode each doc's
+    * (sequence, slice) overlaps, `slice()` the token arrays, and
+    * assemble each sequence from its doc slices in doc_id order. Every
+    * sequence except the corpus tail is exactly `seqLen` tokens
+    * (spec-asserted); per-sequence assembly is a collect_list bounded
+    * by `seqLen` entries by construction.
+    */
+  def packedSequences(documents: DataFrame, merges: Seq[Merge],
+                      seqLen: Long = 512L, parts: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val seg = tokenizeByVocab(documents, merges)
+    val counts = seg.select(col("doc_id"),
+      size(col("bpe_tokens")).cast("bigint").as("n_tokens"))
+    val manifest = Shard.globalCum(counts, parts)
+      .filter(col("n_tokens") > 0)
+      .withColumn("__o", col("cum_tokens") - col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__o").cast("double") / seqLen).cast("bigint"),
+        floor((col("cum_tokens") - 1).cast("double") / seqLen).cast("bigint"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * seqLen - col("__o")).as("tok_start"),
+        least(col("n_tokens"), (col("seq_id") + lit(1L)) * seqLen - col("__o"))
+          .as("tok_end"))
+    manifest.join(seg, Seq("doc_id"))
+      .select(col("seq_id"), col("doc_id"),
+        slice(col("bpe_tokens"), (col("tok_start") + lit(1)).cast("int"),
+          (col("tok_end") - col("tok_start")).cast("int")).as("__toks"))
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("__toks")))),
+        e => e.getField("__toks"))).as("tokens"))
+      .select(col("seq_id"),
+        size(col("tokens")).cast("long").as("n_toks"),
+        concat_ws(" ", col("tokens")).as("toks_str"))
+  }
+
   /** Persist the trained merge table — the model-store step between
     * the fit ([[trainBatched]], a batch job) and the deployments
     * ([[tokenize]] as the streaming gate, [[tokenizeByVocab]] as the

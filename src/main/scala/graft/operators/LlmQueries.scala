@@ -411,6 +411,15 @@ object LlmQueries {
       Bpe.fertility(documents, merges).orderBy(col("lang"))
     }),
 
+    // The actual trainer feed: fixed 512-token sequences of REAL BPE
+    // tokens (sequence_pack lays out whitespace counts; this packs the
+    // tokenizer output itself, docs split across boundaries).
+    "sequence_pack_bpe" -> ((s, d) => {
+      val documents = docs(s, d)
+      val (merges, _) = Bpe.trainBatched(documents, merges = BpeTokenizeMerges)
+      Bpe.packedSequences(documents, merges).orderBy(col("seq_id"))
+    }),
+
     // DSIR importance weights against the lang='en' target slice — the
     // hashed-feature fit and scoring replayed exactly by the oracle.
     "dsir_weights" -> ((s, d) =>
@@ -827,6 +836,39 @@ object LlmQueries {
        |  CAST(sum(nb) AS BIGINT) AS n_bpe,
        |  round(CAST(sum(nb) AS DOUBLE) / nullif(CAST(sum(nw) AS DOUBLE), 0), 6) AS fertility
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** sequence_pack_bpe oracle: BPE segmentation (the shared ladder +
+    * per-doc CTE) → prefix sum over BPE counts → per-doc (sequence,
+    * slice) overlaps → list slices reassembled per sequence in doc_id
+    * order.
+    */
+  private val BpeSequencePackSql: String =
+    s"""WITH $BpeLadderCte,
+       |$BpeDocCte,
+       |n AS (
+       |  SELECT doc_id, string_split(bpe_str, ' ') AS l,
+       |    CAST(len(string_split(bpe_str, ' ')) AS BIGINT) AS n_tokens
+       |  FROM d WHERE bpe_str <> ''),
+       |cu AS (
+       |  SELECT doc_id, l, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM n),
+       |o AS (
+       |  SELECT doc_id, l, n_tokens, cum_tokens,
+       |    cum_tokens - n_tokens AS doc_off
+       |  FROM cu),
+       |sl AS (
+       |  SELECT doc_id, seq_id,
+       |    l[CAST(greatest(0, seq_id * 512 - doc_off) AS BIGINT) + 1 :
+       |      CAST(least(n_tokens, (seq_id + 1) * 512 - doc_off) AS BIGINT)] AS toks
+       |  FROM o, unnest(generate_series(
+       |      CAST(floor(doc_off / 512.0) AS BIGINT),
+       |      CAST(floor((cum_tokens - 1) / 512.0) AS BIGINT))) AS s(seq_id))
+       |SELECT seq_id,
+       |  CAST(len(flatten(list(toks ORDER BY doc_id))) AS BIGINT) AS n_toks,
+       |  array_to_string(flatten(list(toks ORDER BY doc_id)), ' ') AS toks_str
+       |FROM sl GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
   /** Hyperplane p as a DuckDB list literal. The plane components are
     * DRIVER-deterministic doubles ([[Similarity.planeComponent]] — a
@@ -2214,6 +2256,8 @@ object LlmQueries {
     "bpe_vocab" -> BpeVocabSql,
 
     "bpe_fertility" -> BpeFertilitySql,
+
+    "sequence_pack_bpe" -> BpeSequencePackSql,
 
     "dsir_weights" ->
       s"""WITH $dsirWeightsCte

@@ -39,9 +39,17 @@ object Shard {
     * [[sequencePack]].
     */
   private def withGlobalCum(documents: DataFrame, parts: Int,
-                            orderKey: Option[Column] = None): DataFrame = {
-    val toks0 = documents.select(col("doc_id"),
-      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+                            orderKey: Option[Column] = None): DataFrame =
+    globalCum(documents.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens")),
+      parts, orderKey)
+
+  /** The two-phase prefix sum over an arbitrary (doc_id, n_tokens)
+    * frame — [[withGlobalCum]] for callers that count something other
+    * than whitespace tokens (e.g. [[Bpe.packedSequences]]' BPE counts).
+    */
+  private[operators] def globalCum(toks0: DataFrame, parts: Int,
+                                   orderKey: Option[Column] = None): DataFrame = {
     // Optional ordering key ahead of doc_id (doc_id stays the
     // tie-break, so the total order is always strict).
     val toks = orderKey.fold(toks0)(k => toks0.withColumn("__k", k))

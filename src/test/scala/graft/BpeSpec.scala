@@ -125,6 +125,22 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       f.toString)
   }
 
+  test("packedSequences: real-token sequences, full except tail, split docs reassemble") {
+    val merges = Bpe.train(sennrich, merges = 5)
+    // doc1: low→[low,</w>], lower→[low,e,r,</w>] = 6 tokens;
+    // doc2: newest×2→[n,e,w,est</w>]×2, low→[low,</w>] = 10 tokens.
+    val documents = Seq((1L, "low lower"), (2L, "newest newest low"))
+      .toDF("doc_id", "text")
+    val out = Bpe.packedSequences(documents, merges, seqLen = 4L)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (0L, 4L, "low </w> low e"),
+      (1L, 4L, "r </w> n e"),          // doc1's tail + doc2's head — the split
+      (2L, 4L, "w est</w> n e"),
+      (3L, 4L, "w est</w> low </w>")), out.toString)
+  }
+
   test("train stops early when the vocabulary is fully merged") {
     val merges = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"), merges = 10)
     // "ab" → a b </w>: two pairs, then one, then none.
