@@ -186,6 +186,35 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BPE packed sequences reconstruct the corpus token stream exactly") {
+    import graft.operators.Bpe
+    val rnd = new Random(55)
+    for (trial <- 1 to 3) {
+      val words = (1 to 8).map(_ =>
+        (1 + rnd.nextInt(3) to 0 by -1).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = (1 to 10).map { i =>
+        (i.toLong, (1 to rnd.nextInt(7)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val merges = Bpe.train(docs, merges = 3)
+      val seqLen = 3L + rnd.nextInt(6)
+      val packed = Bpe.packedSequences(docs, merges, seqLen = seqLen)
+        .orderBy("seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      // Conservation: sequences in seq_id order concatenate to exactly
+      // the doc_id-order corpus token stream — nothing lost, nothing
+      // reordered, nothing duplicated.
+      val stream = packed.map(_._3).filter(_.nonEmpty).mkString(" ")
+      val expected = Bpe.tokenize(docs, merges).orderBy("doc_id").collect()
+        .flatMap(r => r.getSeq[String](1)).mkString(" ")
+      assert(stream == expected, s"trial $trial seqLen=$seqLen")
+      // Fullness: every sequence except the tail is exactly seqLen.
+      packed.dropRight(1).foreach { case (sid, n, _) =>
+        assert(n == seqLen, s"trial $trial seq $sid has $n != $seqLen") }
+      // Sequence ids are contiguous from 0.
+      assert(packed.map(_._1) == packed.indices.map(_.toLong), packed.map(_._1).toString)
+    }
+  }
+
   test("sentence dedup clean equals a brute-force count-and-strip oracle") {
     val rnd = new Random(77)
     for (trial <- 1 to 6) {
