@@ -324,17 +324,30 @@ object Bpe {
         greatest(lit(0L), col("seq_id") * seqLen - col("__o")).as("tok_start"),
         least(col("n_tokens"), (col("seq_id") + lit(1L)) * seqLen - col("__o"))
           .as("tok_end"))
-    manifest.join(seg, Seq("doc_id"))
+    val assembled = manifest.join(seg, Seq("doc_id"))
       .select(col("seq_id"), col("doc_id"),
         slice(col("bpe_tokens"), (col("tok_start") + lit(1)).cast("int"),
           (col("tok_end") - col("tok_start")).cast("int")).as("__toks"))
       .groupBy(col("seq_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("doc_id"), col("__toks")))),
-        e => e.getField("__toks"))).as("tokens"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("__toks"))))
+        .as("__sl"))
+    // doc_breaks: the offset where each document's slice starts inside
+    // the sequence (exclusive prefix sums of the slice sizes) — the
+    // attention-reset / EOS positions a trainer's loader needs to mask
+    // cross-document attention in a packed row.
+    val sizes = transform(col("__sl"), e => size(e.getField("__toks")).cast("long"))
+    val breaks = slice(
+      aggregate(sizes, array(lit(0L)),
+        (acc, s) => concat(acc, array(element_at(acc, -1) + s))),
+      lit(1), size(col("__sl")))
+    assembled
+      .select(col("seq_id"),
+        flatten(transform(col("__sl"), e => e.getField("__toks"))).as("tokens"),
+        concat_ws(" ", transform(breaks, b => b.cast("string"))).as("doc_breaks"))
       .select(col("seq_id"),
         size(col("tokens")).cast("long").as("n_toks"),
-        concat_ws(" ", col("tokens")).as("toks_str"))
+        concat_ws(" ", col("tokens")).as("toks_str"),
+        col("doc_breaks"))
   }
 
   /** Persist the trained merge table — the model-store step between

@@ -864,11 +864,18 @@ object LlmQueries {
        |      CAST(least(n_tokens, (seq_id + 1) * 512 - doc_off) AS BIGINT)] AS toks
        |  FROM o, unnest(generate_series(
        |      CAST(floor(doc_off / 512.0) AS BIGINT),
-       |      CAST(floor((cum_tokens - 1) / 512.0) AS BIGINT))) AS s(seq_id))
+       |      CAST(floor((cum_tokens - 1) / 512.0) AS BIGINT))) AS s(seq_id)),
+       |g AS (
+       |  SELECT seq_id, list(toks ORDER BY doc_id) AS sl
+       |  FROM sl GROUP BY seq_id)
        |SELECT seq_id,
-       |  CAST(len(flatten(list(toks ORDER BY doc_id))) AS BIGINT) AS n_toks,
-       |  array_to_string(flatten(list(toks ORDER BY doc_id)), ' ') AS toks_str
-       |FROM sl GROUP BY seq_id ORDER BY seq_id""".stripMargin
+       |  CAST(len(flatten(sl)) AS BIGINT) AS n_toks,
+       |  array_to_string(flatten(sl), ' ') AS toks_str,
+       |  array_to_string(list_transform(generate_series(1, len(sl)),
+       |    i -> CAST(CAST(coalesce(
+       |      list_sum(list_transform(sl[1:i-1], x -> len(x))), 0)
+       |      AS BIGINT) AS VARCHAR)), ' ') AS doc_breaks
+       |FROM g ORDER BY seq_id""".stripMargin
 
   /** Hyperplane p as a DuckDB list literal. The plane components are
     * DRIVER-deterministic doubles ([[Similarity.planeComponent]] — a

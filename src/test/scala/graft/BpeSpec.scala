@@ -133,12 +133,12 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       .toDF("doc_id", "text")
     val out = Bpe.packedSequences(documents, merges, seqLen = 4L)
       .orderBy("seq_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
     assert(out == Seq(
-      (0L, 4L, "low </w> low e"),
-      (1L, 4L, "r </w> n e"),          // doc1's tail + doc2's head — the split
-      (2L, 4L, "w est</w> n e"),
-      (3L, 4L, "w est</w> low </w>")), out.toString)
+      (0L, 4L, "low </w> low e", "0"),
+      (1L, 4L, "r </w> n e", "0 2"),   // doc1's tail + doc2's head — the split
+      (2L, 4L, "w est</w> n e", "0"),  // doc_breaks marks the attention reset
+      (3L, 4L, "w est</w> low </w>", "0")), out.toString)
   }
 
   test("train stops early when the vocabulary is fully merged") {
