@@ -35,8 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `(permA(i)·h + permB(i)) % permM` (products < 2⁶² — no overflow).
   * Empty or NULL shingle arrays return NULL, matching `array_min` over
   * an empty transform (the band-key md5 then sees all-null parts on
-  * both forms). NULL shingle elements are not expected (shingles are
-  * built strings) and hash as empty input bytes.
+  * both forms). NULL shingle elements are SKIPPED, exactly as
+  * `array_min` skips the null the `transform(..., md5)` base pass maps
+  * them to (ADVICE r8 — previously they hashed as empty bytes, a
+  * divergence guarded only by the "shingles are built strings"
+  * convention); an array whose elements are ALL null folds to NULL
+  * like the empty array.
   */
 case class PortableMinhashSig(child: Expression, permA: Array[Long],
                               permB: Array[Long], permM: Long)
@@ -69,13 +73,16 @@ case class PortableMinhashSig(child: Expression, permA: Array[Long],
       val aRef = ctx.addReferenceObj("permA", permA, "long[]")
       val bRef = ctx.addReferenceObj("permB", permB, "long[]")
       val n = ctx.freshName("n")
+      val r = ctx.freshName("sig")
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.PortableMinhashSig.signature(
-         |    $a, $n, $aRef, $bRef, ${permM}L);
+         |  org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |    graft.functions.PortableMinhashSig.signature(
+         |      $a, $n, $aRef, $bRef, ${permM}L);
+         |  if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
          |}
        """.stripMargin
     })
@@ -102,25 +109,32 @@ object PortableMinhashSig {
     v % permM
   }
 
-  /** The full signature loop — shared by eval and generated code. */
+  /** The full signature loop — shared by eval and generated code.
+    * Null elements are skipped (`array_min` semantics over the
+    * null-mapping md5 transform); returns null when no non-null
+    * element exists (the all-null array folds like the empty one).
+    */
   def signature(arr: ArrayData, n: Int, permA: Array[Long],
                 permB: Array[Long], permM: Long): GenericArrayData = {
     val perms = permA.length
     val mins = Array.fill(perms)(Long.MaxValue)
+    var seen = false
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
-      val h = if (s == null) baseHash(UTF8String.EMPTY_UTF8, permM)
-              else baseHash(s, permM)
-      var i = 0
-      while (i < perms) {
-        val v = (permA(i) * h + permB(i)) % permM
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (s != null) {
+        seen = true
+        val h = baseHash(s, permM)
+        var i = 0
+        while (i < perms) {
+          val v = (permA(i) * h + permB(i)) % permM
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 }
 

@@ -43,20 +43,29 @@ object Hybrid {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
-    // Fail-loudly guard (ADVICE r7): a missing or zero-norm query
-    // vector would make `q` empty, the crossJoin an empty dense arm,
-    // and fuse would still return top-k — silently lexical-only. The
-    // count is a bounded driver action on a keyed filter (the
-    // quantizer-fit pattern), not a corpus collect.
-    val nq = e.filter(col("vec_id") === queryVecId).count()
-    require(nq == 1L,
-      s"hybrid topk: queryVecId=$queryVecId must have exactly one " +
-        s"nonzero-norm embedding row, found $nq — an empty dense arm " +
-        "would silently degrade the fusion to lexical-only results")
+    // Fail-loudly guard (ADVICE r7, made lazy per ADVICE r8): a
+    // missing or zero-norm query vector would make the dense arm
+    // empty and fuse would still return top-k — silently
+    // lexical-only. The guard rides INSIDE the plan as the broadcast
+    // 1-row raise_error (the guardedShinglePostings idiom): the
+    // keyed agg always yields exactly one row (count 0 on no match),
+    // so the crossJoin never silently drops, and the filter
+    // referencing __chk keeps the raise_error alive. No eager
+    // driver action at operator construction.
     val q = e.filter(col("vec_id") === queryVecId)
-      .select(col("v").as("qv"), col("nrm").as("qn"))
+      .agg(count(lit(1)).as("__nq"),
+        first(col("v")).as("qv"), first(col("nrm")).as("qn"))
+      .withColumn("__chk",
+        when(col("__nq") =!= 1, raise_error(concat(
+          lit(s"hybrid topk: queryVecId=$queryVecId must have exactly one " +
+            "nonzero-norm embedding row, found "),
+          col("__nq").cast("string"),
+          lit(" — an empty dense arm would silently degrade the fusion " +
+            "to lexical-only results")))).otherwise(lit(1)))
+      .select(col("qv"), col("qn"), col("__chk"))
     val cand = e.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
+      .filter(col("__chk") === 1)
       .select(col("vec_id").as("doc_id"),
         round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("cos_sim"))

@@ -731,7 +731,10 @@ object LlmQueries {
     * `\p{L}\p{N}` characters plus `</w>` — never a space — so the
     * separator cannot collide with symbol text.
     */
-  private val BpeTok = "list_filter(string_split_regex(regexp_replace(lower(text), " +
+  // coalesce mirrors Bpe.docWords' null-folds-to-empty convention
+  // (ADVICE r8): a null-text doc must yield 0/'' here as it does from
+  // tokenizeByVocab, not NULL n_bpe/bpe_str.
+  private val BpeTok = "list_filter(string_split_regex(regexp_replace(lower(coalesce(text, '')), " +
     "'([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), " +
     "'[^\\p{L}\\p{N}]+'), w -> w <> '')"
 
@@ -2117,7 +2120,7 @@ object LlmQueries {
     "shard_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(string_split_regex(coalesce(text, ''), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
@@ -2131,7 +2134,7 @@ object LlmQueries {
     "sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(string_split_regex(coalesce(text, ''), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,

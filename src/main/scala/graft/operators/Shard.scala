@@ -40,8 +40,15 @@ object Shard {
     */
   private def withGlobalCum(documents: DataFrame, parts: Int,
                             orderKey: Option[Column] = None): DataFrame =
+    // Null text folds to '' (the ADVICE-r6 row-membership rule every
+    // text op honors): without the coalesce a null-text doc gets null
+    // n_tokens, sequence() returns null, explode DROPS the doc from
+    // the manifest and shardPack emits a null shard_id row — both
+    // violating the "nothing dropped" contract. '' counts as one
+    // (empty) ws token, matching token_count's ws_tokens convention.
     globalCum(documents.select(col("doc_id"),
-      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens")),
+      size(split(coalesce(col("text"), lit("")), "\\s+"))
+        .cast("bigint").as("n_tokens")),
       parts, orderKey)
 
   /** The two-phase prefix sum over an arbitrary (doc_id, n_tokens)
@@ -115,6 +122,13 @@ object Shard {
     // inspectable layout, and a loader can always shuffle sequences.
     val key = if (shuffled) Some(xxhash64(col("doc_id"))) else None
     withGlobalCum(documents, parts, key)
+      // A zero-token doc occupies no slice of the packed stream — and
+      // its sequence(start, start-1) would be DESCENDING (sequence()
+      // auto-steps -1), emitting two phantom manifest rows. The ws
+      // front never yields 0 (split('') = ['']), but globalCum callers
+      // with real token counts do (Bpe.packedSequences guards the same
+      // way, Bpe.scala).
+      .filter(col("n_tokens") > 0)
       .withColumn("__o", col("cum_tokens") - col("n_tokens"))
       .withColumn("seq_id", explode(sequence(
         floor(col("__o").cast("double") / seqLen).cast("bigint"),

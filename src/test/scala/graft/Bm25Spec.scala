@@ -92,17 +92,27 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
         r.getAs[Double]("rrf_score"))).toSeq
     assert(fused == out, s"fuse must replay topk: $fused")
 
-    // Fail-loudly guard (ADVICE r7): a missing or zero-norm query
-    // embedding must raise, not silently return lexical-only results.
-    val eMissing = intercept[IllegalArgumentException] {
-      graft.operators.Hybrid.topk(hdocs, hemb, Seq("alpha"), queryVecId = 99L)
+    // Fail-loudly guard (ADVICE r7, lazy per ADVICE r8): a missing or
+    // zero-norm query embedding must raise AT ACTION TIME (the guard
+    // rides the plan as a broadcast 1-row raise_error — construction
+    // stays lazy, no eager scan), not silently return lexical-only
+    // results.
+    def guardMsg(body: => Unit): String = {
+      val e = intercept[Throwable](body)
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
     }
-    assert(eMissing.getMessage.contains("found 0"), eMissing.getMessage)
+    val mMissing = guardMsg {
+      graft.operators.Hybrid.topk(hdocs, hemb, Seq("alpha"), queryVecId = 99L)
+        .collect()
+    }
+    assert(mMissing.contains("found 0"), mMissing)
     val zeroEmb = Seq((0L, Array(0f, 0f), 0), (1L, Array(1f, 0f), 0))
       .toDF("vec_id", "embedding", "label")
-    val eZero = intercept[IllegalArgumentException] {
+    val mZero = guardMsg {
       graft.operators.Hybrid.topk(hdocs, zeroEmb, Seq("alpha"), queryVecId = 0L)
+        .collect()
     }
-    assert(eZero.getMessage.contains("found 0"), eZero.getMessage)
+    assert(mZero.contains("found 0"), mZero)
   }
 }

@@ -286,6 +286,36 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(5L, 7L, 9L), got.toString)
   }
 
+  test("native minhash_sig skips null shingle elements (array_min semantics)") {
+    import org.apache.spark.sql.functions.{array_min, col, conv, lit, md5, substring, transform}
+    import graft.functions.MinhashSigOps
+    // ADVICE r8: the HOF chain maps a null element to a null base hash
+    // (md5(NULL) = NULL) and array_min SKIPS it; the native loop must
+    // skip too, not hash empty bytes. All-null folds to NULL like empty.
+    val sh = Seq(
+      (1L, Seq("ab cd", null, "cd ef")),
+      (2L, Seq(null: String, null: String)))
+      .toDF("doc_id", "__sh")
+    val pA = (0 until Dedup.Perms).map(Dedup.permA).toArray
+    val pB = (0 until Dedup.Perms).map(Dedup.permB).toArray
+    val hof = sh
+      .withColumn("__hm", transform(col("__sh"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % lit(Dedup.PermM)))
+      .withColumn("sig", org.apache.spark.sql.functions.array(
+        (0 until Dedup.Perms).map(i => array_min(transform(col("__hm"),
+          h => (lit(Dedup.permA(i)) * h + lit(Dedup.permB(i))) % lit(Dedup.PermM)))): _*))
+      .select(col("doc_id"), col("sig")).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Any](1)).map(_.toSeq)).toMap
+    val native = sh
+      .withColumn("sig", MinhashSigOps.minhash_sig(col("__sh"), pA, pB, Dedup.PermM))
+      .select(col("doc_id"), col("sig")).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Any](1)).map(_.toSeq)).toMap
+    assert(native(1L).isDefined && native(1L) == hof(1L),
+      s"${native(1L)} vs ${hof(1L)}")
+    assert(native(2L).isEmpty, native(2L).toString)
+    assert(hof(2L).exists(_.forall(_ == null)))
+  }
+
   test("contamination spans: bench windows mark corpus bytes, corpus-corpus dups don't") {
     // bench = doc_id % 20 == 0 (20, 40); corpus docs 2 and 4 share
     // "QRSTUV" — a corpus-corpus duplicate that exactSpans would flag
@@ -1019,6 +1049,36 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(
       (1L, 3L, 3L, 0L), (2L, 2L, 5L, 0L), (3L, 1L, 6L, 1L), (4L, 4L, 10L, 1L)))
+  }
+
+  test("pack ops keep null- and empty-text docs (nothing-dropped contract)") {
+    import graft.operators.Shard
+    // VERDICT r8: a null-text doc must neither vanish from the
+    // sequence_pack manifest nor emit a null shard_id row. Null folds
+    // to '' (one empty ws token — token_count's convention for '').
+    // the docs() helper derives length(text) — build the frame raw
+    val d = Seq(1L -> "a b c", 2L -> (null: String), 3L -> "", 4L -> "d e")
+      .toDF("doc_id", "text")
+    val sp = Shard.shardPack(d, budgetTokens = 4L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(sp == Seq(
+      (1L, 3L, 3L, 0L), (2L, 1L, 4L, 0L), (3L, 1L, 5L, 1L), (4L, 2L, 7L, 1L)),
+      sp.toString)
+    val qp = Shard.sequencePack(d, seqLen = 3L).orderBy("doc_id", "seq_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(qp == Seq(
+      (1L, 0L, 0L, 3L, 3L),
+      (2L, 1L, 0L, 1L, 1L),
+      (3L, 1L, 0L, 1L, 1L),
+      (4L, 1L, 0L, 1L, 1L), (4L, 2L, 1L, 2L, 1L)), qp.toString)
+    // Conservation: every doc appears, per-doc slices sum to n_tokens,
+    // non-tail sequences exactly full.
+    val byDoc = qp.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(byDoc == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L), byDoc.toString)
+    val bySeq = qp.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(bySeq == Map(0L -> 3L, 1L -> 3L, 2L -> 1L), bySeq.toString)
   }
 
   test("sequence_pack: docs split at sequence boundaries, every non-tail sequence full") {
