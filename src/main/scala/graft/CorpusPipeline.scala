@@ -37,7 +37,10 @@ object CorpusPipeline {
     * bytes; `gopherRules` ANDs the Gopher rule-battery verdict
     * ([[TextSignals.withGopher]]) into the gate; `classifierGate` ANDs
     * the hashed linear classifier's verdict (inline integer-fold form,
-    * [[TextSignals.classifierKeepCol]]).
+    * [[TextSignals.classifierKeepCol]]) — and with `classifierWeights`
+    * set, the verdict of a TRAINED artifact
+    * ([[operators.Classifier.trainQualityClassifier]]) instead, as a
+    * dense-literal projection ([[TextSignals.classifierKeepColWeighted]]).
     *
     * NOTE `gopherRules` changes the published `n_words` DEFINITION:
     * the battery's filtered whitespace-word count overwrites
@@ -58,6 +61,7 @@ object CorpusPipeline {
              normalizeFirst: Boolean = false,
              gopherRules: Boolean = false,
              classifierGate: Boolean = false,
+             classifierWeights: Option[DataFrame] = None,
              stripBoilerplate: Boolean = false): DataFrame = {
     // 0. Optional canonicalization — BEFORE hashing/gating so exact
     //    dedup collapses case/whitespace variants of the same content.
@@ -93,8 +97,16 @@ object CorpusPipeline {
     val gate = Seq(
       Some(col("lang").isin(langs: _*) && col("quality_score") >= minQuality),
       if (gopherRules) Some(col("gopher_keep")) else None,
-      if (classifierGate) Some(operators.TextSignals.classifierKeepCol(
-        operators.TextSignals.tokensCol(col("text")))) else None
+      if (classifierGate) Some(classifierWeights match {
+        // Trained artifact ([[operators.Classifier]] fit) → dense
+        // literal gate; no artifact → the hash-derived demo weights.
+        // Either way the gate stays projection-form.
+        case Some(wdf) => operators.TextSignals.classifierKeepColWeighted(
+          operators.TextSignals.tokensCol(col("text")),
+          operators.Classifier.denseWeights(wdf))
+        case None => operators.TextSignals.classifierKeepCol(
+          operators.TextSignals.tokensCol(col("text")))
+      }) else None
     ).flatten.reduce(_ && _)
     val gopherOnlyCols = Seq("mean_word_len", "max_word_len", "alpha_share",
       "stop_hits", "symbol_share", "n_fail", "gopher_keep", "reasons")

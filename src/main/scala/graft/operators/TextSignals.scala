@@ -417,6 +417,22 @@ object TextSignals {
     aggregate(tokensCol, lit(0L),
       (acc, t) => acc + bucketWeight(h32(t) % lit(buckets))) >= 0
 
+  /** [[classifierKeepCol]] with TRAINED weights — the projection-form
+    * gate [[graft.CorpusPipeline]] ANDs in when a fitted artifact
+    * ([[Classifier.trainQualityClassifier]]) is supplied. The model
+    * rides as a dense bucket-indexed driver literal (micro-unit longs,
+    * bounded by contract at `buckets` entries), so the verdict stays a
+    * per-row expression: zero shuffle, zero join, streaming-safe —
+    * identical keep rule to [[qualityClassifierWeighted]] (Σ w ≥ 0,
+    * missing/empty folds to 0 ≥ 0 = keep), spec-asserted.
+    */
+  def classifierKeepColWeighted(tokensCol: Column, weights: Array[Long]): Column = {
+    val w = typedLit(weights.toSeq)
+    aggregate(tokensCol, lit(0L),
+      (acc, t) => acc +
+        element_at(w, (h32(t) % lit(weights.length.toLong)).cast("int") + 1)) >= 0
+  }
+
   /** #45f sentence_stats: sentence-grain shape signals — the grain the
     * word/doc-level batteries miss (terminal-punctuation segmentation,
     * sentence length distribution, fragment share). Machine-translated

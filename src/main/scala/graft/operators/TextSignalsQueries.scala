@@ -81,6 +81,52 @@ object TextSignalsQueries {
        |    sum((b * 2654435761) % 2000001 - 1000000) AS ws
        |  FROM p GROUP BY 1)""".stripMargin
 
+  /** Generated train ladder for the `quality_classifier_trained` /
+    * `quality_classifier_scored` oracles — the DuckDB replay of
+    * [[Classifier.trainQualityClassifier]] on the Gopher weak-label
+    * seed, one (score → update → weights) CTE triple per perceptron
+    * round (the bpe_vocab generated-ladder pattern). Every step is
+    * BIGINT arithmetic: round 0 is the smoothed-rate closed form via
+    * integer `//`, each round's delta a plain integer fold — so the
+    * weights compare EXACTLY, round for round. Assumes `f` (gopherCte)
+    * and `t` (tokCte) are in scope.
+    */
+  private def trainLadderCte(rounds: Int, buckets: Int, lrMicro: Long): String = {
+    val head =
+      s"""lab AS (
+         |  SELECT doc_id, CASE WHEN len(fl) = 0 THEN 1 ELSE 0 END AS y FROM f),
+         |tp AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $buckets AS b
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM t)),
+         |feat AS (
+         |  SELECT tp.doc_id, tp.b, CAST(count(*) AS BIGINT) AS cnt, lab.y
+         |  FROM tp JOIN lab USING (doc_id) GROUP BY tp.doc_id, tp.b, lab.y),
+         |w0 AS (
+         |  SELECT b,
+         |    (2000000 * (CAST(sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT) + 1)
+         |      + (CAST(sum(cnt) AS BIGINT) + 2))
+         |      // (2 * (CAST(sum(cnt) AS BIGINT) + 2)) - 500000 AS wt
+         |  FROM feat GROUP BY b)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT ft.doc_id, ft.y,
+         |    CAST(sum(ft.cnt * coalesce(w.wt, 0)) AS BIGINT) AS sc
+         |  FROM feat ft LEFT JOIN w${r - 1} w USING (b)
+         |  GROUP BY ft.doc_id, ft.y),
+         |u$r AS (
+         |  SELECT ft.b,
+         |    $lrMicro * CAST(sum((s.y * 2 - 1) * ft.cnt) AS BIGINT) AS dw
+         |  FROM feat ft JOIN s$r s ON ft.doc_id = s.doc_id
+         |  WHERE (CASE WHEN s.sc >= 0 THEN 1 ELSE 0 END) <> s.y
+         |  GROUP BY ft.b),
+         |w$r AS (
+         |  SELECT w.b, w.wt + coalesce(u.dw, 0) AS wt
+         |  FROM w${r - 1} w LEFT JOIN u$r u ON w.b = u.b)""".stripMargin
+    }
+    (head +: rs).mkString(",\n")
+  }
+
   /** Shared winnowing CTE chain (tokens → positioned grams → packed
     * keys → window minima → distinct picks) — the front of both the
     * `winnow_fingerprint` and `winnow_pairs` oracles.
@@ -142,14 +188,123 @@ object TextSignalsQueries {
     "quality_calibration" -> ((s, d) =>
       TextSignals.qualityCalibration(docs(s, d)).orderBy(col("decile"))),
 
+    // The in-Spark classifier FIT on the Gopher weak-label seed — the
+    // full weight ladder, oracle-checked round for round.
+    "quality_classifier_trained" -> ((s, d) =>
+      Classifier.trainOnGopher(docs(s, d)).orderBy(col("round"), col("bucket"))),
+
+    // End-to-end: documents scored by the trained (final-round)
+    // weights through qualityClassifierWeighted — proves the trained
+    // artifact plugs into the deployment scorer unchanged.
+    "quality_classifier_scored" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextSignals.qualityClassifierWeighted(dd,
+          Classifier.gopherTrainedWeights(dd))
+        .orderBy(col("doc_id"))
+    }),
+
     "chunk_split" -> ((s, d) =>
       TextSignals.chunkSplit(docs(s, d)).orderBy(col("doc_id"), col("chunk_id"))),
+
+    // The synthetic corpus has clean `source` labels and no URL column,
+    // so the row plants deterministic MESSY crawl URLs (uppercase
+    // scheme/host, www, default and non-default ports, userinfo,
+    // duplicate slashes, trailing slash, tracking params, fragments,
+    // trailing dot, scheme-less, surrounding whitespace — one family
+    // per doc_id%5) that the oracle rebuilds verbatim — the pii_scrub
+    // pattern: the check exercises real canonicalization, not a no-op.
+    "url_normalize" -> ((s, d) =>
+      Url.normalize(docs(s, d).withColumn("url", messyUrl))
+        .orderBy(col("doc_id"))),
 
     "text_normalize" -> ((s, d) =>
       TextSignals.textNormalize(docs(s, d)).orderBy(col("doc_id"))),
   )
 
+  /** Deterministic messy-URL fixture for `url_normalize` — five
+    * families over doc_id%5 (see the query row's comment), built from
+    * real table columns so the planting itself is engine-replayable.
+    */
+  private def messyUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(5L)).cast("int")
+    when(m === 0, concat(lit("HTTPS://WWW."), col("source"),
+        lit("-News.Example.CO.UK:443/Articles//item?id="), id,
+        lit("&utm_source=feed&utm_campaign=x#frag")))
+      .when(m === 1, concat(lit("http://"), col("source"),
+        lit(".example.com/path/to/page/?utm_medium=email&gclid=abc"), id))
+      .when(m === 2, concat(lit("  https://blog."), col("source"),
+        lit(".example.com.au/post/"), id, lit("?a=1&fbclid=xyz&b=2  ")))
+      .when(m === 3, concat(lit("http://user:pw@"), col("source"),
+        lit(".example.org:8080/x%20y?ref=tw&id="), id))
+      .otherwise(concat(col("source"), lit(".Example.net./no-scheme//"), id))
+  }
+
+  /** The same fixture in DuckDB. */
+  private val messyUrlSql: String =
+    """CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'HTTPS://WWW.' || source || '-News.Example.CO.UK:443/Articles//item?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed&utm_campaign=x#frag'
+      |      WHEN 1 THEN 'http://' || source || '.example.com/path/to/page/?utm_medium=email&gclid=abc' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '  https://blog.' || source || '.example.com.au/post/' || CAST(doc_id AS VARCHAR) || '?a=1&fbclid=xyz&b=2  '
+      |      WHEN 3 THEN 'http://user:pw@' || source || '.example.org:8080/x%20y?ref=tw&id=' || CAST(doc_id AS VARCHAR)
+      |      ELSE source || '.Example.net./no-scheme//' || CAST(doc_id AS VARCHAR) END""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // The [[Url]] regex chain replayed with the SAME pattern constants
+    // interpolated verbatim (Java∩RE2 — the two engines run identical
+    // pattern bytes). DuckDB regexp_replace needs the explicit 'g'
+    // flag wherever Spark's always-global semantics matter.
+    "url_normalize" ->
+      s"""WITH u0 AS (
+         |  SELECT doc_id, $messyUrlSql AS url
+         |  FROM documents),
+         |uu AS (SELECT doc_id, trim(url) AS u FROM u0),
+         |r AS (
+         |  SELECT doc_id, u,
+         |    regexp_replace(regexp_replace(regexp_replace(u,
+         |      '${Url.FragmentPattern}', ''),
+         |      '${Url.SchemeStripPattern}', ''),
+         |      '${Url.UserinfoPattern}', '') AS rest,
+         |    lower(regexp_extract(u, '${Url.SchemePattern}', 1)) AS scheme_raw
+         |  FROM uu),
+         |h AS (
+         |  SELECT *,
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(rest, '${Url.HostPattern}', 1)),
+         |      '${Url.TrailingDotPattern}', ''), '${Url.WwwPattern}', '') AS host,
+         |    CASE WHEN scheme_raw = '' THEN 'http' ELSE scheme_raw END AS scheme,
+         |    regexp_extract(rest, '${Url.PortPattern}', 1) AS port,
+         |    regexp_replace(regexp_extract(rest, '${Url.PathPattern}', 1),
+         |      '${Url.SlashRunPattern}', '/', 'g') AS path1,
+         |    regexp_replace(regexp_replace(
+         |      regexp_extract(rest, '${Url.QueryPattern}', 1),
+         |      '${Url.TrackingParamPattern}', '', 'g'),
+         |      '${Url.DanglingAmpPattern}', '', 'g') AS query
+         |  FROM r),
+         |n AS (
+         |  SELECT doc_id, u, host, scheme, port, query,
+         |    CASE WHEN path1 = '' OR path1 = '/' THEN '/'
+         |         ELSE regexp_replace(path1, '${Url.TrailingSlashPattern}', '') END AS path,
+         |    CASE WHEN regexp_matches(host, '${Url.SecondLevelPattern}')
+         |           THEN regexp_extract(host, '${Url.ThreeLabelPattern}', 1)
+         |         WHEN regexp_matches(host, '\\.')
+         |           THEN regexp_extract(host, '${Url.TwoLabelPattern}', 1)
+         |         ELSE host END AS registered_domain
+         |  FROM h),
+         |o AS (
+         |  SELECT doc_id, u, host, registered_domain,
+         |    CASE WHEN host = '' THEN '' ELSE scheme END AS scheme,
+         |    CASE WHEN host = '' THEN ''
+         |         ELSE scheme || '://' || host ||
+         |           CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+         |                  OR (scheme = 'https' AND port = '443'))
+         |                THEN ':' || port ELSE '' END ||
+         |           path ||
+         |           CASE WHEN query <> '' THEN '?' || query ELSE '' END END AS url_norm
+         |  FROM n)
+         |SELECT doc_id, u AS url, scheme, host, registered_domain, url_norm,
+         |  url_norm <> u AS changed
+         |FROM o ORDER BY doc_id""".stripMargin,
     // Winnowing replay: zipped unnests carry (pos, gram) in lockstep;
     // the packed key makes "min hash, rightmost pos on ties" a plain
     // window min with the same 4-row frame.
@@ -306,6 +461,45 @@ object TextSignalsQueries {
          |  round(sum(CASE WHEN gk THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
          |    AS gopher_keep_rate
          |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // The classifier FIT replayed round for round: Gopher weak labels
+    // → hashed-feature counts → integer closed-form init → generated
+    // perceptron rounds. The ladder compares EXACTLY (every value
+    // BIGINT — no float enters the fit).
+    "quality_classifier_trained" ->
+      s"""WITH $gopherCte,
+         |$tokCte,
+         |${trainLadderCte(Classifier.DefaultRounds, Classifier.DefaultBuckets,
+        Classifier.DefaultLrMicro)}
+         |SELECT round, bucket, weight_int FROM (
+         |${(0 to Classifier.DefaultRounds).map(r =>
+        s"  SELECT $r AS round, b AS bucket, wt AS weight_int FROM w$r")
+        .mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY round, bucket""".stripMargin,
+
+    // The trained artifact driven through the deployment scorer: final
+    // round weights joined per token occurrence, classifierTail's
+    // integer fold + one divide + sigmoid (the quality_classifier
+    // tail, weights swapped).
+    "quality_classifier_scored" ->
+      s"""WITH $gopherCte,
+         |$tokCte,
+         |${trainLadderCte(Classifier.DefaultRounds, Classifier.DefaultBuckets,
+        Classifier.DefaultLrMicro)},
+         |sa AS (
+         |  SELECT tp.doc_id, count(*) AS n_tokens,
+         |    CAST(sum(coalesce(w.wt, 0)) AS BIGINT) AS ws
+         |  FROM tp LEFT JOIN w${Classifier.DefaultRounds} w ON tp.b = w.b
+         |  GROUP BY tp.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(sa.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(round(sa.ws / (sa.n_tokens * 1000000.0), 6), 0.0) AS score,
+         |  coalesce(round(1.0 / (1.0 + exp(-(sa.ws / (sa.n_tokens * 1000000.0)))), 6),
+         |    0.5) AS prob,
+         |  coalesce(sa.ws >= 0, TRUE) AS keep
+         |FROM t LEFT JOIN sa USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Per-source rollup: gopher verdicts + classifier probabilities
     // joined at doc grain, folded to source grain over exact integer

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain canonicalization — the zero-shuffle projection that makes
+  * the per-source tier ([[TextSignals.sourceQuality]], the #40q
+  * per-source boilerplate strip, per-domain capping/blocklists)
+  * deployable on real crawl data, where `source` arrives as a raw URL,
+  * not a clean label (VERDICT r8 "What's missing" #2; the C4/RefinedWeb
+  * practice of grouping and filtering at the registered-domain grain).
+  *
+  * Canonicalization rules, in order (each a chained codegen'd regex
+  * projection — zero shuffle, zero join, streaming-safe; Java∩RE2
+  * syntax only, the [[TextAnalysis.piiScrub]] portability discipline):
+  *
+  *  1. trim; a blank/NULL url canonicalizes to all-empty fields
+  *     (row membership never depends on url nullability — ADVICE r6).
+  *  2. fragment (`#…`) stripped.
+  *  3. scheme extracted and lowercased; scheme-less URLs default to
+  *     `http` (crawl lists routinely omit it).
+  *  4. userinfo (`user:pass@`) stripped.
+  *  5. host lowercased, trailing dot stripped, leading `www.` stripped.
+  *  6. port kept ONLY when non-default for the scheme (http:80 /
+  *     https:443 drop — same origin by RFC 6454).
+  *  7. path: duplicate slashes collapse, trailing slash strips (root
+  *     stays `/`), empty → `/`. Percent-escapes are NOT decoded
+  *     (decoding changes identity for reserved characters).
+  *  8. query: tracking parameters removed (utm_*, gclid, fbclid,
+  *     msclkid, mc_cid, mc_eid, ref, ref_src, igshid), dangling `&`
+  *     trimmed; parameters are NOT reordered (reordering changes
+  *     semantics for duplicate keys); empty query drops its `?`.
+  *  9. registered domain: last two host labels, or last three when the
+  *     public suffix is a known second-level TLD ([[SecondLevelTlds]] —
+  *     a deliberately small, driver-literal subset of the public-suffix
+  *     list; the full PSL swaps in as a bigger literal, same plan).
+  *     Single-label hosts (e.g. `localhost`) register as themselves.
+  *
+  * Scale shape: one projection pass, filters/pruning reach the scan,
+  * no UDF, no HOF — every step `regexp_extract`/`regexp_replace`/
+  * `lower`, all inside whole-stage codegen.
+  */
+object Url {
+
+  /** Known second-level public suffixes (subset; see scaladoc #9).
+    * Shared verbatim by the Column expression and the generated DuckDB
+    * oracle so the two cannot drift.
+    */
+  val SecondLevelTlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.kr",
+    "com.br", "com.mx", "co.in", "com.cn", "com.tw", "com.sg",
+    "co.nz", "co.za")
+
+  /** `\.(?:co\.uk|…)$` — anchor for the three-label rule. */
+  val SecondLevelPattern: String =
+    SecondLevelTlds.map(_.replace(".", "\\.")).mkString("\\.(?:", "|", ")$")
+
+  /** Tracking-parameter strip pattern: the parameter together with its
+    * leading `&` (or start-of-query) so removal never splices two
+    * neighbors together.
+    */
+  val TrackingParamPattern: String =
+    "(?:^|&)(?:utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)=[^&]*"
+
+  // Every component regex is a named constant the DuckDB oracle
+  // interpolates VERBATIM — the two engines run the same pattern
+  // bytes (Java∩RE2 syntax), so they cannot drift.
+  val SchemePattern = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
+  val SchemeStripPattern = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+  val FragmentPattern = "#.*$"
+  val UserinfoPattern = "^[^/@?#]*@"
+  val HostPattern = "^([^/:?#]+)"
+  val TrailingDotPattern = "\\.$"
+  val WwwPattern = "^www\\."
+  val PortPattern = "^[^/:?#]+:([0-9]+)"
+  val PathPattern = "^[^/?#]*(/[^?#]*)"
+  val SlashRunPattern = "/{2,}"
+  val TrailingSlashPattern = "/$"
+  val QueryPattern = "\\?([^#]*)"
+  val DanglingAmpPattern = "^&+|&+$"
+  val TwoLabelPattern = "([^.]+\\.[^.]+)$"
+  val ThreeLabelPattern = "([^.]+\\.[^.]+\\.[^.]+)$"
+
+  private def schemeOf(u: Column): Column =
+    lower(regexp_extract(u, SchemePattern, 1))
+
+  /** url with fragment, scheme and userinfo stripped:
+    * `host[:port][/path][?query]`.
+    */
+  private def restOf(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(u, FragmentPattern, ""),
+        SchemeStripPattern, ""),
+      UserinfoPattern, "")
+
+  /** Appending form: adds `registered_domain` (plus nothing else) —
+    * the composable front for the per-domain tier
+    * (`sourceQuality(withDomain(df, "url").withColumn("source",
+    * col("registered_domain")))`).
+    */
+  def withDomain(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val host = hostOf(restOf(trim(coalesce(col(urlCol), lit("")))))
+    df.withColumn("registered_domain", registeredDomainOf(host))
+  }
+
+  private def hostOf(rest: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(rest, HostPattern, 1)),
+        TrailingDotPattern, ""),
+      WwwPattern, "")
+
+  private def registeredDomainOf(host: Column): Column =
+    when(host.rlike(SecondLevelPattern),
+      regexp_extract(host, ThreeLabelPattern, 1))
+      .otherwise(
+        when(host.rlike("\\."), regexp_extract(host, TwoLabelPattern, 1))
+          .otherwise(host))
+
+  /** Doc-grain canonicalization report: (doc_id, url, scheme, host,
+    * registered_domain, url_norm, changed). `changed` compares the
+    * canonical form against the trimmed input.
+    */
+  def normalize(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = trim(coalesce(col(urlCol), lit("")))
+    val rest = restOf(u)
+    val host = hostOf(rest)
+    val schemeRaw = schemeOf(u)
+    val scheme = when(schemeRaw === "", lit("http")).otherwise(schemeRaw)
+    val port = regexp_extract(rest, PortPattern, 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path0 = regexp_extract(rest, PathPattern, 1)
+    val path1 = regexp_replace(path0, SlashRunPattern, "/")
+    val path = when(path1 === "" || path1 === "/", lit("/"))
+      .otherwise(regexp_replace(path1, TrailingSlashPattern, ""))
+    val q0 = regexp_extract(rest, QueryPattern, 1)
+    val query = regexp_replace(
+      regexp_replace(q0, TrackingParamPattern, ""),
+      DanglingAmpPattern, "")
+    val dom = registeredDomainOf(host)
+    val norm = when(host === "", lit(""))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(query =!= "", concat(lit("?"), query)).otherwise(lit(""))))
+    df.select(col("doc_id"), u.as("url"),
+      when(host === "", lit("")).otherwise(scheme).as("scheme"),
+      host.as("host"),
+      dom.as("registered_domain"),
+      norm.as("url_norm"),
+      (norm =!= u).as("changed"))
+  }
+}

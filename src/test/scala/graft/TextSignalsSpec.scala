@@ -422,4 +422,110 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
       .orderBy("rk").collect()
     assert(out.map(_.getAs[String]("term")).toSeq == Seq("aa", "bb", "cc"))
   }
+
+  // Planted two-vocabulary fixture for the classifier fit: the good
+  // docs pass the Gopher battery (≥2 stop hits, ≥5 words, alphabetic),
+  // the bad docs fail it (no_stop), and the vocabularies are disjoint —
+  // so a correct fit must separate them perfectly.
+  private def plantedDocs = docs(
+    1L -> "the market rallied and traders cheered the gains",
+    2L -> "the traders watched the market and bought gains",
+    3L -> "the market gains and the traders rallied again",
+    4L -> "zxqv plomb krent valt nupro brix",
+    5L -> "plomb zxqv brix krent valt nupro",
+    6L -> "krent brix plomb nupro zxqv valt")
+
+  test("classifier fit: trained gate separates the planted fixture and beats the demo weights") {
+    import graft.operators.Classifier
+    val d = plantedDocs
+    val labels = TextSignals.withGopher(d)
+      .select(col("doc_id"), col("gopher_keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(labels == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false), labels.toString)
+    val ladder = Classifier.trainOnGopher(d)
+    // Ladder shape: rounds 0..R over the same bucket set; round-0
+    // weights inside the closed form's [-500000, 500000] envelope.
+    val rows = ladder.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byRound = rows.groupBy(_._1)
+    assert(byRound.keySet == Set(0, 1, 2), byRound.keySet.toString)
+    val bucketSets = byRound.view.mapValues(_.map(_._2).toSet).toMap
+    assert(bucketSets(0) == bucketSets(1) && bucketSets(1) == bucketSets(2))
+    assert(byRound(0).forall(r => r._3 >= -500000L && r._3 <= 500000L))
+    // Disjoint vocab → the init already separates → no perceptron
+    // updates fire and the ladder is flat after round 0.
+    assert(byRound(0).toSet.map((t: (Int, Long, Long)) => (t._2, t._3)) ==
+      byRound(2).toSet.map((t: (Int, Long, Long)) => (t._2, t._3)))
+    // The trained artifact drives the deployment scorer to a perfect
+    // verdict; the hash-derived demo weights do not.
+    def accuracy(weights: org.apache.spark.sql.DataFrame): Int =
+      TextSignals.qualityClassifierWeighted(d, weights)
+        .select(col("doc_id"), col("keep")).collect()
+        .count(r => r.getBoolean(1) == labels(r.getLong(0)))
+    val trained = accuracy(Classifier.finalWeights(ladder))
+    val demo = accuracy(TextSignals.demoWeights(spark))
+    assert(trained == 6, s"trained gate must separate the fixture, got $trained/6")
+    assert(trained > demo, s"trained=$trained must beat demo=$demo")
+  }
+
+  test("classifier fit: misclassified doc triggers perceptron pushback; ladder is partition-invariant") {
+    import graft.operators.Classifier
+    // Doc 7 reuses the GOOD vocabulary but fails Gopher (4 words,
+    // 1 stop hit): round 0's naive-Bayes init scores it positive
+    // (its buckets are pos-heavy), so round 1 must push exactly its
+    // buckets down by lr·cnt.
+    val d = docs(
+      1L -> "the market rallied and traders cheered the gains",
+      2L -> "the traders watched the market and bought gains",
+      3L -> "the market gains and the traders rallied again",
+      7L -> "the market rallied gains")
+    val gk = TextSignals.withGopher(d).select(col("doc_id"), col("gopher_keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!gk(7L) && gk(1L), gk.toString)
+    val ladder = Classifier.trainOnGopher(d)
+    val rows = ladder.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val w0 = rows.filter(_._1 == 0).map(t => t._2 -> t._3).toMap
+    val w1 = rows.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    val mkt = md5h32("market") % 4096
+    // doc 7 scored ≥ 0 at round 0 (pos-heavy vocab) but labels 0 →
+    // err −1 → its buckets move by −lr·cnt ("market" count 1 in doc 7).
+    assert(w0(mkt) > 0, s"NB init should score 'market' positive: ${w0(mkt)}")
+    assert(w1(mkt) == w0(mkt) - Classifier.DefaultLrMicro,
+      s"round 1 must push 'market' down by lr: ${w0(mkt)} -> ${w1(mkt)}")
+    // Exact integer folds → the ladder is partitioning-invariant.
+    val again = Classifier.trainOnGopher(d.repartition(7))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(again.toSeq == rows.sorted.toSeq)
+  }
+
+  test("trained gate: projection form agrees with the scorer; curate applies it") {
+    import graft.operators.Classifier
+    val d = plantedDocs
+    val w = Classifier.gopherTrainedWeights(d)
+    // classifierKeepColWeighted (dense-literal projection, the
+    // CorpusPipeline gate form) must replay qualityClassifierWeighted's
+    // keep verdict doc for doc.
+    val proj = d.select(col("doc_id"),
+        TextSignals.classifierKeepColWeighted(
+          TextSignals.tokensCol(col("text")), Classifier.denseWeights(w)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val scored = TextSignals.qualityClassifierWeighted(d, w)
+      .select(col("doc_id"), col("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(proj == scored, s"$proj vs $scored")
+    // End-to-end: vs the ungated run (near-dup clustering collapses
+    // some same-vocab docs either way), the trained gate removes
+    // exactly the bad-vocab class and keeps the good survivors.
+    def run(gated: Boolean) = graft.CorpusPipeline.curate(d, minQuality = 0.0,
+        pairsOf = dd => graft.operators.Dedup.ngramJaccard(dd),
+        classifierGate = gated,
+        classifierWeights = if (gated) Some(w) else None)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ungated = run(gated = false)
+    assert(ungated.exists(_ >= 4L), s"bad docs must survive ungated: $ungated")
+    assert(run(gated = true) == ungated.filter(_ <= 3L),
+      s"gate must drop exactly the bad-vocab docs: ${run(gated = true)} vs $ungated")
+  }
 }
