@@ -217,6 +217,13 @@ object TextSignalsQueries {
       Url.normalize(docs(s, d).withColumn("url", messyUrl))
         .orderBy(col("doc_id"))),
 
+    // Per-domain cap over the same fixture (five registered domains ×
+    // sf/5 docs each): cap 20 exercises real truncation on every
+    // domain at sf0.01+.
+    "domain_cap" -> ((s, d) =>
+      Url.domainCap(docs(s, d).withColumn("url", messyUrl), maxDocs = 20)
+        .orderBy(col("doc_id"))),
+
     "text_normalize" -> ((s, d) =>
       TextSignals.textNormalize(docs(s, d)).orderBy(col("doc_id"))),
   )
@@ -500,6 +507,42 @@ object TextSignalsQueries {
          |  coalesce(sa.ws >= 0, TRUE) AS keep
          |FROM t LEFT JOIN sa USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Domain derivation replayed (host → registered domain over the
+    // same fixture), cap as a plain partitioned row_number ≤ 20 — the
+    // oracle may window; the engine side must not (TopKStruct).
+    "domain_cap" ->
+      s"""WITH u0 AS (
+         |  SELECT doc_id, $messyUrlSql AS url
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(trim(url),
+         |      '${Url.FragmentPattern}', ''),
+         |      '${Url.SchemeStripPattern}', ''),
+         |      '${Url.UserinfoPattern}', '') AS rest
+         |  FROM u0),
+         |h AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(rest, '${Url.HostPattern}', 1)),
+         |      '${Url.TrailingDotPattern}', ''), '${Url.WwwPattern}', '') AS host
+         |  FROM r),
+         |dm AS (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_matches(host, '${Url.SecondLevelPattern}')
+         |           THEN regexp_extract(host, '${Url.ThreeLabelPattern}', 1)
+         |         WHEN regexp_matches(host, '\\.')
+         |           THEN regexp_extract(host, '${Url.TwoLabelPattern}', 1)
+         |         ELSE host END AS registered_domain
+         |  FROM h),
+         |rk AS (
+         |  SELECT doc_id, registered_domain,
+         |    CAST(row_number() OVER (PARTITION BY registered_domain
+         |      ORDER BY doc_id) AS INT) AS domain_rank
+         |  FROM dm)
+         |SELECT doc_id, registered_domain, domain_rank
+         |FROM rk WHERE domain_rank <= 20 ORDER BY doc_id""".stripMargin,
 
     // Per-source rollup: gopher verdicts + classifier probabilities
     // joined at doc grain, folded to source grain over exact integer

@@ -119,6 +119,30 @@ object Url {
         when(host.rlike("\\."), regexp_extract(host, TwoLabelPattern, 1))
           .otherwise(host))
 
+  /** Per-domain document cap — the Gopher/Dolma crawl-balance rule: a
+    * handful of hosts dominate any web crawl, so each registered
+    * domain keeps at most `maxDocs` documents (lowest doc_ids —
+    * deterministic, and docs already kept stay kept as the corpus
+    * grows). Output: the surviving (doc_id, registered_domain,
+    * domain_rank) rows.
+    *
+    * Scale shape: ranking via the bounded [[TopK.groupedWithRank]]
+    * TopKStruct aggregate — map-side truncation to `maxDocs` per
+    * domain, NEVER a domain-partitioned window (a mega-domain would
+    * otherwise serialize into one task); the domain derivation is the
+    * [[withDomain]] projection, so the whole operator is one
+    * aggregate over (doc_id, domain) pairs.
+    */
+  def domainCap(df: DataFrame, urlCol: String = "url",
+                maxDocs: Int = 2): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    TopK.groupedWithRank(
+      withDomain(df, urlCol).select(col("doc_id"), col("registered_domain")),
+      Seq(col("registered_domain")), maxDocs, Seq(col("doc_id")),
+      "domain_rank")
+      .select(col("doc_id"), col("registered_domain"), col("domain_rank"))
+  }
+
   /** Doc-grain canonicalization report: (doc_id, url, scheme, host,
     * registered_domain, url_norm, changed). `changed` compares the
     * canonical form against the trimmed input.

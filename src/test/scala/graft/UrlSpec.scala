@@ -53,6 +53,29 @@ class UrlSpec extends AnyFunSuite with SparkSpec {
       "https://example.com/a?b=1", false)))
   }
 
+  test("domain_cap: lowest doc_ids survive per registered domain; no window in the plan") {
+    val docs = Seq(
+      (5L, "https://a.example.com/1"),
+      (2L, "http://www.example.com/2"),
+      (9L, "https://example.com/3"),
+      (1L, "https://b.other.net/x"),
+      (7L, "https://other.net/y"),
+      (3L, "http://localhost/z"))
+      .toDF("doc_id", "url")
+    val out = Url.domainCap(docs, maxDocs = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq(
+      (1L, "other.net", 1), (2L, "example.com", 1), (3L, "localhost", 1),
+      (5L, "example.com", 2), (7L, "other.net", 2)), out.toString)
+    // Scale contract: bounded TopKStruct aggregate, never a
+    // domain-partitioned window (a mega-domain = one task otherwise).
+    val plan = Url.domainCap(docs, maxDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"domain_cap must not window-rank:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"domain_cap must rank via the bounded aggregate:\n$plan")
+  }
+
   test("withDomain wires the per-domain tier: sourceQuality groups by registered domain") {
     // Two crawl URLs of the same registered domain, one of another —
     // the #47t rollup must see TWO sources after the swap (and the
