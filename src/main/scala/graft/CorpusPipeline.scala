@@ -62,7 +62,12 @@ object CorpusPipeline {
              gopherRules: Boolean = false,
              classifierGate: Boolean = false,
              classifierWeights: Option[DataFrame] = None,
+             classifierBuckets: Int = operators.Classifier.DefaultBuckets,
              stripBoilerplate: Boolean = false): DataFrame = {
+    // A supplied trained artifact IMPLIES the gate — accepting weights
+    // and then silently not gating would let a caller believe the
+    // classifier filtered the corpus (r9 review finding).
+    val classifierGateOn = classifierGate || classifierWeights.isDefined
     // 0. Optional canonicalization — BEFORE hashing/gating so exact
     //    dedup collapses case/whitespace variants of the same content.
     //    (n_chars needs no recompute: withQuality overwrites it.)
@@ -97,13 +102,19 @@ object CorpusPipeline {
     val gate = Seq(
       Some(col("lang").isin(langs: _*) && col("quality_score") >= minQuality),
       if (gopherRules) Some(col("gopher_keep")) else None,
-      if (classifierGate) Some(classifierWeights match {
+      if (classifierGateOn) Some(classifierWeights match {
         // Trained artifact ([[operators.Classifier]] fit) → dense
         // literal gate; no artifact → the hash-derived demo weights.
         // Either way the gate stays projection-form.
+        // `classifierBuckets` MUST equal the bucket count the artifact
+        // was trained with — it sets both the dense array length and
+        // the gate's hash modulus (denseWeights raises on an artifact
+        // trained with MORE buckets; FEWER is undetectable from the
+        // sparse artifact alone, hence the explicit parameter — r9
+        // review finding).
         case Some(wdf) => operators.TextSignals.classifierKeepColWeighted(
           operators.TextSignals.tokensCol(col("text")),
-          operators.Classifier.denseWeights(wdf))
+          operators.Classifier.denseWeights(wdf, classifierBuckets))
         case None => operators.TextSignals.classifierKeepCol(
           operators.TextSignals.tokensCol(col("text")))
       }) else None

@@ -53,8 +53,27 @@ object Hybrid {
     // referencing __chk keeps the raise_error alive. No eager
     // driver action at operator construction.
     val q = e.filter(col("vec_id") === queryVecId)
-      .agg(count(lit(1)).as("__nq"),
-        first(col("v")).as("qv"), first(col("nrm")).as("qn"))
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos_sim"))
+    val dense = TopK.withRank(cand, poolK,
+        Seq(TopK.descNum(col("cos_sim")), col("doc_id")))
+      .select(col("doc_id"), col("rk").cast("long").as("dense_rk"))
+    // Fail-loudly guard (ADVICE r7, lazy per ADVICE r8): a missing or
+    // zero-norm query vector makes the dense arm empty and fuse would
+    // silently return lexical-only results. The guard wraps the FINAL
+    // fused frame as a broadcast 1-row raise_error — NOT the dense
+    // arm: when the candidate side is provably empty (compile-time
+    // local relations, or an AQE-materialized empty stage), Catalyst
+    // eliminates the whole dense join including any guard riding it
+    // (r9 review finding); the fused output always has rows when the
+    // lexical corpus does, so the filter referencing __chk evaluates
+    // and the raise fires. No eager driver action at construction.
+    val guard = e.filter(col("vec_id") === queryVecId)
+      .agg(count(lit(1)).as("__nq"))
       .withColumn("__chk",
         when(col("__nq") =!= 1, raise_error(concat(
           lit(s"hybrid topk: queryVecId=$queryVecId must have exactly one " +
@@ -62,17 +81,11 @@ object Hybrid {
           col("__nq").cast("string"),
           lit(" — an empty dense arm would silently degrade the fusion " +
             "to lexical-only results")))).otherwise(lit(1)))
-      .select(col("qv"), col("qn"), col("__chk"))
-    val cand = e.filter(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
-      .filter(col("__chk") === 1)
-      .select(col("vec_id").as("doc_id"),
-        round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-          .as("cos_sim"))
-    val dense = TopK.withRank(cand, poolK,
-        Seq(TopK.descNum(col("cos_sim")), col("doc_id")))
-      .select(col("doc_id"), col("rk").cast("long").as("dense_rk"))
+      .select(col("__chk"))
     fuse(lex, dense, k, rrfK)
+      .crossJoin(broadcast(guard))
+      .filter(col("__chk") === 1)
+      .drop("__chk")
   }
 
   /** The fusion tail alone: RRF-fuse a lexical and a dense candidate

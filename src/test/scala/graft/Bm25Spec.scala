@@ -114,5 +114,17 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
         .collect()
     }
     assert(mZero.contains("found 0"), mZero)
+    // r9 review finding: the guard must fire even when the CANDIDATE
+    // arm is ALSO empty (all embeddings zero-norm) — it rides the
+    // broadcast side's projection, which builds regardless of streamed
+    // rows. repartition keeps the local fixture from being folded away
+    // at plan time (ConvertToLocalRelation would bypass execution).
+    val allZero = Seq((0L, Array(0f, 0f), 0), (1L, Array(0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label").repartition(2)
+    val mEmpty = guardMsg {
+      graft.operators.Hybrid.topk(hdocs, allZero, Seq("alpha"), queryVecId = 0L)
+        .collect()
+    }
+    assert(mEmpty.contains("found 0"), mEmpty)
   }
 }

@@ -527,5 +527,12 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(ungated.exists(_ >= 4L), s"bad docs must survive ungated: $ungated")
     assert(run(gated = true) == ungated.filter(_ <= 3L),
       s"gate must drop exactly the bad-vocab docs: ${run(gated = true)} vs $ungated")
+    // r9 review finding: supplying a trained artifact IMPLIES the gate
+    // — weights without classifierGate=true must still filter.
+    val implied = graft.CorpusPipeline.curate(d, minQuality = 0.0,
+        pairsOf = dd => graft.operators.Dedup.ngramJaccard(dd),
+        classifierWeights = Some(w))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(implied == ungated.filter(_ <= 3L), implied.toString)
   }
 }
