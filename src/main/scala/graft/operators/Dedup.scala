@@ -1681,6 +1681,38 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** #40v minhash_recall: banding recall of the minhash LSH pipeline
+    * against exact ground truth — the dedup-tier twin of
+    * [[Similarity.annRecall]], and the dial (bands × rows-per-band vs
+    * threshold) every production near-dup run is tuned by before it is
+    * trusted to DELETE data.
+    *
+    * Truth = [[ngramJaccard]]'s metadata-blocked exact pairs at the same
+    * threshold (the labeled subset — corpus-wide exact all-pairs is the
+    * quadratic the LSH exists to avoid, so recall is measured on the
+    * blocked universe where exactness is affordable; a banding miss
+    * there is a banding miss, the blocking only bounds which pairs we
+    * can GRADE). Found = [[minhashPairsPortable]]'s verified pairs.
+    * Output is one row: n_truth, n_found (the intersection), recall.
+    *
+    * Scale shape: both arms are the existing guarded operators; the
+    * intersection is a left join at truth-pair grain feeding ONE
+    * 1-row aggregate — no third corpus scan, no new quadratic.
+    */
+  def minhashRecall(documents: DataFrame, minJaccard: Double = 0.3,
+                    maxBucket: Int = 1024): DataFrame = {
+    val truth = ngramJaccard(documents, minJaccard)
+      .select(col("id1"), col("id2"))
+    val found = minhashPairsPortable(documents, minJaccard, maxBucket)
+      .select(col("id1"), col("id2"), lit(1L).as("hit"))
+    truth.join(found, Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      .withColumn("recall",
+        round(when(col("n_truth") > 0,
+          col("n_found").cast("double") / col("n_truth")), 6))
+  }
+
   /** Posting-frame hardening for the inverted-index self-join family
     * (round-8, closing the round-7 verdict's one new scale finding).
     *

@@ -111,6 +111,40 @@ object LlmQueries {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy(col("canonical_id"))),
 
+    // #49e StreamDedup.dedupDocuments driven through a REAL micro-batch
+    // run and hash-checked against the distinct-content oracle — the
+    // driver-visible row for the streaming content-identity gate
+    // (dropDuplicatesWithinWatermark under append mode). The streamed
+    // row is projected to (text, constant ingest_ts) BEFORE the dedupe
+    // so every duplicate is value-identical and the arbitrary
+    // within-batch survivor carries the same output values — the only
+    // shape that makes a first-arrival-wins operator hash-checkable.
+    // The driver collect is the test-harness shim (bounded by the
+    // documents table; production reads a readStream source).
+    "stream_dedup_docs" -> ((s, d) => {
+      import graft.streaming.StreamDedup
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // NOT epoch 0: Spark's watermark initializes at epoch 0, and
+      // event-time-at-watermark rows are treated as late by the
+      // within-watermark dedupe — every row would be dropped unseen.
+      val t0 = new java.sql.Timestamp(1704067200000L) // 2024-01-01T00:00:00Z
+      val src = docs(s, d).select(col("text")).collect()
+        .map(r => StreamDedup.Doc(r.getString(0), t0))
+      val sink = "stream_dedup_docs_sink"
+      s.catalog.dropTempView(sink)
+      val input = MemoryStream[StreamDedup.Doc]
+      val q = StreamDedup.dedupDocuments(input.toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.table(sink)
+        .select(col("content_hash"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("content_hash"))
+    }),
+
     // Portable md5-permutation form carries the oracle (round 6); the
     // xxhash64 family stays the production default (8-byte shuffle keys),
     // spec-gated by DedupTextSpec's ground-truth fixtures.
@@ -121,6 +155,11 @@ object LlmQueries {
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairsPortable(docs(s, d)).orderBy(col("id1"), col("id2"))),
+
+    // #40v banding-recall evaluation: the dedup-tier twin of ann_recall
+    // — how many exact near-dup pairs the minhash banding actually
+    // surfaces at the deletion threshold.
+    "minhash_recall" -> ((s, d) => Dedup.minhashRecall(docs(s, d))),
 
     "ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardInvertedIndex(docs(s, d))
@@ -234,6 +273,12 @@ object LlmQueries {
     "ann_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfpqTopKSeeded(emb(s, d))
         .orderBy(col("query_id"), col("rk"))),
+
+    // #43g index-quality evaluation: recall@k of the LSH index vs the
+    // brute-force ground truth — both arms the oracle-checked operators
+    // above, so the row checks the EVALUATION join end to end.
+    "ann_recall" -> ((s, d) =>
+      Similarity.annRecall(emb(s, d)).orderBy(col("query_id"))),
 
     // Per-benchmark-item leak rollup — the eval owner's face of #40d.
     "contamination_report" -> ((s, d) =>
@@ -477,6 +522,22 @@ object LlmQueries {
         lit(" tel +1 (555) 01"),
         lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0")))
       TextAnalysis.piiScrub(aug).orderBy(col("doc_id"))
+    }),
+
+    // #47h2 per-source PII rollup — plants on every third doc so each
+    // source carries both affected and clean documents.
+    "pii_report" -> ((s, d) => {
+      val aug = docs(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(3L)) === 0, concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."),
+          pmod(col("doc_id"), lit(200L)).cast("string"), lit(".0.7 acct 9"),
+          lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 9, "0"),
+          lit(" tel +1 (555) 01"),
+          lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0")))
+          .otherwise(col("text")))
+      TextAnalysis.piiReport(aug).orderBy(col("source"))
     }),
 
     // Corpus-specific terms (the default list models NSFW filters and
@@ -1231,6 +1292,33 @@ object LlmQueries {
        |    len(a.sh) AS la, len(b2.sh) AS lb
        |  FROM cand JOIN d a ON a.doc_id = id1 JOIN d b2 ON b2.doc_id = id2)""".stripMargin
 
+  /** Sequential scrub stages s1..s4 (reading `aug(doc_id, t0)`) shared
+    * by the pii_scrub and pii_report oracles (the SpanCte rule): each
+    * stage counts on the PREVIOUS stage's text, mirroring
+    * [[TextAnalysis.piiScrub]]'s fold copy-for-copy.
+    */
+  private val PiiStageCtes: String =
+    """s1 AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM aug),
+      |s2 AS (
+      |  SELECT doc_id, n_email,
+      |    CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+      |    regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, n_email, n_ip,
+      |    CAST(len(regexp_extract_all(t2, '\b[0-9]{9,}\b')) AS INT) AS n_id,
+      |    regexp_replace(t2, '\b[0-9]{9,}\b', '<ID>', 'g') AS t3
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT doc_id, n_email, n_ip, n_id,
+      |    CAST(len(regexp_extract_all(t3, '\+?[0-9][0-9() .-]{6,}[0-9]')) AS INT) AS n_phone,
+      |    regexp_replace(t3, '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+      |  FROM s3)""".stripMargin
+
   /** Quality-score CTEs (b, q) shared by the keep-best oracles. */
   private val QualityCtes: String =
     s"""b AS (
@@ -1278,6 +1366,33 @@ object LlmQueries {
          |FROM j
          |WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+
+    // Replays BOTH arms off the SHARED shingle CTE `d` (the banding
+    // chain verbatim via MinhashPairCtes; the truth chain = the
+    // ngram_jaccard metadata-blocked exact pairs) and counts the
+    // intersection.
+    "minhash_recall" ->
+      s"""WITH $MinhashPairCtes,
+         |found AS (
+         |  SELECT id1, id2 FROM j
+         |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.3),
+         |tj AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
+         |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
+         |    len(a.sh) AS la, len(b2.sh) AS lb
+         |  FROM d a
+         |  JOIN d b2 ON a.doc_id < b2.doc_id
+         |  JOIN documents ma ON ma.doc_id = a.doc_id
+         |  JOIN documents mb ON mb.doc_id = b2.doc_id
+         |  WHERE ma.source = mb.source AND ma.lang = mb.lang),
+         |truth AS (
+         |  SELECT id1, id2 FROM tj
+         |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.3),
+         |hits AS (SELECT count(*) AS nf FROM truth JOIN found USING (id1, id2)),
+         |tot AS (SELECT count(*) AS nt FROM truth)
+         |SELECT CAST(nt AS BIGINT) AS n_truth, CAST(nf AS BIGINT) AS n_found,
+         |  round(CASE WHEN nt > 0 THEN CAST(nf AS DOUBLE) / nt END, 6) AS recall
+         |FROM tot CROSS JOIN hits""".stripMargin,
 
     "dedup_keep_best_lsh" ->
       s"""WITH RECURSIVE $MinhashPairCtes,
@@ -1335,6 +1450,14 @@ object LlmQueries {
         |  min(length(text)) AS n_chars
         |FROM documents GROUP BY sha256(text)
         |ORDER BY canonical_id""".stripMargin,
+
+    // The within-watermark streaming dedupe finalizes to exactly the
+    // distinct content set (single-horizon feed): one row per text.
+    "stream_dedup_docs" ->
+      """SELECT DISTINCT sha256(text) AS content_hash,
+        |  length(text) AS n_chars
+        |FROM documents
+        |ORDER BY content_hash""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH t AS (
@@ -1555,6 +1678,50 @@ object LlmQueries {
          |    AS INT) AS is_outlier
          |FROM asg a JOIN st USING (cell)
          |ORDER BY a.vec_id""".stripMargin,
+
+    // Replays BOTH arms (the ann_cosine_topk brute chain and the
+    // ann_lsh_topk multiprobe chain, CTEs renamed b*/l*) and counts the
+    // intersection — the same two operator calls the Spark side makes.
+    "ann_recall" ->
+      s"""$VecCte,
+         |nz AS (SELECT * FROM nn WHERE nrm > 0),
+         |bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |       FROM nz WHERE vec_id < 10),
+         |bj AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    round(list_reduce(list_transform(range(len(qv)), i -> qv[i+1] * c.v[i+1]),
+         |      (s, x) -> s + x) / (qn * c.nrm), 6) AS cos_sim
+         |  FROM bq JOIN nz c ON c.vec_id <> query_id),
+         |br AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM bj),
+         |bt AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 5),
+         |sg AS (
+         |  SELECT vec_id, v, nrm,
+         |    ${sigSql("v", 4)} AS sig
+         |  FROM nz),
+         |lq AS (
+         |  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+         |    unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8)]) AS sig
+         |  FROM sg WHERE vec_id < 10),
+         |lc AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    round(list_reduce(list_transform(range(len(qv)), i -> qv[i+1] * c.v[i+1]),
+         |      (s, x) -> s + x) / (qn * c.nrm), 6) AS cos_sim
+         |  FROM lq JOIN sg c USING (sig)
+         |  WHERE c.vec_id <> query_id),
+         |lr AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM lc),
+         |lt AS (SELECT query_id, neighbor_id FROM lr WHERE rk <= 5)
+         |SELECT bt.query_id,
+         |  CAST(count(lt.neighbor_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(lt.neighbor_id) AS DOUBLE) / 5, 6) AS recall
+         |FROM bt LEFT JOIN lt USING (query_id, neighbor_id)
+         |GROUP BY bt.query_id
+         |ORDER BY bt.query_id""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""$VecCte,
@@ -2476,36 +2643,46 @@ object LlmQueries {
          |ORDER BY ex.doc_id""".stripMargin,
 
     "pii_scrub" ->
-      """WITH aug AS (
-        |  SELECT doc_id, concat(text,
-        |    ' contact user', CAST(doc_id AS VARCHAR),
-        |    '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
-        |    '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),
-        |    ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS t0
-        |  FROM documents),
-        |s1 AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-        |  FROM aug),
-        |s2 AS (
-        |  SELECT doc_id, n_email,
-        |    CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
-        |    regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
-        |  FROM s1),
-        |s3 AS (
-        |  SELECT doc_id, n_email, n_ip,
-        |    CAST(len(regexp_extract_all(t2, '\b[0-9]{9,}\b')) AS INT) AS n_id,
-        |    regexp_replace(t2, '\b[0-9]{9,}\b', '<ID>', 'g') AS t3
-        |  FROM s2),
-        |s4 AS (
-        |  SELECT doc_id, n_email, n_ip, n_id,
-        |    CAST(len(regexp_extract_all(t3, '\+?[0-9][0-9() .-]{6,}[0-9]')) AS INT) AS n_phone,
-        |    regexp_replace(t3, '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
-        |  FROM s3)
-        |SELECT doc_id, n_email, n_ip, n_id, n_phone,
-        |  n_email + n_ip + n_id + n_phone AS n_pii, clean_text
-        |FROM s4 ORDER BY doc_id""".stripMargin,
+      s"""WITH aug AS (
+         |  SELECT doc_id, concat(text,
+         |    ' contact user', CAST(doc_id AS VARCHAR),
+         |    '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
+         |    '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),
+         |    ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS t0
+         |  FROM documents),
+         |$PiiStageCtes
+         |SELECT doc_id, n_email, n_ip, n_id, n_phone,
+         |  n_email + n_ip + n_id + n_phone AS n_pii, clean_text
+         |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // The report plants PII on every THIRD doc so both outcomes are
+    // exercised per source (the pii_scrub plant marks every doc —
+    // a rollup over it would be the degenerate share-1.0 row).
+    "pii_report" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN concat(text,
+         |    ' contact user', CAST(doc_id AS VARCHAR),
+         |    '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
+         |    '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),
+         |    ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'))
+         |    ELSE text END AS t0
+         |  FROM documents),
+         |$PiiStageCtes,
+         |per AS (
+         |  SELECT doc_id, n_email, n_ip, n_id, n_phone,
+         |    n_email + n_ip + n_id + n_phone AS n_pii
+         |  FROM s4)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+         |  CAST(sum(n_email) AS BIGINT) AS n_email,
+         |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+         |  CAST(sum(n_id) AS BIGINT) AS n_id,
+         |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+         |  CAST(sum(n_pii) AS BIGINT) AS n_pii_total,
+         |  round(CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_doc_share
+         |FROM per JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "blocklist_filter" ->
       """WITH t AS (

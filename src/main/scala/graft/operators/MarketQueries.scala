@@ -83,10 +83,20 @@ object MarketQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val src = bars(s, d).select(col("user_id"), col("date"), col("close"))
-        .orderBy(col("user_id"), col("date")).collect()
+      // Date → ts → date round-trips through EPOCH-DAY arithmetic on
+      // both legs (datediff out, epoch-seconds div + date_add back):
+      // java.sql.Date.getTime is midnight in the JVM DEFAULT zone
+      // while to_date(ts) converts in the SESSION zone, so the naive
+      // round trip shifts a day whenever the two differ (r9 review
+      // finding). datediff and the long cast (epoch seconds) are both
+      // zone-free.
+      val src = bars(s, d).select(col("user_id"),
+          datediff(col("date"), lit("1970-01-01").cast("date")).as("days"),
+          col("close"))
+        .orderBy(col("user_id"), col("days")).collect()
         .map(r => StreamIndicators.Bar(r.getLong(0),
-          new java.sql.Timestamp(r.getDate(1).getTime), r.getDouble(2)))
+          new java.sql.Timestamp(r.getInt(1).toLong * 86400000L),
+          r.getDouble(2)))
       val sink = "stream_ind_sma_sink"
       s.catalog.dropTempView(sink)
       val input = MemoryStream[StreamIndicators.Bar]
@@ -95,9 +105,65 @@ object MarketQueries {
         .outputMode("append").start()
       try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
       finally q.stop()
-      s.table(sink).select(col("user_id"), to_date(col("ts")).as("date"),
+      s.table(sink).select(col("user_id"),
+          date_add(lit("1970-01-01").cast("date"),
+            (col("ts").cast("long") / lit(86400L)).cast("int")).as("date"),
           col("close"), round(col("sma"), 6).as("ma_5"),
           round(col("ema"), 6).as("ema_5"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
+    // #48b WindowedAggs.ohlcvBars driven through a REAL watermarked
+    // micro-batch run and hash-checked against the bars_daily oracle:
+    // cleaned ticks feed a MemoryStream, the 1-day tumbling window
+    // aggregates under append mode, and a far-future sentinel tick
+    // advances the watermark past every real window end so the windows
+    // FINALIZE and emit — the row therefore also checks the
+    // watermark-finalization machinery itself, not just the aggregate.
+    // The driver collect is the test-harness shim (bounded by the tick
+    // table; production reads a readStream source); the sentinel's own
+    // window never finalizes, so it is absent from the sink by
+    // construction (the filter is defensive). Session tz is UTC, so
+    // window(ts, "1 day") boundaries coincide with CAST(ts AS DATE);
+    // the window.start → date leg uses epoch-day arithmetic (zone-free,
+    // the stream_ind_sma rule).
+    "stream_bars" -> ((s, d) => {
+      import graft.streaming.WindowedAggs
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // Deterministic 1/5 user subset: the row checks the finalization
+      // MACHINERY, and the harness feed (driver collect + single-threaded
+      // MemoryStream) is the cost — a fifth of the ticks checks the same
+      // machinery at a fifth of the harness price (8.5 s → ~2 s at sf0.1).
+      val src = Cleaning.cleanEvents(Tables.events(s, d))
+        .filter(pmod(col("user_id"), lit(5L)) === 0)
+        .select(col("user_id"), col("ts"), col("value"))
+        .collect()
+        .map(r => WindowedAggs.Tick(r.getLong(0), r.getTimestamp(1),
+          r.getDouble(2)))
+      val maxMs = src.iterator.map(_.ts.getTime).max
+      val sink = "stream_bars_sink"
+      s.catalog.dropTempView(sink)
+      val input = MemoryStream[WindowedAggs.Tick]
+      val q = WindowedAggs.ohlcvBars(input.toDF(), windowDur = "1 day",
+          watermark = "10 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        input.addData(src.toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(WindowedAggs.Tick(-1L,
+          new java.sql.Timestamp(maxMs + 40L * 86400000L), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_add(lit("1970-01-01").cast("date"),
+            (col("bucket_start").cast("long") / lit(86400L)).cast("int"))
+            .as("date"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), round(col("vwap"), 6).as("vwap"))
         .orderBy(col("user_id"), col("date"))
     }),
 
@@ -316,6 +382,15 @@ object MarketQueries {
          |SELECT user_id, date, close, round(ma_5, 6) AS ma_5,
          |  CASE WHEN rn >= 5 THEN round(list_reduce(vals, ${emaFold("(2.0/6)")}), 6) END AS ema_5
          |FROM p ORDER BY user_id, date""".stripMargin,
+
+    // The streaming windowed-agg twin finalizes to exactly the batch
+    // daily bars — the oracle IS the bars_daily body (shared BarsCte)
+    // on the row's deterministic 1/5 user subset.
+    "stream_bars" ->
+      s"""$BarsCte
+         |SELECT user_id, date, open, high, low, close, volume,
+         |  round(vwap, 6) AS vwap
+         |FROM bars WHERE user_id % 5 = 0 ORDER BY user_id, date""".stripMargin,
 
     "ind_rsi" ->
       s"""$BarsCte,

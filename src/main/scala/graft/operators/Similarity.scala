@@ -226,6 +226,30 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** #43g ann_recall: recall@k of the LSH index against brute-force
+    * ground truth — the index-quality dial every approximate index is
+    * tuned by (the FAISS benchmark's headline metric). Per query:
+    * |LSH top-k ∩ exact top-k| / k.
+    *
+    * Both arms are the existing bounded-TopK operators, so the
+    * evaluation costs two index probes plus a (nQueries × k)-row join —
+    * at 100 TB you run it on a query SAMPLE and the corpus-side cost is
+    * the two searches themselves, never a third scan. The intersection
+    * join is at most nQueries·k rows per side: driver-trivial,
+    * broadcast by size.
+    */
+  def annRecall(embeddings: DataFrame, planes: Int = 4, nQueries: Int = 10,
+                k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopK(embeddings, planes, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 6))
+  }
+
   /** #43b ann_ivf_topk: inverted-file ANN — the production scale path
     * next to [[lshTopK]]. Build: a k-means coarse quantizer is fit on a
     * corpus SAMPLE (at 100 TB you train the quantizer on a sample and

@@ -335,6 +335,35 @@ object TextAnalysis {
         col(lastCol).as("clean_text"): _*)
   }
 
+  /** #47h2 pii_report: per-source PII rollup — the auditor's face of
+    * [[piiScrub]] (a data-release review asks "WHERE does the PII come
+    * from and how much", not for 10B redacted rows): per source, doc
+    * count, docs containing any PII, per-category match totals, total
+    * matches, and the affected-doc share. Counts are [[piiScrub]]'s own
+    * sequential-stage counts, so the report can never disagree with
+    * what the scrub actually redacted.
+    *
+    * Scale shape: the scrub is a zero-shuffle projection; the rollup is
+    * one doc-grain join back to (doc_id, source) on the 8-byte key plus
+    * one map-side-combinable groupBy(source) to a bounded row set.
+    */
+  def piiReport(documents: DataFrame, textCol: String = "text",
+                patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
+    val per = piiScrub(documents, textCol, patterns)
+      .drop("clean_text")
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val typeSums = patterns.map { case (n, _, _) =>
+      sum(col(s"n_$n")).cast("long").as(s"n_$n") }
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum((col("n_pii") > 0).cast("long")).as("n_docs_with_pii")) ++
+      typeSums :+ sum(col("n_pii")).cast("long").as("n_pii_total")
+    per.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("pii_doc_share",
+        round(col("n_docs_with_pii").cast("double") / col("n_docs"), 6))
+  }
+
   /** Default blocklist — stand-ins for the NSFW/unsafe wordlists real
     * curation pipelines filter on (the synthetic corpus contains none
     * of these; tests pass corpus-specific terms explicitly).

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object WindowedAggs {
 
+  /** MemoryStream row shape for the driver-checked `stream_bars`
+    * correctness row (a cleaned tick: user, event time, price).
+    */
+  case class Tick(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
   /** Per-(window, user) OHLC-ish aggregate with event-time watermark.
     * Output schema: window(start, end), user_id, n_events, avg_value,
     * min_value, max_value.

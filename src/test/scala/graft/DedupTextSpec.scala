@@ -582,6 +582,47 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       "seeded quantizer probing ALL cells must equal brute force")
   }
 
+  test("annRecall: the evaluation join reproduces the per-query LSH∩brute intersection") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val truth = pairsOf(Similarity.cosineTopK(emb, nQueries = 10, k = 5))
+    val approx = pairsOf(Similarity.lshTopK(emb, planes = 4, nQueries = 10, k = 5)).toSet
+    val expected = truth.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.count(approx.contains).toLong }
+    val got = Similarity.annRecall(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall")))
+    assert(got.map(g => g._1 -> g._2).toMap == expected,
+      s"got=${got.toSeq.sortBy(_._1)} expected=${expected.toSeq.sorted}")
+    // one row per brute-force query, recall = n_hits/k rounded to 6
+    assert(got.map(_._1).toSet == truth.map(_._1).toSet)
+    got.foreach { case (q, h, rec) =>
+      assert(rec == math.round(h / 5.0 * 1e6) / 1e6, s"query $q: $h hits, recall $rec") }
+    // meaningfulness: on this fixture the LSH index is approximate but
+    // not useless — recall must sit strictly between 0 and 1 somewhere.
+    assert(got.exists(_._3 < 1.0) || approx.size < truth.length,
+      "fixture degenerate: LSH exactly equals brute force everywhere")
+    assert(got.map(_._2).sum > 0L, "fixture degenerate: LSH finds nothing")
+  }
+
+  test("minhashRecall: the one-row report reproduces the truth∩banding intersection") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val truth = pairs(Dedup.ngramJaccard(docs, minJaccard = 0.3))
+    val found = pairs(Dedup.minhashPairsPortable(docs, minJaccard = 0.3))
+    val row = Dedup.minhashRecall(docs).collect()
+    assert(row.length == 1)
+    val (nTruth, nFound, recall) = (row.head.getAs[Long]("n_truth"),
+      row.head.getAs[Long]("n_found"), row.head.getAs[Double]("recall"))
+    assert(truth.nonEmpty, "fixture degenerate: no exact near-dup pairs at 0.3")
+    assert(nTruth == truth.size.toLong, s"n_truth $nTruth vs ${truth.size}")
+    assert(nFound == (truth intersect found).size.toLong,
+      s"n_found $nFound vs ${(truth intersect found).size}")
+    assert(recall == math.round(nFound.toDouble / nTruth * 1e6) / 1e6)
+  }
+
   test("IVF-PQ ANN: all-probe full-refine is exact; pruned recall holds") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1540,6 +1581,27 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(out.getAs[Int]("n_ip") == 1 && out.getAs[Int]("n_id") == 1)
     assert(out.getAs[Int]("n_phone") == 0, "tokens <IP>/<ID> must not re-match as phone")
     assert(out.getAs[String]("clean_text") == "host <IP> then <ID>")
+  }
+
+  test("pii report: per-source rollup agrees with the per-doc scrub") {
+    val d = Seq(
+      (1L, "mail a@x.io from 10.0.0.1", "en", "alpha", 0L),
+      (2L, "clean", "en", "alpha", 0L),
+      (3L, "tel +84 (28) 3822-9999", "en", "beta", 0L),
+      (4L, "also clean", "en", "beta", 0L),
+      (5L, "clean too", "en", "beta", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.piiReport(d).orderBy("source").collect()
+    assert(out.length == 2)
+    val a = out(0); val b = out(1)
+    assert(a.getAs[String]("source") == "alpha" && a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Long]("n_docs_with_pii") == 1L)
+    assert(a.getAs[Long]("n_email") == 1L && a.getAs[Long]("n_ip") == 1L)
+    assert(a.getAs[Long]("n_pii_total") == 2L)
+    assert(a.getAs[Double]("pii_doc_share") == 0.5)
+    assert(b.getAs[String]("source") == "beta" && b.getAs[Long]("n_docs") == 3L)
+    assert(b.getAs[Long]("n_phone") == 1L && b.getAs[Long]("n_pii_total") == 1L)
+    assert(b.getAs[Double]("pii_doc_share") == 0.333333)
   }
 
   test("blocklist filter: counts, ratio and keep threshold; joined twin agrees") {

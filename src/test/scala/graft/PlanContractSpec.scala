@@ -490,4 +490,23 @@ class PlanContractSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("vec_dot"),
       s"distances must ride the codegen'd native dot:\n$p")
   }
+
+  test("round-9: streaming near-dup banding front is a pure projection") {
+    // Everything BEFORE the per-bucket state shuffle must be
+    // projection-shaped (shingles → native minhash_sig → band explode):
+    // no Exchange, no Window, no Join — the only shuffle an ingest
+    // stream pays is the (band, band_key) state partitioning itself,
+    // which flatMapGroupsWithState owns. Executed batch-side (the
+    // watermark is a no-op there); the streaming plan shares the
+    // logical front. Parquet-backed fixture: a local relation would be
+    // constant-folded at plan time, hiding the expression tree.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val p = plan(graft.streaming.StreamNearDup.bandRows(docs, "1 hour").toDF())
+    assert(!p.contains("Exchange") && !p.contains("Window") &&
+      !p.contains("Join"),
+      s"banding front must be projection-only:\n$p")
+    assert(p.contains("minhash_sig"),
+      s"signature must ride the native codegen'd expression:\n$p")
+  }
 }

@@ -834,4 +834,91 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(live(1)._2.isEmpty, "wordless doc must keep its row with [] tokens")
     } finally query.stop()
   }
+
+  test("streaming near-dup: banding candidates match batch, est-verify, horizon evicts") {
+    import graft.streaming.StreamNearDup
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words occupy this document space entirely"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docsDf = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val query = StreamNearDup.candidatePairs(docsDf,
+        watermarkDelay = "10 minutes", minEstJaccard = 0.0)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, dup, ts("2024-01-01 10:00:00")),
+        (2L, dup, ts("2024-01-01 10:00:30")),
+        (3L, other, ts("2024-01-01 10:01:00")))
+      query.processAllAvailable()
+      // cross-batch: state carries batch-1 members within the horizon
+      input.addData((4L, dup, ts("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      val got = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      val gotPairs = got.map(p => (p._1, p._2)).toSet
+      // batch parity: distinct streamed pairs == the batch banding
+      // candidate pairs over the same four documents
+      val batchDocs = Seq((1L, dup), (2L, dup), (3L, other), (4L, dup))
+        .toDF("doc_id", "text")
+      val expected = graft.operators.Dedup.portableBandKeys(batchDocs)
+        .collect().map(r => ((r.getInt(1), r.getString(2)), r.getLong(0)))
+        .groupBy(_._1).values.flatMap { g =>
+          val ids = g.map(_._2).distinct.sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length)
+            yield (ids(i), ids(j))
+        }.toSet
+      assert(gotPairs == expected, s"streamed=$gotPairs batch=$expected")
+      // identical texts estimate at exactly 1.0 in every colliding band
+      assert(got.filter(p => Set((1L, 2L), (1L, 4L), (2L, 4L))(p._1 -> p._2))
+        .forall(_._3 == 1.0), got.mkString(","))
+      // horizon: the watermark advances AFTER a batch, so first push it
+      // forward with an unrelated doc, then feed a fresh duplicate —
+      // the original members are evicted and it pairs with nothing old
+      input.addData((7L, other + " padded", ts("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      input.addData((5L, dup, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      input.addData((6L, dup, ts("2024-01-01 12:00:05")))
+      query.processAllAvailable()
+      val late = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!late.exists(p => p._2 == 5L && p._1 < 5L),
+        s"doc 5 must not pair across the expired horizon: $late")
+      assert(late.contains((5L, 6L)),
+        s"doc 6 must pair with the in-horizon doc 5: $late")
+    } finally query.stop()
+  }
+
+  test("stream_bars query row: finalized streaming windows equal batch bars_daily") {
+    // The driver-checked row itself (MemoryStream + sentinel watermark
+    // flush inside MarketQueries) must reproduce the batch daily bars
+    // row-for-row — same columns, same rounding, same order — so the
+    // DuckDB oracle carries over verbatim.
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.operators.MarketQueries.queries("stream_bars")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.MarketQueries.queries("bars_daily")(spark, sf)
+      .collect().filter(_.getLong(0) % 5 == 0).map(_.toSeq)
+    assert(streamed.nonEmpty, "streaming windows must finalize and emit")
+    assert(streamed.toSeq == batch.toSeq,
+      s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("stream_dedup_docs query row: within-watermark dedupe equals the distinct content set") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.operators.LlmQueries.queries("stream_dedup_docs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val batch = graft.sources.Tables.documents(spark, sf)
+      .select(sha2(col("text"), 256).as("content_hash"),
+        length(col("text")).cast("long").as("n_chars"))
+      .distinct().orderBy(col("content_hash"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"streamed=${streamed.length} batch=${batch.length}")
+  }
 }
