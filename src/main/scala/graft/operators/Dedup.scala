@@ -1693,24 +1693,31 @@ object Dedup {
     * blocked universe where exactness is affordable; a banding miss
     * there is a banding miss, the blocking only bounds which pairs we
     * can GRADE). Found = [[minhashPairsPortable]]'s verified pairs.
-    * Output is one row: n_truth, n_found (the intersection), recall.
+    * Output is one row: n_truth, n_hits (= |truth ∩ found| — the
+    * intersection, NOT the banding's own pair count), n_banding_pairs
+    * (the banding's full verified count, which includes cross-block
+    * pairs the blocked truth cannot grade), recall = n_hits/n_truth.
     *
-    * Scale shape: both arms are the existing guarded operators; the
-    * intersection is a left join at truth-pair grain feeding ONE
-    * 1-row aggregate — no third corpus scan, no new quadratic.
+    * Scale shape: both arms are the existing guarded operators,
+    * consumed ONCE each through a full-outer join at pair grain feeding
+    * one 1-row aggregate — no third corpus scan, no re-derivation of
+    * either arm, no new quadratic.
     */
   def minhashRecall(documents: DataFrame, minJaccard: Double = 0.3,
                     maxBucket: Int = 1024): DataFrame = {
     val truth = ngramJaccard(documents, minJaccard)
-      .select(col("id1"), col("id2"))
+      .select(col("id1"), col("id2"), lit(1L).as("t"))
     val found = minhashPairsPortable(documents, minJaccard, maxBucket)
-      .select(col("id1"), col("id2"), lit(1L).as("hit"))
-    truth.join(found, Seq("id1", "id2"), "left")
-      .agg(count(lit(1)).as("n_truth"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      .select(col("id1"), col("id2"), lit(1L).as("f"))
+    truth.join(found, Seq("id1", "id2"), "full_outer")
+      .agg(
+        coalesce(sum(col("t")), lit(0L)).as("n_truth"),
+        coalesce(sum(when(col("t").isNotNull && col("f").isNotNull, 1L)),
+          lit(0L)).as("n_hits"),
+        coalesce(sum(col("f")), lit(0L)).as("n_banding_pairs"))
       .withColumn("recall",
         round(when(col("n_truth") > 0,
-          col("n_found").cast("double") / col("n_truth")), 6))
+          col("n_hits").cast("double") / col("n_truth")), 6))
   }
 
   /** Posting-frame hardening for the inverted-index self-join family

@@ -64,14 +64,23 @@ object Hybrid {
       .select(col("doc_id"), col("rk").cast("long").as("dense_rk"))
     // Fail-loudly guard (ADVICE r7, lazy per ADVICE r8): a missing or
     // zero-norm query vector makes the dense arm empty and fuse would
-    // silently return lexical-only results. The guard wraps the FINAL
-    // fused frame as a broadcast 1-row raise_error — NOT the dense
-    // arm: when the candidate side is provably empty (compile-time
-    // local relations, or an AQE-materialized empty stage), Catalyst
-    // eliminates the whole dense join including any guard riding it
-    // (r9 review finding); the fused output always has rows when the
-    // lexical corpus does, so the filter referencing __chk evaluates
-    // and the raise fires. No eager driver action at construction.
+    // silently return lexical-only results. Shape history, because two
+    // prior forms each had a pruning hole: a guard riding the dense
+    // arm is eliminated with the whole join when the candidate side is
+    // provably empty, and a guard crossJoined onto the fused tail is
+    // eliminated when the LEXICAL arm is empty (no term matches →
+    // fused is empty → empty-relation propagation drops the join and
+    // the guard with it — second r9 review finding). The robust shape
+    // is a ZERO-ROW UNION SENTINEL: a branch whose child is an
+    // aggregate (always exactly one row — never statically prunable)
+    // that raises during evaluation when the count is wrong and
+    // filters itself away when it is right. Union branches always
+    // execute, whatever the other branch's cardinality. The sentinel
+    // re-scans the vec_id filter (a pushdown-pruned narrow scan — the
+    // in-policy re-scan shape) rather than sharing `q`'s subplan:
+    // sharing would not be reused across branches anyway (the
+    // ReuseProbe rule), and an eager localCheckpoint would reintroduce
+    // the ADVICE-r8 construction-time action.
     val guard = e.filter(col("vec_id") === queryVecId)
       .agg(count(lit(1)).as("__nq"))
       .withColumn("__chk",
@@ -81,11 +90,14 @@ object Hybrid {
           col("__nq").cast("string"),
           lit(" — an empty dense arm would silently degrade the fusion " +
             "to lexical-only results")))).otherwise(lit(1)))
-      .select(col("__chk"))
-    fuse(lex, dense, k, rrfK)
-      .crossJoin(broadcast(guard))
-      .filter(col("__chk") === 1)
-      .drop("__chk")
+    val fused = fuse(lex, dense, k, rrfK)
+    // Null-typed projection of the guard row, NOT a join against an
+    // empty frame (a statically-empty side would get the whole branch
+    // pruned — the exact hole this shape closes).
+    val sentinel = guard.filter(col("__chk") =!= 1)
+      .select(fused.schema.fields.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    fused.unionByName(sentinel)
   }
 
   /** The fusion tail alone: RRF-fuse a lexical and a dense candidate

@@ -1388,11 +1388,13 @@ object LlmQueries {
          |truth AS (
          |  SELECT id1, id2 FROM tj
          |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.3),
-         |hits AS (SELECT count(*) AS nf FROM truth JOIN found USING (id1, id2)),
-         |tot AS (SELECT count(*) AS nt FROM truth)
-         |SELECT CAST(nt AS BIGINT) AS n_truth, CAST(nf AS BIGINT) AS n_found,
-         |  round(CASE WHEN nt > 0 THEN CAST(nf AS DOUBLE) / nt END, 6) AS recall
-         |FROM tot CROSS JOIN hits""".stripMargin,
+         |hits AS (SELECT count(*) AS nh FROM truth JOIN found USING (id1, id2)),
+         |tot AS (SELECT count(*) AS nt FROM truth),
+         |bnd AS (SELECT count(*) AS nb FROM found)
+         |SELECT CAST(nt AS BIGINT) AS n_truth, CAST(nh AS BIGINT) AS n_hits,
+         |  CAST(nb AS BIGINT) AS n_banding_pairs,
+         |  round(CASE WHEN nt > 0 THEN CAST(nh AS DOUBLE) / nt END, 6) AS recall
+         |FROM tot CROSS JOIN hits CROSS JOIN bnd""".stripMargin,
 
     "dedup_keep_best_lsh" ->
       s"""WITH RECURSIVE $MinhashPairCtes,

@@ -142,7 +142,11 @@ object MarketQueries {
         .collect()
         .map(r => WindowedAggs.Tick(r.getLong(0), r.getTimestamp(1),
           r.getDouble(2)))
-      val maxMs = src.iterator.map(_.ts.getTime).max
+      // 0L on an empty subset: the sentinel still streams, no real
+      // window exists, and the row returns the (correct) empty frame
+      // instead of crashing on empty.max.
+      val maxMs = if (src.isEmpty) 0L
+                  else src.iterator.map(_.ts.getTime).max
       val sink = "stream_bars_sink"
       s.catalog.dropTempView(sink)
       val input = MemoryStream[WindowedAggs.Tick]

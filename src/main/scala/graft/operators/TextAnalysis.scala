@@ -320,7 +320,8 @@ object TextAnalysis {
     * constant factor.
     */
   def piiScrub(documents: DataFrame, textCol: String = "text",
-               patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
+               patterns: Seq[(String, String, String)] = PiiPatterns,
+               passthrough: Seq[String] = Nil): DataFrame = {
     val start = documents.withColumn("__t0", col(textCol))
     val (staged, lastCol) = patterns.zipWithIndex.foldLeft((start, "__t0")) {
       case ((d, cur), ((name, pat, repl), i)) =>
@@ -329,10 +330,14 @@ object TextAnalysis {
           .withColumn(next, regexp_replace(col(cur), pat, repl)), next)
     }
     val countCols = patterns.map { case (n, _, _) => col(s"n_$n") }
+    // `passthrough` keeps caller-named input columns (e.g. `source` for
+    // the per-source report) in the output — the scrub already has them
+    // in hand, and re-joining them back at doc grain would cost a
+    // corpus shuffle for a column that never left (r9 review finding).
     staged.select(
-      col("doc_id") +: countCols :+
-        countCols.reduce(_ + _).as("n_pii") :+
-        col(lastCol).as("clean_text"): _*)
+      (col("doc_id") +: passthrough.map(col)) ++ countCols ++ Seq(
+        countCols.reduce(_ + _).as("n_pii"),
+        col(lastCol).as("clean_text")): _*)
   }
 
   /** #47h2 pii_report: per-source PII rollup — the auditor's face of
@@ -343,15 +348,15 @@ object TextAnalysis {
     * sequential-stage counts, so the report can never disagree with
     * what the scrub actually redacted.
     *
-    * Scale shape: the scrub is a zero-shuffle projection; the rollup is
-    * one doc-grain join back to (doc_id, source) on the 8-byte key plus
-    * one map-side-combinable groupBy(source) to a bounded row set.
+    * Scale shape: the scrub is a zero-shuffle projection with `source`
+    * passed through (never re-joined), so the whole report is ONE
+    * map-side-combinable groupBy(source) to a bounded row set.
     */
   def piiReport(documents: DataFrame, textCol: String = "text",
                 patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
-    val per = piiScrub(documents, textCol, patterns)
+    val per = piiScrub(documents, textCol, patterns,
+        passthrough = Seq("source"))
       .drop("clean_text")
-      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
     val typeSums = patterns.map { case (n, _, _) =>
       sum(col(s"n_$n")).cast("long").as(s"n_$n") }
     val aggs = Seq(

@@ -126,5 +126,14 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
         .collect()
     }
     assert(mEmpty.contains("found 0"), mEmpty)
+    // ...and even when the LEXICAL arm is ALSO empty (terms matching no
+    // document): an empty fused frame must not prune the guard away
+    // (the union-sentinel shape — second r9 review finding).
+    val mNoLex = guardMsg {
+      graft.operators.Hybrid.topk(hdocs, allZero, Seq("zzz_unmatched_term"),
+          queryVecId = 0L)
+        .collect()
+    }
+    assert(mNoLex.contains("found 0"), mNoLex)
   }
 }

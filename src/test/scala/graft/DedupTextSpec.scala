@@ -614,13 +614,15 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     val found = pairs(Dedup.minhashPairsPortable(docs, minJaccard = 0.3))
     val row = Dedup.minhashRecall(docs).collect()
     assert(row.length == 1)
-    val (nTruth, nFound, recall) = (row.head.getAs[Long]("n_truth"),
-      row.head.getAs[Long]("n_found"), row.head.getAs[Double]("recall"))
+    val (nTruth, nHits, nBanding, recall) = (row.head.getAs[Long]("n_truth"),
+      row.head.getAs[Long]("n_hits"), row.head.getAs[Long]("n_banding_pairs"),
+      row.head.getAs[Double]("recall"))
     assert(truth.nonEmpty, "fixture degenerate: no exact near-dup pairs at 0.3")
     assert(nTruth == truth.size.toLong, s"n_truth $nTruth vs ${truth.size}")
-    assert(nFound == (truth intersect found).size.toLong,
-      s"n_found $nFound vs ${(truth intersect found).size}")
-    assert(recall == math.round(nFound.toDouble / nTruth * 1e6) / 1e6)
+    assert(nHits == (truth intersect found).size.toLong,
+      s"n_hits $nHits vs ${(truth intersect found).size}")
+    assert(nBanding == found.size.toLong, s"n_banding_pairs $nBanding vs ${found.size}")
+    assert(recall == math.round(nHits.toDouble / nTruth * 1e6) / 1e6)
   }
 
   test("IVF-PQ ANN: all-probe full-refine is exact; pruned recall holds") {
