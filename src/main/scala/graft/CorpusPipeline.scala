@@ -42,6 +42,13 @@ object CorpusPipeline {
     * ([[operators.Classifier.trainQualityClassifier]]) instead, as a
     * dense-literal projection ([[TextSignals.classifierKeepColWeighted]]).
     *
+    * Round-9 stages: `blocklistTerms` ANDs the banned-term keep verdict
+    * ([[TextAnalysis.blocklistKeepCol]], #47i's decision) into the same
+    * single gate pass; `scrubPii` redacts the RELEASED text as the last
+    * transform ([[TextAnalysis.piiScrubCol]]) — after all hashing and
+    * dedup, because content identity is decided on original bytes and
+    * the redaction is an export-time privacy pass. Both projection-form.
+    *
     * NOTE `gopherRules` changes the published `n_words` DEFINITION:
     * the battery's filtered whitespace-word count overwrites
     * [[TextAnalysis.withQuality]]'s raw `split("\\s+")` count (which
@@ -63,7 +70,10 @@ object CorpusPipeline {
              classifierGate: Boolean = false,
              classifierWeights: Option[DataFrame] = None,
              classifierBuckets: Int = operators.Classifier.DefaultBuckets,
-             stripBoilerplate: Boolean = false): DataFrame = {
+             stripBoilerplate: Boolean = false,
+             blocklistTerms: Option[Seq[String]] = None,
+             blocklistMaxRatio: Double = 0.05,
+             scrubPii: Boolean = false): DataFrame = {
     // A supplied trained artifact IMPLIES the gate — accepting weights
     // and then silently not gating would let a caller believe the
     // classifier filtered the corpus (r9 review finding).
@@ -117,7 +127,12 @@ object CorpusPipeline {
           operators.Classifier.denseWeights(wdf, classifierBuckets))
         case None => operators.TextSignals.classifierKeepCol(
           operators.TextSignals.tokensCol(col("text")))
-      }) else None
+      }) else None,
+      // Banned-term gate (the C4/NSFW-list rule), projection-form like
+      // the others — the same keep verdict as TextAnalysis
+      // .blocklistFilter, ANDed into the one gate pass.
+      blocklistTerms.map(terms =>
+        TextAnalysis.blocklistKeepCol(col("text"), terms, blocklistMaxRatio))
     ).flatten.reduce(_ && _)
     val gopherOnlyCols = Seq("mean_word_len", "max_word_len", "alpha_share",
       "stop_hits", "symbol_share", "n_fail", "gopher_keep", "reasons")
@@ -150,7 +165,14 @@ object CorpusPipeline {
           .filter(col("is_canonical") === 0)
           .select(col("id").as("doc_id"))
     val resolved = exactDeduped.join(drops, Seq("doc_id"), "left_anti")
+    // 3.5. Optional PII redaction — the LAST text transform, AFTER all
+    //    hashing/dedup (identity is decided on original content; the
+    //    redaction is an export-time privacy pass, [[TextAnalysis
+    //    .piiScrubCol]] — one chained-regex projection, zero shuffle).
+    val released =
+      if (!scrubPii) resolved
+      else resolved.withColumn("text", TextAnalysis.piiScrubCol(col("text")))
     // 4. Deterministic split — stable under corpus growth.
-    TextAnalysis.splitByHash(resolved, "doc_id", valFrac, testFrac)
+    TextAnalysis.splitByHash(released, "doc_id", valFrac, testFrac)
   }
 }

@@ -57,6 +57,54 @@ object AnalyticsQueries {
       roundCols(Analytics.sessionize(clean(s, d)), Seq("duration_sec"))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // #49l Sessionize.sessions as a DRIVER-CHECKED correctness row: the
+    // custom flatMapGroupsWithState fold (the most state-shaped
+    // machinery in the repo) run through a real micro-batch and
+    // hash-checked against the batch window-chain oracle. A far-future
+    // sentinel event per user proves the trailing gap so every real
+    // session CLOSES and emits; the sentinels' own open sessions never
+    // emit (no successor event) — absent by construction. session_id is
+    // re-derived on the session-grain SINK (a harness-side window over
+    // finalized rows, never the corpus — the append stream cannot carry
+    // a per-user running index). Deterministic 1/5 user subset, the
+    // stream_bars harness-cost rule. The µs-grain fold (usOf/tsOfUs)
+    // is what makes VALUE parity possible — events carry microsecond
+    // timestamps.
+    "stream_sessionize" -> ((s, d) => {
+      import graft.streaming.Sessionize
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = clean(s, d)
+        .filter(pmod(col("user_id"), lit(5L)) === 0)
+        .select(col("user_id"), col("ts"), col("value"))
+        .collect()
+        .map(r => Sessionize.Event(r.getLong(0), r.getTimestamp(1),
+          r.getDouble(2)))
+      val maxMs = if (evs.isEmpty) 0L else evs.iterator.map(_.ts.getTime).max
+      val sink = "stream_sessionize_sink"
+      s.catalog.dropTempView(sink)
+      val input = MemoryStream[Sessionize.Event]
+      val q = Sessionize.sessions(input.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        input.addData(evs.toIndexedSeq)
+        val flush = evs.map(_.user_id).distinct.map(u => Sessionize.Event(u,
+          new java.sql.Timestamp(maxMs + 100L * 86400000L), 0.0))
+        input.addData(flush.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("session_start"))
+      s.table(sink)
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          round(col("duration_sec"), 6).as("duration_sec"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "event_funnel" -> ((s, d) =>
       Analytics.eventFunnel(clean(s, d))
         .orderBy(col("user_id"))),
@@ -265,6 +313,32 @@ object AnalyticsQueries {
          |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
          |    lag(epoch_us(ts)) OVER w AS prev_us
          |  FROM clean
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (
+         |  SELECT *,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM f),
+         |h AS (
+         |  SELECT *,
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events,
+         |  round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
+         |FROM h GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    // The streaming fold finalizes to exactly the batch sessions on the
+    // row's 1/5 user subset — the oracle is the sessionize body with
+    // the subset filter pushed into the first windowed CTE.
+    "stream_sessionize" ->
+      s"""${MarketQueries.CleanCte},
+         |f AS (
+         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER w AS prev_us
+         |  FROM clean WHERE user_id % 5 = 0
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |g AS (
          |  SELECT *,

@@ -581,6 +581,33 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("quality_score"))
         .orderBy(col("doc_id"))),
+
+    // #47c2 the COMPLETE curation DAG as one oracle-checked query:
+    // quality gate + banned-term gate → exact dedup → near-dup CC →
+    // PII redaction → split, end to end. PII is planted on every third
+    // doc (the pii_report plant) so the scrub genuinely transforms
+    // surviving documents, and the published content_hash is the sha2
+    // of the RELEASED text — the redaction is value-checked, not
+    // assumed.
+    "corpus_pipeline_full" -> ((s, d) => {
+      val aug = docs(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(3L)) === 0, concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."),
+          pmod(col("doc_id"), lit(200L)).cast("string"), lit(".0.7 acct 9"),
+          lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 9, "0"),
+          lit(" tel +1 (555) 01"),
+          lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0")))
+          .otherwise(col("text")))
+      graft.CorpusPipeline.curate(aug,
+          pairsOf = dd => Dedup.ngramJaccardInvertedIndex(dd, minJaccard = 0.5),
+          blocklistTerms = Some(Seq("slow", "merge")),
+          scrubPii = true)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("quality_score"), sha2(col("text"), 256).as("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Shared vector CTE: double-widened embeddings with L2 norms, and the
@@ -2640,6 +2667,74 @@ object LlmQueries {
          |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
          |drops AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
          |SELECT ex.doc_id, lang, source, n_chars, quality_score
+         |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
+         |WHERE drops.doc_id IS NULL
+         |ORDER BY ex.doc_id""".stripMargin,
+
+    // The base chain + the pii_report plant (aug), the blocklist
+    // predicate in the gate, and the released-text hash: sha256 of the
+    // sequential PiiPatterns replace fold.
+    "corpus_pipeline_full" ->
+      s"""WITH RECURSIVE aug AS (
+         |  SELECT doc_id, lang, source,
+         |    CASE WHEN doc_id % 3 = 0 THEN concat(text,
+         |      ' contact user', CAST(doc_id AS VARCHAR),
+         |      '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
+         |      '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),
+         |      ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'))
+         |    ELSE text END AS text
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, lang, source,
+         |    $QualityFieldsSql
+         |  FROM aug
+         |  WHERE lang IN ('en', 'de', 'es', 'fr')),
+         |q AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    $QualityScoreSql AS quality_score,
+         |    list_filter(string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS bt
+         |  FROM b),
+         |g AS (SELECT * FROM q WHERE quality_score >= 0.55
+         |  AND (len(bt) = 0
+         |    OR CAST(len(list_filter(bt, x -> list_contains(['slow', 'merge'], x))) AS DOUBLE)
+         |      <= len(bt) * 0.05::DOUBLE)),
+         |ex AS (
+         |  SELECT * FROM (SELECT *,
+         |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM g)
+         |  WHERE rn = 1),
+         |t AS (SELECT doc_id, source, lang,
+         |    string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks FROM ex),
+         |dsh AS (SELECT doc_id, source, lang,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_distinct(list_transform(range(len(toks) - 1),
+         |        i -> toks[i+1] || ' ' || toks[i+2]))
+         |      ELSE [] END AS sh
+         |  FROM t),
+         |p AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
+         |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
+         |    len(a.sh) AS la, len(b2.sh) AS lb
+         |  FROM dsh a JOIN dsh b2
+         |    ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id),
+         |pairs AS (
+         |  SELECT id1, id2 FROM p
+         |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS bb FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.bb FROM reach r JOIN edges e2 ON r.dst = e2.a),
+         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |drops AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
+         |SELECT ex.doc_id, lang, source, n_chars, quality_score,
+         |  sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         |    '\\b[0-9]{9,}\\b', '<ID>', 'g'),
+         |    '\\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g')) AS content_hash
          |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
          |WHERE drops.doc_id IS NULL
          |ORDER BY ex.doc_id""".stripMargin,

@@ -340,6 +340,17 @@ object TextAnalysis {
         col(lastCol).as("clean_text")): _*)
   }
 
+  /** The scrub as ONE column (the sequential [[PiiPatterns]] replace
+    * fold, no counts) — the projection-form stage [[graft.CorpusPipeline]]
+    * ANDs into its release pass. Same pattern list as [[piiScrub]], so
+    * the two cannot drift on WHAT is redacted; use [[piiScrub]] when the
+    * per-category counts matter.
+    */
+  def piiScrubCol(text: Column,
+                  patterns: Seq[(String, String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl) }
+
   /** #47h2 pii_report: per-source PII rollup — the auditor's face of
     * [[piiScrub]] (a data-release review asks "WHERE does the PII come
     * from and how much", not for 10B redacted rows): per source, doc
@@ -384,6 +395,20 @@ object TextAnalysis {
     * (LHS millions of terms) use [[blocklistFilterJoined]]: `isin`
     * compiles a linear scan per token, a broadcast join hashes.
     */
+  /** The keep verdict as ONE boolean column — [[blocklistFilter]]'s
+    * decision (same tokens, same empty-doc-keeps rule) in the
+    * projection form [[graft.CorpusPipeline]] ANDs into its single
+    * gate pass.
+    */
+  def blocklistKeepCol(text: Column, terms: Seq[String],
+                       maxRatio: Double = 0.05): Column = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val toks = filter(Dedup.tokens(text), t => t =!= "")
+    val blocked = size(filter(toks, t => t.isin(terms: _*)))
+    size(toks) === 0 ||
+      blocked.cast("double") <= size(toks).cast("double") * maxRatio
+  }
+
   def blocklistFilter(documents: DataFrame, terms: Seq[String] = DefaultBlocklist,
                       maxRatio: Double = 0.05): DataFrame = {
     require(terms.nonEmpty, "blocklist must not be empty")

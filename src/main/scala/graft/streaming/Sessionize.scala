@@ -19,27 +19,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
-  case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long)
+  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                      n_events: Long, duration_sec: Double)
 
-  def gapMs(gapMinutes: Int): Long = gapMinutes.toLong * 60L * 1000L
+  def gapUs(gapMinutes: Int): Long = gapMinutes.toLong * 60L * 1000000L
+
+  /** Event time at MICROSECOND grain. `Timestamp.getTime` alone is
+    * millisecond-truncating — the batch sessionizer compares epoch_us,
+    * so a ms-grain streaming fold silently truncated sub-ms boundaries
+    * and emitted session timestamps that differ from the batch plan in
+    * the µs digits (found r9 when the oracle row compared VALUES, not
+    * the counts the original parity spec checked).
+    */
+  def usOf(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  def tsOfUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Fold a batch of events for one key into (closed sessions, new open
     * state). Pure — shared by the streaming operator and its spec.
+    * `gap` is in MICROSECONDS (see [[gapUs]]).
     */
   def advance(state: Option[OpenSession], sorted: Seq[Event], gap: Long,
               userId: Long): (Seq[Session], Option[OpenSession]) = {
     var open = state
     val closed = Seq.newBuilder[Session]
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = usOf(e.ts)
       open match {
-        case Some(s) if t - s.lastMs > gap =>
+        case Some(s) if t - s.lastUs > gap =>
           closed += finish(userId, s)
           open = Some(OpenSession(t, t, 1))
         case Some(s) =>
-          open = Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.nEvents + 1))
+          open = Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.nEvents + 1))
         case None =>
           open = Some(OpenSession(t, t, 1))
       }
@@ -48,8 +64,8 @@ object Sessionize {
   }
 
   def finish(userId: Long, s: OpenSession): Session =
-    Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs),
-      s.nEvents, (s.lastMs - s.startMs) / 1000.0)
+    Session(userId, tsOfUs(s.startUs), tsOfUs(s.lastUs),
+      s.nEvents, (s.lastUs - s.startUs) / 1000000.0)
 
   /** Streaming sessionize with event-time timeout: the production
     * variant. [[sessions]] only closes a session when a LATER event for
@@ -63,7 +79,7 @@ object Sessionize {
     */
   def sessionsWithTimeout(events: Dataset[Event], gapMinutes: Int = 30,
                           watermarkDelay: String = "10 minutes"): Dataset[Session] = {
-    val gap = gapMs(gapMinutes)
+    val gap = gapUs(gapMinutes)
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val longEnc = Encoders.scalaLong
@@ -86,16 +102,20 @@ object Sessionize {
             // watermark is on-time; `>` would silently discard boundary
             // events).
             val wm = state.getCurrentWatermarkMs
-            val sorted = it.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
+            val sorted = it.toSeq.filter(e => usOf(e.ts) >= wm * 1000L)
+              .sortBy(e => usOf(e.ts))
             val (closed, open) = advance(state.getOption, sorted, gap, userId)
             open match {
               case Some(s) =>
                 state.update(s)
-                // Arm the flush at gap past the last event; never earlier
-                // than the current watermark (late data would make
-                // setTimeoutTimestamp throw).
-                state.setTimeoutTimestamp(
-                  math.max(s.lastMs + gap, state.getCurrentWatermarkMs + 1))
+                // Arm the flush at gap past the last event (timeouts are
+                // ms-grain — round the µs deadline UP so the flush never
+                // fires a sub-ms early); never earlier than the current
+                // watermark (late data would make setTimeoutTimestamp
+                // throw).
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(s.lastUs + gap + 999L, 1000L),
+                  state.getCurrentWatermarkMs + 1))
               case None => if (state.exists) state.remove()
             }
             closed.iterator
@@ -109,7 +129,7 @@ object Sessionize {
     * for the watermark-flushed production variant.
     */
   def sessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
-    val gap = gapMs(gapMinutes)
+    val gap = gapUs(gapMinutes)
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val longEnc = Encoders.scalaLong
@@ -117,7 +137,7 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val sorted = it.toSeq.sortBy(e => usOf(e.ts))
           val (closed, open) =
             advance(state.getOption, sorted, gap, userId)
           open match {

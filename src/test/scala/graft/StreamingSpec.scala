@@ -171,7 +171,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("advance() folds batches like the batch sessionizer") {
-    val gap = Sessionize.gapMs(30)
+    val gap = Sessionize.gapUs(30)
     val evs = Seq(
       Sessionize.Event(7L, ts("2024-01-01 09:00:00"), 1.0),
       Sessionize.Event(7L, ts("2024-01-01 09:05:00"), 1.0),
@@ -630,14 +630,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .map(u => Sessionize.Event(u, ts("2099-01-01 00:00:00"), 0.0))
       input.addData(flush.toSeq)
       query.processAllAvailable()
-      val streamed = spark.table("sess_all")
-        .groupBy("user_id").count().collect()
-        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+      // FULL-ROW parity, not just counts: the events table carries
+      // MICROSECOND timestamps, so this also pins the µs-grain fold
+      // (a ms-grain Timestamp.getTime fold truncates session bounds
+      // and durations — the r9 finding the count-only form missed).
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"),
+          math.round(r.getAs[Double]("duration_sec") * 1e6))
+      val streamed = spark.table("sess_all").collect().map(key).toSet
       val batch = graft.operators.Analytics.sessionize(clean)
-        .groupBy("user_id").count().collect()
-        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+        .collect().map(key).toSet
       assert(streamed == batch,
-        s"per-user session counts differ: streamed=$streamed batch=$batch")
+        s"sessions differ: onlyStreamed=${(streamed -- batch).take(3)} " +
+          s"onlyBatch=${(batch -- streamed).take(3)}")
     } finally query.stop()
   }
 

@@ -500,6 +500,28 @@ class TextSignalsSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSeq == rows.sorted.toSeq)
   }
 
+  test("curate: blocklist gate drops banned-heavy docs; pii scrub redacts released text") {
+    val d = Seq(
+      (1L, "clean wholesome text about markets and prices going up", "en", "s", 0L),
+      (2L, "casino casino casino winnings", "en", "s", 0L), // 3/4 banned > 0.2
+      (3L, "mail me at someone@example.com for market data details please", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def run(bl: Option[Seq[String]], scrub: Boolean) =
+      graft.CorpusPipeline.curate(d, minQuality = 0.0,
+          pairsOf = dd => graft.operators.Dedup.ngramJaccard(dd),
+          blocklistTerms = bl, blocklistMaxRatio = 0.2, scrubPii = scrub)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = run(Some(Seq("casino")), scrub = true)
+    assert(full.keySet == Set(1L, 3L), s"banned-heavy doc must drop: ${full.keySet}")
+    assert(!full(3L).contains("@") && full(3L).contains("<EMAIL>"), full(3L))
+    assert(full(1L) == "clean wholesome text about markets and prices going up",
+      "clean doc must pass through byte-identical")
+    // default-off run: nothing dropped, nothing redacted
+    val base = run(None, scrub = false)
+    assert(base.keySet == Set(1L, 2L, 3L) && base(3L).contains("@"))
+  }
+
   test("trained gate: projection form agrees with the scorer; curate applies it") {
     import graft.operators.Classifier
     val d = plantedDocs
