@@ -19,6 +19,34 @@ object AnalyticsQueries {
   private def roundCols(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame =
     cols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), scale)))
 
+  /** The batch session window chain shared by the sessionize and
+    * stream_sessionize oracles (the SpanCte rule: one definition, so
+    * the streaming row's oracle cannot drift from the batch row's);
+    * `where` narrows the fed rows — the streaming row's user subset.
+    */
+  private def sessionChainSql(where: String): String =
+    s"""${MarketQueries.CleanCte},
+       |f AS (
+       |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+       |    lag(epoch_us(ts)) OVER w AS prev_us
+       |  FROM clean$where
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |g AS (
+       |  SELECT *,
+       |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+       |  FROM f),
+       |h AS (
+       |  SELECT *,
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM g)
+       |SELECT user_id, session_id,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events,
+       |  round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
+       |FROM h GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "correlation_pairs" -> ((s, d) =>
       roundCols(Analytics.correlationPairs(bars(s, d)), Seq("correlation"))
@@ -307,54 +335,13 @@ object AnalyticsQueries {
          |WHERE abs((c.value - st.m) / nullif(st.sd, 0.0)) > 2.5
          |ORDER BY c.user_id, c.event_id""".stripMargin,
 
-    "sessionize" ->
-      s"""${MarketQueries.CleanCte},
-         |f AS (
-         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-         |    lag(epoch_us(ts)) OVER w AS prev_us
-         |  FROM clean
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |g AS (
-         |  SELECT *,
-         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
-         |  FROM f),
-         |h AS (
-         |  SELECT *,
-         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM g)
-         |SELECT user_id, session_id,
-         |  min(ts) AS session_start, max(ts) AS session_end,
-         |  count(*) AS n_events,
-         |  round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
-         |FROM h GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin,
+    "sessionize" -> sessionChainSql(""),
 
-    // The streaming fold finalizes to exactly the batch sessions on the
-    // row's 1/5 user subset — the oracle is the sessionize body with
-    // the subset filter pushed into the first windowed CTE.
-    "stream_sessionize" ->
-      s"""${MarketQueries.CleanCte},
-         |f AS (
-         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-         |    lag(epoch_us(ts)) OVER w AS prev_us
-         |  FROM clean WHERE user_id % 5 = 0
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |g AS (
-         |  SELECT *,
-         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
-         |  FROM f),
-         |h AS (
-         |  SELECT *,
-         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM g)
-         |SELECT user_id, session_id,
-         |  min(ts) AS session_start, max(ts) AS session_end,
-         |  count(*) AS n_events,
-         |  round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
-         |FROM h GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin,
+    // The streaming fold finalizes to exactly the batch sessions on
+    // the row's 1/5 user subset — the oracle IS the sessionize body
+    // (one shared chain, the subset predicate the only variable) with
+    // the filter pushed into the first windowed CTE.
+    "stream_sessionize" -> sessionChainSql(" WHERE user_id % 5 = 0"),
 
     "event_funnel" ->
       s"""${MarketQueries.CleanCte},

@@ -1346,6 +1346,66 @@ object LlmQueries {
       |    regexp_replace(t3, '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
       |  FROM s3)""".stripMargin
 
+  /** The curation-DAG oracle chain (gate → exact dedup → shingles →
+    * pairs → recursive-CTE CC → drops), shared by the corpus_pipeline
+    * and corpus_pipeline_full oracles (the SpanCte rule — a dedup/CC
+    * tweak applied to one copy cannot leave the two rows asserting
+    * different DAGs). The full row varies only: `prelude` (its plant
+    * CTE), `corpusRel` (which relation feeds the quality pass),
+    * `qExtra`/`gateExtra` (the blocklist token column + predicate) and
+    * `selectExtra` (the released-text hash).
+    */
+  private def corpusPipelineSql(prelude: String = "",
+                                corpusRel: String = "documents",
+                                qExtra: String = "",
+                                gateExtra: String = "",
+                                selectExtra: String = ""): String =
+    s"""WITH RECURSIVE ${prelude}b AS (
+       |  SELECT doc_id, text, lang, source,
+       |    $QualityFieldsSql
+       |  FROM $corpusRel
+       |  WHERE lang IN ('en', 'de', 'es', 'fr')),
+       |q AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    $QualityScoreSql AS quality_score$qExtra
+       |  FROM b),
+       |g AS (SELECT * FROM q WHERE quality_score >= 0.55$gateExtra),
+       |ex AS (
+       |  SELECT * FROM (SELECT *,
+       |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+       |    FROM g)
+       |  WHERE rn = 1),
+       |t AS (SELECT doc_id, source, lang,
+       |    string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks FROM ex),
+       |dsh AS (SELECT doc_id, source, lang,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_distinct(list_transform(range(len(toks) - 1),
+       |        i -> toks[i+1] || ' ' || toks[i+2]))
+       |      ELSE [] END AS sh
+       |  FROM t),
+       |p AS (
+       |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
+       |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
+       |    len(a.sh) AS la, len(b2.sh) AS lb
+       |  FROM dsh a JOIN dsh b2
+       |    ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id),
+       |pairs AS (
+       |  SELECT id1, id2 FROM p
+       |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
+       |edges AS (SELECT id1 AS a, id2 AS bb FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e2.bb FROM reach r JOIN edges e2 ON r.dst = e2.a),
+       |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |drops AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
+       |SELECT ex.doc_id, lang, source, n_chars, quality_score$selectExtra
+       |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
+       |WHERE drops.doc_id IS NULL
+       |ORDER BY ex.doc_id""".stripMargin
+
   /** Quality-score CTEs (b, q) shared by the keep-best oracles. */
   private val QualityCtes: String =
     s"""b AS (
@@ -2624,128 +2684,52 @@ object LlmQueries {
          |FROM pp JOIN th USING (lang)
          |ORDER BY doc_id""".stripMargin,
 
-    "corpus_pipeline" ->
-      s"""WITH RECURSIVE b AS (
-         |  SELECT doc_id, text, lang, source,
-         |    $QualityFieldsSql
-         |  FROM documents
-         |  WHERE lang IN ('en', 'de', 'es', 'fr')),
-         |q AS (
-         |  SELECT doc_id, text, lang, source, n_chars,
-         |    $QualityScoreSql AS quality_score
-         |  FROM b),
-         |g AS (SELECT * FROM q WHERE quality_score >= 0.55),
-         |ex AS (
-         |  SELECT * FROM (SELECT *,
-         |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-         |    FROM g)
-         |  WHERE rn = 1),
-         |t AS (SELECT doc_id, source, lang,
-         |    string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks FROM ex),
-         |dsh AS (SELECT doc_id, source, lang,
-         |    CASE WHEN len(toks) >= 2
-         |      THEN list_distinct(list_transform(range(len(toks) - 1),
-         |        i -> toks[i+1] || ' ' || toks[i+2]))
-         |      ELSE [] END AS sh
-         |  FROM t),
-         |p AS (
-         |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
-         |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
-         |    len(a.sh) AS la, len(b2.sh) AS lb
-         |  FROM dsh a JOIN dsh b2
-         |    ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id),
-         |pairs AS (
-         |  SELECT id1, id2 FROM p
-         |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
-         |edges AS (SELECT id1 AS a, id2 AS bb FROM pairs
-         |          UNION ALL SELECT id2, id1 FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.src, e2.bb FROM reach r JOIN edges e2 ON r.dst = e2.a),
-         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
-         |drops AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
-         |SELECT ex.doc_id, lang, source, n_chars, quality_score
-         |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
-         |WHERE drops.doc_id IS NULL
-         |ORDER BY ex.doc_id""".stripMargin,
+    "corpus_pipeline" -> corpusPipelineSql(),
 
-    // The base chain + the pii_report plant (aug), the blocklist
+    // The base chain + the pii_report plant (aug, null-text yields
+    // null — the decontaminate-plant convention), the blocklist
     // predicate in the gate, and the released-text hash: sha256 of the
-    // sequential PiiPatterns replace fold.
-    "corpus_pipeline_full" ->
-      s"""WITH RECURSIVE aug AS (
-         |  SELECT doc_id, lang, source,
-         |    CASE WHEN doc_id % 3 = 0 THEN concat(text,
-         |      ' contact user', CAST(doc_id AS VARCHAR),
-         |      '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
-         |      '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),
-         |      ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'))
-         |    ELSE text END AS text
-         |  FROM documents),
-         |b AS (
-         |  SELECT doc_id, text, lang, source,
-         |    $QualityFieldsSql
-         |  FROM aug
-         |  WHERE lang IN ('en', 'de', 'es', 'fr')),
-         |q AS (
-         |  SELECT doc_id, text, lang, source, n_chars,
-         |    $QualityScoreSql AS quality_score,
-         |    list_filter(string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS bt
-         |  FROM b),
-         |g AS (SELECT * FROM q WHERE quality_score >= 0.55
-         |  AND (len(bt) = 0
-         |    OR CAST(len(list_filter(bt, x -> list_contains(['slow', 'merge'], x))) AS DOUBLE)
-         |      <= len(bt) * 0.05::DOUBLE)),
-         |ex AS (
-         |  SELECT * FROM (SELECT *,
-         |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-         |    FROM g)
-         |  WHERE rn = 1),
-         |t AS (SELECT doc_id, source, lang,
-         |    string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks FROM ex),
-         |dsh AS (SELECT doc_id, source, lang,
-         |    CASE WHEN len(toks) >= 2
-         |      THEN list_distinct(list_transform(range(len(toks) - 1),
-         |        i -> toks[i+1] || ' ' || toks[i+2]))
-         |      ELSE [] END AS sh
-         |  FROM t),
-         |p AS (
-         |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
-         |    len(list_filter(a.sh, x -> list_contains(b2.sh, x))) AS n_common,
-         |    len(a.sh) AS la, len(b2.sh) AS lb
-         |  FROM dsh a JOIN dsh b2
-         |    ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id),
-         |pairs AS (
-         |  SELECT id1, id2 FROM p
-         |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
-         |edges AS (SELECT id1 AS a, id2 AS bb FROM pairs
-         |          UNION ALL SELECT id2, id1 FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.src, e2.bb FROM reach r JOIN edges e2 ON r.dst = e2.a),
-         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
-         |drops AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
-         |SELECT ex.doc_id, lang, source, n_chars, quality_score,
-         |  sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
-         |    '\\b[0-9]{9,}\\b', '<ID>', 'g'),
-         |    '\\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g')) AS content_hash
-         |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
-         |WHERE drops.doc_id IS NULL
-         |ORDER BY ex.doc_id""".stripMargin,
+    // sequential PiiPatterns replace fold. One shared chain builder —
+    // the full row's oracle cannot drift from the base row's.
+    "corpus_pipeline_full" -> corpusPipelineSql(
+      prelude =
+        """aug AS (
+          |  SELECT doc_id, lang, source,
+          |    CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL THEN concat(text,
+          |      ' contact user', CAST(doc_id AS VARCHAR),
+          |      '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
+          |      '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),
+          |      ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'))
+          |    ELSE text END AS text
+          |  FROM documents),
+          |""".stripMargin,
+      corpusRel = "aug",
+      qExtra =
+        """,
+          |    list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> x <> '') AS bt""".stripMargin,
+      gateExtra =
+        """
+          |  AND (len(bt) = 0
+          |    OR CAST(len(list_filter(bt, x -> list_contains(['slow', 'merge'], x))) AS DOUBLE)
+          |      <= len(bt) * 0.05::DOUBLE)""".stripMargin,
+      selectExtra =
+        """,
+          |  sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          |    '\b[0-9]{9,}\b', '<ID>', 'g'),
+          |    '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g')) AS content_hash""".stripMargin),
 
+    // The plants mirror Spark's NULL-propagating concat via
+    // `CASE WHEN text IS NOT NULL` (DuckDB concat SKIPS null inputs —
+    // the decontaminate-plant convention; r9 review finding).
     "pii_scrub" ->
       s"""WITH aug AS (
-         |  SELECT doc_id, concat(text,
+         |  SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE concat(text,
          |    ' contact user', CAST(doc_id AS VARCHAR),
          |    '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
          |    '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),
-         |    ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) AS t0
+         |    ' tel +1 (555) 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) END AS t0
          |  FROM documents),
          |$PiiStageCtes
          |SELECT doc_id, n_email, n_ip, n_id, n_phone,
@@ -2757,7 +2741,7 @@ object LlmQueries {
     // a rollup over it would be the degenerate share-1.0 row).
     "pii_report" ->
       s"""WITH aug AS (
-         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN concat(text,
+         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL THEN concat(text,
          |    ' contact user', CAST(doc_id AS VARCHAR),
          |    '@mail.example.com from 10.', CAST(doc_id % 200 AS VARCHAR),
          |    '.0.7 acct 9', lpad(CAST(doc_id % 1000 AS VARCHAR), 9, '0'),

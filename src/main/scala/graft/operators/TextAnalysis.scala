@@ -395,20 +395,6 @@ object TextAnalysis {
     * (LHS millions of terms) use [[blocklistFilterJoined]]: `isin`
     * compiles a linear scan per token, a broadcast join hashes.
     */
-  /** The keep verdict as ONE boolean column — [[blocklistFilter]]'s
-    * decision (same tokens, same empty-doc-keeps rule) in the
-    * projection form [[graft.CorpusPipeline]] ANDs into its single
-    * gate pass.
-    */
-  def blocklistKeepCol(text: Column, terms: Seq[String],
-                       maxRatio: Double = 0.05): Column = {
-    require(terms.nonEmpty, "blocklist must not be empty")
-    val toks = filter(Dedup.tokens(text), t => t =!= "")
-    val blocked = size(filter(toks, t => t.isin(terms: _*)))
-    size(toks) === 0 ||
-      blocked.cast("double") <= size(toks).cast("double") * maxRatio
-  }
-
   def blocklistFilter(documents: DataFrame, terms: Seq[String] = DefaultBlocklist,
                       maxRatio: Double = 0.05): DataFrame = {
     require(terms.nonEmpty, "blocklist must not be empty")
@@ -424,6 +410,20 @@ object TextAnalysis {
         (col("n_tokens") === 0 ||
           col("n_blocked").cast("double") <= col("n_tokens").cast("double") * maxRatio)
           .cast("int").as("keep"))
+  }
+
+  /** The keep verdict as ONE boolean column — [[blocklistFilter]]'s
+    * decision (same tokens, same empty-doc-keeps rule) in the
+    * projection form [[graft.CorpusPipeline]] ANDs into its single
+    * gate pass.
+    */
+  def blocklistKeepCol(text: Column, terms: Seq[String],
+                       maxRatio: Double = 0.05): Column = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val toks = filter(Dedup.tokens(text), t => t =!= "")
+    val blocked = size(filter(toks, t => t.isin(terms: _*)))
+    size(toks) === 0 ||
+      blocked.cast("double") <= size(toks).cast("double") * maxRatio
   }
 
   /** Large-blocklist twin of [[blocklistFilter]]: explode tokens, LEFT

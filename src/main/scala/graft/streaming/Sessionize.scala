@@ -19,7 +19,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
-  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** Open-session state. `grainV` exists ONLY to break state-store
+    * schema compatibility with the pre-r9 millisecond-grain state:
+    * Spark's compatibility check compares TYPES, not field names, so a
+    * checkpoint written by the old (startMs, lastMs, nEvents) state
+    * would restore into the µs fields silently — every restored ms
+    * value read as µs closes instantly and emits 1970-dated sessions.
+    * The extra field makes such a restart fail LOUDLY at the schema
+    * check instead; start a fresh checkpoint across the upgrade.
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long,
+                         grainV: Int = 2)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                      n_events: Long, duration_sec: Double)
 
