@@ -899,6 +899,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup: oversized buckets star-cap to the root, state stays bounded") {
+    import graft.streaming.StreamNearDup
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    val dup = "identical content for every document in this bucket always"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docsDf = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val query = StreamNearDup.candidatePairs(docsDf,
+        watermarkDelay = "10 minutes", minEstJaccard = 0.0, maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    try {
+      // Sequential batches so arrival order (and thus the stored pair
+      // of members) is deterministic: 1 then 2 fill the bucket, 3 and 4
+      // arrive into a FULL bucket.
+      input.addData((1L, dup, ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      input.addData((2L, dup, ts("2024-01-01 10:00:10")))
+      query.processAllAvailable()
+      input.addData((3L, dup, ts("2024-01-01 10:00:20")))
+      query.processAllAvailable()
+      input.addData((4L, dup, ts("2024-01-01 10:00:30")))
+      query.processAllAvailable()
+      val got = spark.table("neardup_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // full pairing among the stored members, then star edges only:
+      // 3 and 4 each pair with root 1 (connectivity survives), never
+      // with 2 or each other (capped state never grows past maxBucket).
+      assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L)), got.toString)
+    } finally query.stop()
+  }
+
   test("stream_bars query row: finalized streaming windows equal batch bars_daily") {
     // The driver-checked row itself (MemoryStream + sentinel watermark
     // flush inside MarketQueries) must reproduce the batch daily bars
