@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the stage a crawl pipeline runs BEFORE any
+  * of the text tier ([[TextSignals]] quality/gopher, [[Dedup]],
+  * [[TextAnalysis]]): raw crawl documents arrive as markup, and every
+  * downstream signal (stopword ratios, shingles, perplexity) is
+  * meaningless until boilerplate markup is stripped (the C4/CCNet
+  * preprocessing step; reference scope ends at clean text, so this is
+  * beyond-reference surface like [[Url]]).
+  *
+  * Extraction rules, in order (each a chained codegen'd regex/replace
+  * projection — zero shuffle, zero join, streaming-safe; Java∩RE2
+  * syntax only, the [[Url]] portability discipline):
+  *
+  *  1. NULL html folds to '' (row membership never depends on markup
+  *     nullability — ADVICE r6: the doc stays, with empty title/text).
+  *  2. `<script>…</script>` and `<style>…</style>` blocks removed
+  *     WITH their content (lazy, dotall, case-insensitive). An
+  *     unclosed block keeps its content — it degrades to tag-stripped
+  *     text rather than eating the rest of the document.
+  *  3. comments `<!-- … -->` removed.
+  *  4. title = first `<title>…</title>` payload (after step 2/3), run
+  *     through the same entity/whitespace normalization as the text.
+  *  5. the `<head>…</head>` block (meta/link/title housing) is dropped
+  *     from the TEXT path — its payload is chrome, not content; the
+  *     title was already captured in step 4. An unclosed head degrades
+  *     to tag-stripped text like an unclosed script.
+  *  6. block-level tags (open or close: p, div, h1–h6, li, ul, ol, tr,
+  *     table, blockquote, pre, br, section, article, header, footer,
+  *     nav) become newlines — paragraph structure survives extraction;
+  *     every other tag becomes a space.
+  *  7. entities decoded: &nbsp; &lt; &gt; &quot; &#39; &apos; first,
+  *     `&amp;` LAST — so double-encoded text (`&amp;lt;`) decodes one
+  *     level (to `&lt;`), exactly like a single-pass HTML parser.
+  *     Unknown entities pass through verbatim. Note entity-encoded
+  *     angle brackets decode AFTER tag stripping, so `&lt;b&gt;` yields
+  *     literal `<b>` in the text — encoded markup is content, not tags.
+  *  8. whitespace: horizontal runs collapse to one space, spaces trim
+  *     around newlines, newline runs collapse to one, explicit-class
+  *     trim (Java `\s` and RE2 `\s` disagree on \x0B — never use \s).
+  *
+  * Scale shape: one projection pass over the markup column; filters
+  * and column pruning reach the scan; no UDF, no HOF — every step
+  * `regexp_replace`/`regexp_extract`/`replace`, all inside whole-stage
+  * codegen. At 100 TB this runs at scan speed next to the parquet
+  * reader, exactly like [[Url.normalize]].
+  */
+object Html {
+
+  // Every pattern is a named constant the DuckDB oracle interpolates
+  // VERBATIM (Java∩RE2 — same pattern bytes in both engines).
+  // Explicit whitespace class, never \s — Java's \s includes \x0B,
+  // RE2's does not (the EdgeTrimPattern rule, scaladoc #8).
+  val ScriptPattern = "(?is)<script\\b[^>]*>.*?</script[ \\t\\n\\f\\r]*>"
+  val StylePattern = "(?is)<style\\b[^>]*>.*?</style[ \\t\\n\\f\\r]*>"
+  val CommentPattern = "(?s)<!--.*?-->"
+  val HeadPattern = "(?is)<head\\b[^>]*>.*?</head[ \\t\\n\\f\\r]*>"
+  val TitlePattern = "(?is)<title\\b[^>]*>(.*?)</title"
+  val BreakTagPattern =
+    "(?i)</?(?:br|p|div|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|nav)\\b[^>]*>"
+  val TagPattern = "<[^>]*>"
+  val HSpacePattern = "[ \\t\\f\\r\\x0B]+"
+  val NewlinePadPattern = " ?\\n ?"
+  val NewlineRunPattern = "\\n+"
+  val EdgeTrimPattern = "^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$"
+
+  /** Entity table in decode order — `&amp;` last (scaladoc #7). Shared
+    * verbatim by the Column chain and the generated DuckDB oracle.
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  private def decodeEntities(e: Column): Column =
+    Entities.foldLeft(e) { case (acc, (ent, ch)) =>
+      replace(acc, lit(ent), lit(ch))
+    }
+
+  private def normalizeWs(e: Column): Column = {
+    val h = regexp_replace(e, HSpacePattern, " ")
+    val p = regexp_replace(h, NewlinePadPattern, "\n")
+    val n = regexp_replace(p, NewlineRunPattern, "\n")
+    regexp_replace(n, EdgeTrimPattern, "")
+  }
+
+  /** #47t4 html_extract: (doc_id, title, text, n_chars) per input row —
+    * rules in the object scaladoc. `htmlCol` is the markup column;
+    * every input row yields exactly one output row.
+    */
+  def extract(documents: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val raw = coalesce(col(htmlCol), lit(""))
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(raw,
+      ScriptPattern, " "), StylePattern, " "), CommentPattern, " ")
+    val title = normalizeWs(decodeEntities(
+      regexp_extract(noBlocks, TitlePattern, 1)))
+    // Title extracts BEFORE the head block (its home) is dropped from
+    // the text path; an unclosed <head> degrades to tag-stripped text.
+    val text = normalizeWs(decodeEntities(
+      regexp_replace(regexp_replace(
+        regexp_replace(noBlocks, HeadPattern, " "),
+        BreakTagPattern, "\n"), TagPattern, " ")))
+    documents.select(col("doc_id"), title.as("title"), text.as("text"),
+      length(text).as("n_chars"))
+  }
+}

@@ -406,6 +406,13 @@ object LlmQueries {
     "lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(docs(s, d)).orderBy(col("doc_id"))),
 
+    // CCNet deployment shape: LM fitted on the trusted slice (en),
+    // every doc scored against it — out-of-domain docs surface as
+    // high-ppl outliers the self-fitted lm_score cannot see.
+    "lm_score_ref" -> ((s, d) =>
+      TextAnalysis.lmScoreRef(docs(s, d), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     // CCNet head/middle/tail: per-lang exact ppl terciles broadcast
     // back over the lm_score pipeline.
     "lm_buckets" -> ((s, d) =>
@@ -1052,11 +1059,17 @@ object LlmQueries {
     * multiplicities → model counts folded FROM the per-doc counts →
     * add-one-smoothed per-doc mean log-prob.
     */
+  /** The [[graft.operators.Dedup.tokens]] tokenizer in DuckDB — shared
+    * by [[LmCte]] and [[LmRefCte]] (one definition, no drift).
+    */
+  private val LmTok: String =
+    """list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'),
+      |      x -> x <> '')""".stripMargin
+
   private val LmCte: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'),
-      |      x -> x <> '') AS tk
+      |    $LmTok AS tk
       |  FROM documents),
       |bgl AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
@@ -1076,6 +1089,40 @@ object LlmQueries {
       |  FROM dbg d
       |  JOIN bc b ON d.w1 = b.w1 AND d.w2 = b.w2
       |  JOIN cc c ON d.w1 = c.w1
+      |  CROSS JOIN voc
+      |  GROUP BY d.doc_id)""".stripMargin
+
+  /** [[LmCte]]'s reference-fitted twin (lm_score_ref): model counts and
+    * vocabulary fold over the `lang = 'en'` slice only, the scorer
+    * LEFT-joins the model with 0-coalesced counts — stage for stage the
+    * [[graft.operators.TextAnalysis.lmScoreRef]] plan. Same tokenizer
+    * ([[LmTok]]), same round(…, 6) policy.
+    */
+  private val LmRefCte: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_ref,
+      |    $LmTok AS tk
+      |  FROM documents),
+      |bgl AS (
+      |  SELECT doc_id, is_ref, unnest(list_transform(range(1, len(tk)),
+      |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS s
+      |  FROM t),
+      |dbg AS (
+      |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2, count(*) AS m,
+      |    bool_or(is_ref) AS is_ref
+      |  FROM bgl GROUP BY doc_id, s.w1, s.w2),
+      |bc AS (SELECT w1, w2, sum(m) AS c12 FROM dbg WHERE is_ref GROUP BY w1, w2),
+      |cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+      |voc AS (
+      |  SELECT count(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(tk) AS tok FROM t WHERE is_ref)),
+      |sc AS (
+      |  SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+      |    sum(d.m * ln((coalesce(b.c12, 0) + 1.0) / (coalesce(c.c1, 0) + voc.v)))
+      |      / sum(d.m) AS lp
+      |  FROM dbg d
+      |  LEFT JOIN bc b ON d.w1 = b.w1 AND d.w2 = b.w2
+      |  LEFT JOIN cc c ON d.w1 = c.w1
       |  CROSS JOIN voc
       |  GROUP BY d.doc_id)""".stripMargin
 
@@ -2662,6 +2709,15 @@ object LlmQueries {
     // under the shared round(…, 6) policy.
     "lm_score" ->
       s"""$LmCte
+         |SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logprob,
+         |  round(exp(-lp), 6) AS ppl
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Reference-fitted twin: the same fold over LmRefCte's left-joined
+    // model; the smoothing floor keeps every lp finite, so the round
+    // policy carries unchanged.
+    "lm_score_ref" ->
+      s"""$LmRefCte
          |SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logprob,
          |  round(exp(-lp), 6) AS ppl
          |FROM sc ORDER BY doc_id""".stripMargin,

@@ -565,6 +565,72 @@ object TextAnalysis {
       round(exp(-col("__lp")), 6).as("ppl"))
   }
 
+  /** #47k2 lm_score_ref: perplexity under a REFERENCE-fitted bigram LM —
+    * the CCNet deployment shape (Wenzek et al. 2020): the model is
+    * fitted on a trusted slice (`refFilter`, e.g. the in-domain
+    * language) and EVERY document is scored against it, so
+    * out-of-domain / gibberish docs surface as high-ppl outliers even
+    * when they are internally self-consistent (which the self-fitted
+    * [[lmScore]] cannot see — a template farm is low-ppl against
+    * itself).
+    *
+    * Same tokenization, counts, and add-one smoothing as [[lmScore]];
+    * exactly two deltas: model counts (c12, c1·) and vocabulary V fold
+    * over REFERENCE docs only, and the scorer LEFT-joins the model so
+    * unseen bigrams score the smoothing floor — P = 1/(c1·+V), down to
+    * 1/V for a wholly unseen context. Docs with < 2 tokens are excluded
+    * (no bigram distribution), reference or not; a NULL refFilter
+    * verdict means not-reference (row membership never depends on a
+    * predicate's nullability — ADVICE r6). An empty reference slice is
+    * a configuration error and raises loudly from inside the lazy plan
+    * (the guardedShinglePostings pattern), not a silent all-1/0 score.
+    *
+    * Scale shape: identical to lmScore — the per-doc bigram count is
+    * the only raw-posting pass; the ref flag rides the count rows
+    * (constant per doc, folded with bool_or), so the model fold is a
+    * FILTER over the per-doc counts, never a second corpus scan. V is
+    * a 1-row aggregate broadcast into the scorer.
+    */
+  def lmScoreRef(documents: DataFrame, refFilter: Column): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), coalesce(refFilter, lit(false)).as("__ref"),
+        Dedup.tokens(col("text")).as("__t"))
+      .withColumn("__t", filter(col("__t"), t => t =!= ""))
+    val dbg = toks.filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), col("__ref"), explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__bg"))
+      .select(col("doc_id"), col("__ref"),
+        col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"), bool_or(col("__ref")).as("__ref"))
+    val bc = dbg.filter(col("__ref"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
+    val cc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // 1-row frame; the guard fires once at vocab-fold time, not per
+    // scored row (the guarded-postings raise_error idiom).
+    val vocab = toks.filter(col("__ref"))
+      .select(explode(col("__t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+      .withColumn("v", when(col("v") <= 0, raise_error(lit(
+        "lmScoreRef: empty reference slice — refFilter selected no scorable docs")))
+        .otherwise(col("v")))
+    val scored = dbg
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lnp",
+        log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        (sum(col("m") * col("__lnp")) / sum(col("m"))).as("__lp"))
+    scored.select(col("doc_id"), col("n_bigrams"),
+      round(col("__lp"), 6).as("avg_logprob"),
+      round(exp(-col("__lp")), 6).as("ppl"))
+  }
+
   /** #47x lm_buckets: CCNet-style perplexity partition (Wenzek et al.
     * 2020's head/middle/tail): per language, split the corpus at the
     * [[lmScore]] ppl terciles — head trains as-is, middle gets a second

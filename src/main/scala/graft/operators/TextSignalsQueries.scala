@@ -226,6 +226,16 @@ object TextSignalsQueries {
 
     "text_normalize" -> ((s, d) =>
       TextSignals.textNormalize(docs(s, d)).orderBy(col("doc_id"))),
+
+    // The synthetic corpus is already clean text, so the row plants
+    // deterministic MESSY markup (full page with script/style/comment
+    // blocks, a title, entities incl. double-encoding, block and inline
+    // tags, a markup-free family — one per doc_id%4) that the oracle
+    // rebuilds verbatim — the url_normalize pattern: the check
+    // exercises real extraction, not a no-op.
+    "html_extract" -> ((s, d) =>
+      Html.extract(docs(s, d).withColumn("html", messyHtml))
+        .orderBy(col("doc_id"))),
   )
 
   /** Deterministic messy-URL fixture for `url_normalize` — five
@@ -256,7 +266,81 @@ object TextSignalsQueries {
       |      WHEN 3 THEN 'http://user:pw@' || source || '.example.org:8080/x%20y?ref=tw&id=' || CAST(doc_id AS VARCHAR)
       |      ELSE source || '.Example.net./no-scheme//' || CAST(doc_id AS VARCHAR) END""".stripMargin
 
+  /** Deterministic messy-markup fixture for `html_extract` — four
+    * families over doc_id%4 (see the query row's comment), wrapping the
+    * real `text` column so the planting is engine-replayable.
+    */
+  private def messyHtml: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(4L)).cast("int")
+    when(m === 0, concat(
+      lit("<!DOCTYPE html>\n<html><head><title> Doc "), id,
+      lit(" &amp; Friends </title>\n<style type=\"text/css\">\n body { color: #333; }\n</style></head>\n<body><nav><ul><li><a href=\"/home\">Home</a></li></ul></nav>\n<h1>Doc "),
+      id, lit("</h1>\n<p>"), col("text"),
+      lit("</p>\n<script>\nvar x = 1 < 2 && \"</p>\";\n</script>\n<footer>&copy; 2026 Example &lt;Corp&gt;</footer></body></html>")))
+      .when(m === 1, concat(
+        lit("<div class=\"post\">\n<!-- ad: <script>alert(1)</script> -->\n"),
+        col("text"),
+        lit("<br/>\n<br>More &quot;quoted&quot; &#39;here&#39;</div>")))
+      .when(m === 2, concat(lit("<table><tr><td>"), col("text"),
+        lit("</td></tr></table>\n<p>Tail &amp;&amp; done &amp;lt;escaped&amp;gt;</p>")))
+      .otherwise(concat(col("text"), lit(" &lt;raw&gt;&nbsp;tail")))
+  }
+
+  /** The same fixture in DuckDB (chr(10) = the Scala side's \n). */
+  private val messyHtmlSql: String =
+    """CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN '<!DOCTYPE html>' || chr(10) || '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; Friends </title>' || chr(10) || '<style type="text/css">' || chr(10) || ' body { color: #333; }' || chr(10) || '</style></head>' || chr(10) || '<body><nav><ul><li><a href="/home">Home</a></li></ul></nav>' || chr(10) || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>' || text || '</p>' || chr(10) || '<script>' || chr(10) || 'var x = 1 < 2 && "</p>";' || chr(10) || '</script>' || chr(10) || '<footer>&copy; 2026 Example &lt;Corp&gt;</footer></body></html>'
+      |      WHEN 1 THEN '<div class="post">' || chr(10) || '<!-- ad: <script>alert(1)</script> -->' || chr(10) || text || '<br/>' || chr(10) || '<br>More &quot;quoted&quot; &#39;here&#39;</div>'
+      |      WHEN 2 THEN '<table><tr><td>' || text || '</td></tr></table>' || chr(10) || '<p>Tail &amp;&amp; done &amp;lt;escaped&amp;gt;</p>'
+      |      ELSE text || ' &lt;raw&gt;&nbsp;tail' END""".stripMargin
+
+  /** [[Html.Entities]] decode chain in DuckDB — generated from the same
+    * table the Column chain folds over, in the same order.
+    */
+  private def htmlDecodeSql(e: String): String =
+    Html.Entities.foldLeft(e) { case (acc, (ent, ch)) =>
+      val rep = if (ch == "'") "chr(39)" else "'" + ch + "'"
+      s"replace($acc, '$ent', $rep)"
+    }
+
+  /** [[Html]]'s whitespace normalization in DuckDB — same constants,
+    * same stage order.
+    */
+  private def htmlNormSql(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      $e,
+       |      '${Html.HSpacePattern}', ' ', 'g'),
+       |      '${Html.NewlinePadPattern}', chr(10), 'g'),
+       |      '${Html.NewlineRunPattern}', chr(10), 'g'),
+       |      '${Html.EdgeTrimPattern}', '', 'g')""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // The [[Html]] extraction chain replayed with the SAME pattern
+    // constants and entity table interpolated verbatim (Java∩RE2 — the
+    // two engines run identical pattern bytes; the decode/normalize SQL
+    // is GENERATED from the Scala-side tables, so the stages cannot
+    // drift).
+    "html_extract" ->
+      s"""WITH h0 AS (
+         |  SELECT doc_id, $messyHtmlSql AS html
+         |  FROM documents),
+         |nb AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(coalesce(html, ''),
+         |      '${Html.ScriptPattern}', ' ', 'g'),
+         |      '${Html.StylePattern}', ' ', 'g'),
+         |      '${Html.CommentPattern}', ' ', 'g') AS h
+         |  FROM h0),
+         |ex AS (
+         |  SELECT doc_id,
+         |    ${htmlNormSql(htmlDecodeSql(s"regexp_extract(h, '${Html.TitlePattern}', 1)"))} AS title,
+         |    ${htmlNormSql(htmlDecodeSql(
+                s"regexp_replace(regexp_replace(regexp_replace(h, '${Html.HeadPattern}', ' ', 'g'), '${Html.BreakTagPattern}', chr(10), 'g'), '${Html.TagPattern}', ' ', 'g')"))} AS text
+         |  FROM nb)
+         |SELECT doc_id, title, text, CAST(length(text) AS INT) AS n_chars
+         |FROM ex ORDER BY doc_id""".stripMargin,
+
     // The [[Url]] regex chain replayed with the SAME pattern constants
     // interpolated verbatim (Java∩RE2 — the two engines run identical
     // pattern bytes). DuckDB regexp_replace needs the explicit 'g'

@@ -741,6 +741,47 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(xx._6 == "head" && xx._4 == xx._3 && xx._5 == xx._3, xx.toString)
   }
 
+  test("lm_score_ref: reference-fitted model, smoothing floor on unseen, null-safe filter") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Reference slice (en): c(a,b)=3, c(b,a)=1, c(b,c)=1; contexts
+    // a·=3, b·=2; V = |{a,b,c}| = 3. Non-ref docs score against THAT
+    // model: unseen bigram (b,x) → (0+1)/(2+3); doc 4's lang is NULL →
+    // refFilter verdict NULL → non-ref, but still scored.
+    val rows = Seq(
+      (0L, "a b a b", "en"), (1L, "a b c", "en"),
+      (2L, "a b x", "xx"), (3L, "z", "xx"), (4L, "a b", null))
+      .map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.lmScoreRef(rows, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    // doc 3 has one token — excluded, ref or not.
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L, 2L, 4L))
+    val pAB = 4.0 / 6.0; val pBA = 2.0 / 5.0
+    val pBC = 2.0 / 5.0; val pBX = 1.0 / 5.0
+    val want = Map(
+      0L -> (2 * math.log(pAB) + math.log(pBA)) / 3,
+      1L -> (math.log(pAB) + math.log(pBC)) / 2,
+      2L -> (math.log(pAB) + math.log(pBX)) / 2,
+      4L -> math.log(pAB))
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(math.abs(r.getAs[Double]("avg_logprob") - want(id)) <= 1e-6, s"doc $id")
+      assert(math.abs(r.getAs[Double]("ppl") - math.exp(-want(id))) <= 1e-5, s"doc $id")
+    }
+    // The unseen-bigram doc must be less probable under the reference
+    // model than the in-domain doc with the same seen prefix.
+    val ppl = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(ppl(2L) > ppl(1L))
+    // refFilter ≡ true degenerates to the self-fitted lmScore exactly
+    // (left joins never miss, V is the corpus vocab).
+    val all = TextAnalysis.lmScoreRef(rows, lit(true)).collect().toSet
+    assert(all == TextAnalysis.lmScore(rows).collect().toSet)
+    // An empty reference slice raises loudly from inside the plan.
+    val err = intercept[Exception](
+      TextAnalysis.lmScoreRef(rows, col("lang") === "nope").collect())
+    assert(err.getMessage.contains("empty reference slice"))
+  }
+
   test("PQ/ADC ANN: full refine is exact; shortlist recall holds; deterministic") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Html
+
+class HtmlSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def extract(rows: (Long, String)*) =
+    Html.extract(rows.toDF("doc_id", "html"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getInt(3))))
+      .toMap
+
+  test("html_extract: full page — blocks stripped, title captured, structure kept") {
+    val page =
+      "<!DOCTYPE html>\n<html><head><title> The &amp; Title </title>\n" +
+        "<style type=\"text/css\">\n body { color: red; }\n</style></head>\n" +
+        "<body><nav><a href=\"/x\">Home</a></nav>\n" +
+        "<h1>Heading</h1>\n<p>First para.</p><p>Second   para.</p>\n" +
+        "<script>\nvar x = 1 < 2 && \"</p>\";\n</script>\n" +
+        "<footer>&copy; 2026 &lt;Corp&gt;</footer></body></html>"
+    val (title, text, n) = extract(1L -> page)(1L)
+    assert(title == "The & Title")
+    // style/script payloads gone — including the </p> hidden inside a
+    // script string (lazy dotall match to the real close tag)
+    assert(!text.contains("color") && !text.contains("var x"))
+    // block tags became newlines, inline tags spaces, runs collapsed
+    assert(text == "Home\nHeading\nFirst para.\nSecond para.\n&copy; 2026 <Corp>")
+    assert(n == text.length)
+  }
+
+  test("html_extract: entities — one decode level, &amp; last, unknown pass through") {
+    val (_, text, _) =
+      extract(1L -> "<p>a &lt;b&gt; c &quot;d&quot; &#39;e&apos; f&nbsp;g &amp;&amp; &amp;lt;kept&amp;gt; &copy;</p>")(1L)
+    // entity-encoded markup decodes to literal text AFTER tag stripping
+    // — it is content, not tags; double-encoding decodes exactly once.
+    assert(text == "a <b> c \"d\" 'e' f g && &lt;kept&gt; &copy;")
+  }
+
+  test("html_extract: comments, null markup, unclosed script degrade safely") {
+    val out = extract(
+      1L -> "<div><!-- hidden <script>x()</script> -->shown</div>",
+      2L -> (null: String),
+      3L -> "<p>before</p><script>var y = 1;",
+      4L -> "plain text, no markup at all")
+    assert(out(1L) == (("", "shown", 5)))
+    // NULL markup keeps the row with empty fields (ADVICE r6 rule)
+    assert(out(2L) == (("", "", 0)))
+    // unclosed script: content survives as tag-stripped text rather
+    // than eating the rest of the document
+    assert(out(3L)._2 == "before\nvar y = 1;")
+    assert(out(4L) == (("", "plain text, no markup at all", 28)))
+  }
+
+  test("html_extract: whitespace normalization is the documented chain") {
+    val (_, text, _) =
+      extract(1L -> "<p>  a\t\tb </p>\n\n\n<p> c </p>  ")(1L)
+    assert(text == "a b\nc")
+  }
+}
