@@ -256,6 +256,57 @@ object Analytics {
       ((max(col("__us")) - min(col("__us"))) / lit(1000000.0)).as("duration_sec"))
   }
 
+  /** #31d range_join: each `rightType` event joined to every `leftType`
+    * event of the SAME user in the half-open preceding window
+    * [r.ts − windowSec, r.ts) — the attribution / impact interval join
+    * (purchase ← the clicks that may have driven it). Output one row
+    * per (right, left) pair with `lag_us` = how long before.
+    *
+    * Spark has no native range join; the naive formulation (equi key +
+    * range predicate) hash-joins on user_id alone and filters after —
+    * fine for small keys, but one power user makes the per-key cross
+    * product quadratic. This plan BINS the time axis instead:
+    * bin = us div windowUs; a left event in bin b can only match right
+    * events in bins {b, b+1}, so the left side replicates ×2 onto
+    * (user_id, bin) and the join is a pure equi shuffle join whose key
+    * cardinality GROWS with the time axis — per-task work is bounded by
+    * events-per-user-per-window, not events-per-user. The exact range
+    * predicate filters after the equi join; every true pair appears
+    * exactly once (the two left replicas land in distinct bins and the
+    * right event owns exactly one bin). Bin arithmetic stays in exact
+    * integer space (µs − µs mod w, quotient ≪ 2^53).
+    *
+    * At 100 TB: shuffle keys are (user, day-ish bin) — fine-grained,
+    * skew-bounded by the densest single window, AQE-splittable; the
+    * window parameter trades replication (always exactly 2×) for key
+    * granularity, unlike the per-key-window sort approach which
+    * serializes a hot user into one task.
+    */
+  def rangeJoin(cleanEvents: DataFrame, leftType: String = "click",
+                rightType: String = "purchase",
+                windowSec: Long = 86400L): DataFrame = {
+    require(windowSec > 0, s"rangeJoin: windowSec must be positive, got $windowSec")
+    val wUs = windowSec * 1000000L
+    def side(tpe: String, prefix: String) = cleanEvents
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id").as(s"${prefix}_id"),
+        col("ts").as(s"${prefix}_ts"), unix_micros(col("ts")).as(s"__${prefix}_us"))
+    val l = side(leftType, "left")
+      .withColumn("__q",
+        ((col("__left_us") - pmod(col("__left_us"), lit(wUs))) / lit(wUs)).cast("long"))
+      .withColumn("__bin", explode(array(col("__q"), col("__q") + 1)))
+      .drop("__q")
+    val r = side(rightType, "right")
+      .withColumn("__bin",
+        ((col("__right_us") - pmod(col("__right_us"), lit(wUs))) / lit(wUs)).cast("long"))
+    l.join(r, Seq("user_id", "__bin"))
+      .filter(col("__left_us") >= col("__right_us") - lit(wUs) &&
+        col("__left_us") < col("__right_us"))
+      .select(col("user_id"), col("right_id"), col("right_ts"),
+        col("left_id"), col("left_ts"),
+        (col("__right_us") - col("__left_us")).as("lag_us"))
+  }
+
   /** As-of join: each left row picks the most recent right row with
     * right.ts ≤ left.ts for the same key — the canonical market-data
     * enrichment (trade → prevailing quote) that Spark lacks natively.

@@ -150,6 +150,15 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("ts"))
     }),
 
+    // Binned interval join (#31d): every purchase ← the same user's
+    // clicks in the preceding 24 h. The ORACLE states the range
+    // predicate directly; the ENGINE runs the ×2-replicated
+    // (user, time-bin) equi join — a genuinely different plan checked
+    // pair-for-pair equal.
+    "range_join" -> ((s, d) =>
+      Analytics.rangeJoin(clean(s, d))
+        .orderBy(col("right_id"), col("left_id"))),
+
     // The NATIVE custom-plan twin (#31c): graft.plans.AsOf — same
     // semantics through the LogicalPlan/Strategy/SparkPlan path, checked
     // against the identical DuckDB ASOF JOIN oracle.
@@ -182,6 +191,20 @@ object AnalyticsQueries {
 
   def oracles: Map[String, String] = Map(
     "asof_join_native" -> AsOfOracle,
+
+    // The range predicate stated directly — the specification the
+    // binned-replication plan must reproduce pair-for-pair.
+    "range_join" ->
+      s"""${MarketQueries.CleanCte}
+         |SELECT r.user_id, r.event_id AS right_id, r.ts AS right_ts,
+         |  l.event_id AS left_id, l.ts AS left_ts,
+         |  epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+         |FROM clean r JOIN clean l
+         |  ON r.user_id = l.user_id
+         | AND r.event_type = 'purchase' AND l.event_type = 'click'
+         | AND epoch_us(l.ts) >= epoch_us(r.ts) - 86400000000
+         | AND epoch_us(l.ts) < epoch_us(r.ts)
+         |ORDER BY right_id, left_id""".stripMargin,
     "correlation_pairs" ->
       s"""${MarketQueries.BarsCte},
          |ret AS (

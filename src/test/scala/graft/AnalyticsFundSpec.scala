@@ -104,6 +104,37 @@ class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("range join: half-open window, per-user, every pair exactly once") {
+    val events = Seq(
+      (1L, 1L, "click", ts("2024-01-01 10:00:00")),    // lag = window → in
+      (2L, 1L, "click", ts("2024-01-01 10:30:00")),    // straddles the bin edge
+      (3L, 1L, "purchase", ts("2024-01-01 11:00:00")),
+      (4L, 1L, "click", ts("2024-01-01 11:00:00")),    // lag 0 → out (half-open)
+      (5L, 2L, "click", ts("2024-01-01 09:59:59")),    // 1s past window → out
+      (6L, 2L, "purchase", ts("2024-01-01 11:00:00")),
+      (7L, 3L, "click", ts("2024-01-01 10:45:00")),    // other user → out
+      (8L, 4L, "click", ts("2024-01-01 10:10:00")),    // same-bin pair
+      (9L, 4L, "purchase", ts("2024-01-01 10:50:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val joined = Analytics.rangeJoin(events, windowSec = 3600L)
+    val out = joined.collect()
+      .map(r => (r.getAs[Long]("right_id"), r.getAs[Long]("left_id"),
+        r.getAs[Long]("lag_us")))
+    // exactly once per true pair, despite the ×2 left replication —
+    // both the straddling and the same-bin shapes
+    assert(out.length == 3)
+    assert(out.toSet == Set(
+      (3L, 1L, 3600L * 1000000L),
+      (3L, 2L, 1800L * 1000000L),
+      (9L, 8L, 2400L * 1000000L)))
+    // plan contract: an equi join on (user, bin) — never a cartesian /
+    // nested-loop fallback, which is what a bare range predicate gets
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"range join fell back:\n$p")
+    assert(p.contains("__bin"), s"expected the time-bin equi key:\n$p")
+  }
+
   test("funnel requires strict view→click→purchase ordering") {
     val events = Seq(
       // u1 completes the funnel in order.
