@@ -42,7 +42,11 @@ object CorpusPipeline {
     * ([[operators.Classifier.trainQualityClassifier]]) instead, as a
     * dense-literal projection ([[TextSignals.classifierKeepColWeighted]]).
     *
-    * Round-9 stages: `blocklistTerms` ANDs the banned-term keep verdict
+    * Round-9 stages: `htmlCol` runs HTML → text extraction
+    * ([[operators.Html.textCol]]) as the FIRST transform when the
+    * corpus arrives as raw markup — every downstream key and score
+    * then sees content bytes, not tags; `blocklistTerms` ANDs the
+    * banned-term keep verdict
     * ([[TextAnalysis.blocklistKeepCol]], #47i's decision) into the same
     * single gate pass; `scrubPii` redacts the RELEASED text as the last
     * transform ([[TextAnalysis.piiScrubCol]]) — after all hashing and
@@ -73,17 +77,29 @@ object CorpusPipeline {
              stripBoilerplate: Boolean = false,
              blocklistTerms: Option[Seq[String]] = None,
              blocklistMaxRatio: Double = 0.05,
-             scrubPii: Boolean = false): DataFrame = {
+             scrubPii: Boolean = false,
+             htmlCol: Option[String] = None): DataFrame = {
     // A supplied trained artifact IMPLIES the gate — accepting weights
     // and then silently not gating would let a caller believe the
     // classifier filtered the corpus (r9 review finding).
     val classifierGateOn = classifierGate || classifierWeights.isDefined
+    // -1. Optional crawl front ([[operators.Html.textCol]]): when the
+    //    corpus arrives as raw markup in `htmlCol`, extraction replaces
+    //    `text` BEFORE every other stage — normalization, hashing,
+    //    gating, and dedup must all see content, not tags (a page's
+    //    hash must not change when its markup chrome does). Projection-
+    //    form like the other opt-in gates: zero shuffle, zero join.
+    val unwrapped = htmlCol match {
+      case None => documents
+      case Some(c) => documents
+        .withColumn("text", operators.Html.textCol(col(c))).drop(c)
+    }
     // 0. Optional canonicalization — BEFORE hashing/gating so exact
     //    dedup collapses case/whitespace variants of the same content.
     //    (n_chars needs no recompute: withQuality overwrites it.)
     val canonical0 =
-      if (!normalizeFirst) documents
-      else documents.withColumn("text", operators.TextSignals.normalizeExpr(col("text")))
+      if (!normalizeFirst) unwrapped
+      else unwrapped.withColumn("text", operators.TextSignals.normalizeExpr(col("text")))
     // 0.5. Optional boilerplate strip ([[Dedup.sentenceDedupClean]] at
     //    the per-source grain — the RefinedWeb rule) BEFORE anything
     //    hashes or gates: dedup keys and quality scores then see

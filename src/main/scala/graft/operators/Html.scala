@@ -87,23 +87,34 @@ object Html {
     regexp_replace(n, EdgeTrimPattern, "")
   }
 
+  private def noBlocks(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(coalesce(html, lit("")),
+      ScriptPattern, " "), StylePattern, " "), CommentPattern, " ")
+
+  /** The extracted body text as a pure Column — the projection form
+    * ([[TextSignals]] `*Col` convention) so the pipeline and streaming
+    * gates can run extraction without reshaping the frame.
+    */
+  def textCol(html: Column): Column =
+    // Title's home (the head block) is dropped from the text path; an
+    // unclosed <head> degrades to tag-stripped text.
+    normalizeWs(decodeEntities(
+      regexp_replace(regexp_replace(
+        regexp_replace(noBlocks(html), HeadPattern, " "),
+        BreakTagPattern, "\n"), TagPattern, " ")))
+
+  /** The `<title>` payload as a pure Column ('' when absent). */
+  def titleCol(html: Column): Column =
+    normalizeWs(decodeEntities(
+      regexp_extract(noBlocks(html), TitlePattern, 1)))
+
   /** #47t4 html_extract: (doc_id, title, text, n_chars) per input row —
     * rules in the object scaladoc. `htmlCol` is the markup column;
     * every input row yields exactly one output row.
     */
   def extract(documents: DataFrame, htmlCol: String = "html"): DataFrame = {
-    val raw = coalesce(col(htmlCol), lit(""))
-    val noBlocks = regexp_replace(regexp_replace(regexp_replace(raw,
-      ScriptPattern, " "), StylePattern, " "), CommentPattern, " ")
-    val title = normalizeWs(decodeEntities(
-      regexp_extract(noBlocks, TitlePattern, 1)))
-    // Title extracts BEFORE the head block (its home) is dropped from
-    // the text path; an unclosed <head> degrades to tag-stripped text.
-    val text = normalizeWs(decodeEntities(
-      regexp_replace(regexp_replace(
-        regexp_replace(noBlocks, HeadPattern, " "),
-        BreakTagPattern, "\n"), TagPattern, " ")))
-    documents.select(col("doc_id"), title.as("title"), text.as("text"),
-      length(text).as("n_chars"))
+    val text = textCol(col(htmlCol))
+    documents.select(col("doc_id"), titleCol(col(htmlCol)).as("title"),
+      text.as("text"), length(text).as("n_chars"))
   }
 }

@@ -1371,6 +1371,35 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       .collect().isEmpty)
   }
 
+  test("corpus pipeline: htmlCol front — markup chrome never changes curation") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val good = ("the cat and the dog sat in the house and it was warm " * 3).trim
+    val plain = Seq(
+      (1L, good, "en", "src0"),
+      (2L, good, "en", "src0"),
+      (3L, good + " extra tail words here", "en", "src0"),
+      (4L, "!!! ??? ### $$$ %%%", "en", "src0"),
+      (5L, good, "zh", "src0"),
+      (6L, "the bird flew to the sea and it was far away from home today", "en", "src1")
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Per-doc UNIQUE non-content chrome (title/script/comment — all
+    // stripped by extraction): if markup leaked into hashing, docs 1/2
+    // would stop being exact dups and the dedup verdicts would change.
+    val markup = plain.withColumn("html", concat(
+      lit("<html><head><title>page "), col("doc_id"),
+      lit("</title><script>var v="), col("doc_id"),
+      lit(";</script></head><body><!-- chrome "), col("doc_id"),
+      lit(" --><p>"), col("text"), lit("</p></body></html>")))
+      .drop("text")
+    def res(df: org.apache.spark.sql.DataFrame, html: Option[String]) =
+      CorpusPipeline.curate(df,
+          pairsOf = d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.5),
+          htmlCol = html)
+        .select("doc_id", "text", "split").collect().toSet
+    assert(res(markup, Some("html")) == res(plain, None))
+  }
+
   test("corpus pipeline: every stage gates what it should") {
     val good = ("the cat and the dog sat in the house and it was warm " * 3).trim
     val rows = Seq(

@@ -647,6 +647,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("html extraction is streaming-safe: the crawl front runs unchanged on a stream") {
+    // Html.textCol/titleCol are stateless regex projections (the
+    // gopher/normalize rule below), so live crawl ingest can extract
+    // markup in-stream before the batch curation pass ever sees it.
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String)]
+    val streamed = input.toDF().toDF("doc_id", "html")
+      .select(col("doc_id"),
+        graft.operators.Html.titleCol(col("html")).as("title"),
+        graft.operators.Html.textCol(col("html")).as("text"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("html_stream").outputMode("append").start()
+    try {
+      input.addData(
+        1L -> "<html><head><title>T1</title><script>x()</script></head><body><p>alpha beta</p></body></html>",
+        2L -> "plain &amp; simple",
+        3L -> (null: String))
+      query.processAllAvailable()
+      val live = spark.table("html_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(live == Set(
+        (1L, "T1", "alpha beta"),
+        (2L, "", "plain & simple"),
+        (3L, "", "")))
+    } finally query.stop()
+  }
+
   test("corpus signals are streaming-safe: gopher + normalize run unchanged on a stream") {
     // The round-8 quality signals are stateless projections — no
     // aggregation, no watermark, no state store — so the SAME operator
