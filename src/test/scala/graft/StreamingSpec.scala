@@ -647,6 +647,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("stream range join: watermarked interval join equals the batch binned plan") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sqlCtx
+    // The batch spec's fixture, split into the two live streams.
+    val clickRows = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),  // lag = window → in
+      (2L, 1L, ts("2024-01-01 10:30:00")),  // straddles the bin edge
+      (4L, 1L, ts("2024-01-01 11:00:00")),  // lag 0 → out (half-open)
+      (5L, 2L, ts("2024-01-01 09:59:59")),  // 1s past window → out
+      (7L, 3L, ts("2024-01-01 10:45:00")),  // other user → out
+      (8L, 4L, ts("2024-01-01 10:10:00")))  // same-bin pair
+    val purchaseRows = Seq(
+      (3L, 1L, ts("2024-01-01 11:00:00")),
+      (6L, 2L, ts("2024-01-01 11:00:00")),
+      (9L, 4L, ts("2024-01-01 10:50:00")))
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    def shape(s: MemoryStream[(Long, Long, Timestamp)]) =
+      s.toDF().toDF("event_id", "user_id", "ts")
+    val joined = graft.streaming.StreamRangeJoin.attribution(
+      shape(clicks), shape(purchases), windowSec = 3600L)
+    val query = joined.writeStream.format("memory")
+      .queryName("range_stream").outputMode("append").start()
+    try {
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchaseRows: _*)
+      query.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[Long]("right_id"),
+          r.getAs[Long]("left_id"), r.getAs[Long]("lag_us"))
+      val streamed = spark.table("range_stream").collect().map(key).toSet
+      // Batch twin on the union of the same events.
+      val events = (clickRows.map { case (e, u, t) => (e, u, "click", t) } ++
+        purchaseRows.map { case (e, u, t) => (e, u, "purchase", t) })
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val batch = graft.operators.Analytics.rangeJoin(events, windowSec = 3600L)
+        .collect().map(key).toSet
+      assert(streamed == batch && streamed.size == 3,
+        s"streamed=$streamed batch=$batch")
+    } finally query.stop()
+  }
+
   test("html extraction is streaming-safe: the crawl front runs unchanged on a stream") {
     // Html.textCol/titleCol are stateless regex projections (the
     // gopher/normalize rule below), so live crawl ingest can extract
