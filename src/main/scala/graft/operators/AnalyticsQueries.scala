@@ -159,6 +159,17 @@ object AnalyticsQueries {
       Analytics.rangeJoin(clean(s, d))
         .orderBy(col("right_id"), col("left_id"))),
 
+    // Z-order key (#31e): the write-side layout key over
+    // (user, days-since-epoch) — the oracle replays the identical
+    // generated interleave chain (Layout.zorderKeySql).
+    "zorder_key" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("day"),
+          Layout.zorderKey(col("user_id"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))).as("zkey"))
+        .orderBy(col("event_id"))),
+
     // The NATIVE custom-plan twin (#31c): graft.plans.AsOf — same
     // semantics through the LogicalPlan/Strategy/SparkPlan path, checked
     // against the identical DuckDB ASOF JOIN oracle.
@@ -191,6 +202,15 @@ object AnalyticsQueries {
 
   def oracles: Map[String, String] = Map(
     "asof_join_native" -> AsOfOracle,
+
+    // The identical generated shift/mask interleave chain — the SQL is
+    // produced by the same Scala loop as the Column expression.
+    "zorder_key" ->
+      s"""SELECT event_id, user_id,
+         |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |  ${Layout.zorderKeySql("user_id",
+              "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))")} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin,
 
     // The range predicate stated directly — the specification the
     // binned-replication plan must reproduce pair-for-pair.
