@@ -91,8 +91,13 @@ object CorpusPipeline {
     //    form like the other opt-in gates: zero shuffle, zero join.
     val unwrapped = htmlCol match {
       case None => documents
-      case Some(c) => documents
-        .withColumn("text", operators.Html.textCol(col(c))).drop(c)
+      case Some(c) =>
+        // A crawl frame may carry its markup IN the `text` column —
+        // dropping `c` after the overwrite would then drop the
+        // extraction itself (r9 review finding).
+        val extracted = documents.withColumn("text",
+          operators.Html.textCol(col(c)))
+        if (c == "text") extracted else extracted.drop(c)
     }
     // 0. Optional canonicalization — BEFORE hashing/gating so exact
     //    dedup collapses case/whitespace variants of the same content.

@@ -282,12 +282,28 @@ object Analytics {
     * granularity, unlike the per-key-window sort approach which
     * serializes a hot user into one task.
     */
+  /** Default [[rangeJoin]] window — shared with the generated oracle
+    * so the two cannot drift (the zorderKeySql rule).
+    */
+  val DefaultRangeWindowSec: Long = 86400L
+
   def rangeJoin(cleanEvents: DataFrame, leftType: String = "click",
                 rightType: String = "purchase",
-                windowSec: Long = 86400L): DataFrame = {
+                windowSec: Long = DefaultRangeWindowSec): DataFrame = {
     require(windowSec > 0, s"rangeJoin: windowSec must be positive, got $windowSec")
     val wUs = windowSec * 1000000L
-    def side(tpe: String, prefix: String) = cleanEvents
+    // The input feeds BOTH join sides; without materialization the
+    // whole upstream derivation (scan + the cleaner's dedup window)
+    // executes once per side — ReuseProbe read scans=2, windows=2,
+    // reused=0 (the guarded-postings rule: exchange reuse does not
+    // cross separately-instantiated branches). One combined type
+    // filter first, then the checkpoint holds only the narrow
+    // 4-column rows both sides actually read.
+    val typed = cleanEvents
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .localCheckpoint()
+    def side(tpe: String, prefix: String) = typed
       .filter(col("event_type") === tpe)
       .select(col("user_id"), col("event_id").as(s"${prefix}_id"),
         col("ts").as(s"${prefix}_ts"), unix_micros(col("ts")).as(s"__${prefix}_us"))

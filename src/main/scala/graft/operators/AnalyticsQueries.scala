@@ -222,7 +222,7 @@ object AnalyticsQueries {
          |FROM clean r JOIN clean l
          |  ON r.user_id = l.user_id
          | AND r.event_type = 'purchase' AND l.event_type = 'click'
-         | AND epoch_us(l.ts) >= epoch_us(r.ts) - 86400000000
+         | AND epoch_us(l.ts) >= epoch_us(r.ts) - ${Analytics.DefaultRangeWindowSec * 1000000L}
          | AND epoch_us(l.ts) < epoch_us(r.ts)
          |ORDER BY right_id, left_id""".stripMargin,
     "correlation_pairs" ->

@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *
   *  1. NULL html folds to '' (row membership never depends on markup
   *     nullability — ADVICE r6: the doc stays, with empty title/text).
-  *  2. `<script>…</script>` and `<style>…</style>` blocks removed
+  *  2. comments `<!-- … -->` removed — BEFORE script/style, so a
+  *     commented-out `<script>` opener (the ad-slot-disabling idiom)
+  *     cannot pair with a later real `</script>` and eat the genuine
+  *     content between them.
+  *  3. `<script>…</script>` and `<style>…</style>` blocks removed
   *     WITH their content (lazy, dotall, case-insensitive). An
   *     unclosed block keeps its content — it degrades to tag-stripped
   *     text rather than eating the rest of the document.
-  *  3. comments `<!-- … -->` removed.
   *  4. title = first `<title>…</title>` payload (after step 2/3), run
   *     through the same entity/whitespace normalization as the text.
   *  5. the `<head>…</head>` block (meta/link/title housing) is dropped
@@ -88,8 +91,17 @@ object Html {
   }
 
   private def noBlocks(html: Column): Column =
+    // Comments strip FIRST: a commented-out <script> opener
+    // (`<!-- <script> -->`, the ad-slot-disabling idiom) must not pair
+    // with a later real </script> and eat the genuine content between
+    // them. The converse hazard — comment markers split across script
+    // blocks so the comment strip eats post-script content — requires
+    // a script whose `<!--` closes only beyond its own </script>,
+    // which the old-style `<!-- ... //-->` hiding convention never
+    // does; that residual case is the accepted degradation (both
+    // engines degrade identically).
     regexp_replace(regexp_replace(regexp_replace(coalesce(html, lit("")),
-      ScriptPattern, " "), StylePattern, " "), CommentPattern, " ")
+      CommentPattern, " "), ScriptPattern, " "), StylePattern, " ")
 
   /** The extracted body text as a pure Column — the projection form
     * ([[TextSignals]] `*Col` convention) so the pipeline and streaming

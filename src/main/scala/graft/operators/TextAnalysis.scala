@@ -581,9 +581,12 @@ object TextAnalysis {
     * 1/V for a wholly unseen context. Docs with < 2 tokens are excluded
     * (no bigram distribution), reference or not; a NULL refFilter
     * verdict means not-reference (row membership never depends on a
-    * predicate's nullability — ADVICE r6). An empty reference slice is
-    * a configuration error and raises loudly from inside the lazy plan
-    * (the guardedShinglePostings pattern), not a silent all-1/0 score.
+    * predicate's nullability — ADVICE r6). A degenerate reference
+    * slice — refFilter matching no docs, or only sub-2-token docs
+    * (vocabulary but NO bigrams: every doc would silently score the
+    * floor ppl 1.0 against an empty model) — is a configuration error
+    * and raises loudly from inside the lazy plan (the
+    * guardedShinglePostings pattern), not a silent constant score.
     *
     * Scale shape: identical to lmScore — the per-doc bigram count is
     * the only raw-posting pass; the ref flag rides the count rows
@@ -609,13 +612,21 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
     val cc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     // 1-row frame; the guard fires once at vocab-fold time, not per
-    // scored row (the guarded-postings raise_error idiom).
+    // scored row (the guarded-postings raise_error idiom). It checks
+    // BOTH degenerate shapes: no reference tokens at all, and a
+    // reference of only sub-2-token docs — the latter has a vocabulary
+    // but zero bigrams, and without the check every doc would silently
+    // score the floor ppl(1.0) against an empty model.
+    val refBigrams = dbg.filter(col("__ref"))
+      .agg(coalesce(sum(col("m")), lit(0L)).as("__nbg"))
     val vocab = toks.filter(col("__ref"))
       .select(explode(col("__t")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-      .withColumn("v", when(col("v") <= 0, raise_error(lit(
-        "lmScoreRef: empty reference slice — refFilter selected no scorable docs")))
+      .crossJoin(refBigrams)
+      .withColumn("v", when(col("v") <= 0 || col("__nbg") <= 0, raise_error(lit(
+        "lmScoreRef: degenerate reference slice — refFilter selected no docs with >= 2 tokens, so there is no bigram model to score against")))
         .otherwise(col("v")))
+      .drop("__nbg")
     val scored = dbg
       .join(bc, Seq("w1", "w2"), "left")
       .join(cc, Seq("w1"), "left")

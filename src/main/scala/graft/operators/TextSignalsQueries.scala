@@ -328,9 +328,9 @@ object TextSignalsQueries {
          |nb AS (
          |  SELECT doc_id,
          |    regexp_replace(regexp_replace(regexp_replace(coalesce(html, ''),
+         |      '${Html.CommentPattern}', ' ', 'g'),
          |      '${Html.ScriptPattern}', ' ', 'g'),
-         |      '${Html.StylePattern}', ' ', 'g'),
-         |      '${Html.CommentPattern}', ' ', 'g') AS h
+         |      '${Html.StylePattern}', ' ', 'g') AS h
          |  FROM h0),
          |ex AS (
          |  SELECT doc_id,

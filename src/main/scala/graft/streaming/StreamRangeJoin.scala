@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object StreamRangeJoin {
 
   def attribution(clicks: DataFrame, purchases: DataFrame,
-                  windowSec: Long = 86400L,
+                  windowSec: Long = graft.operators.Analytics.DefaultRangeWindowSec,
                   watermarkDelay: String = "10 minutes"): DataFrame = {
     require(windowSec > 0,
       s"StreamRangeJoin: windowSec must be positive, got $windowSec")

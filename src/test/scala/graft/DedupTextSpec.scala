@@ -776,10 +776,16 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     // (left joins never miss, V is the corpus vocab).
     val all = TextAnalysis.lmScoreRef(rows, lit(true)).collect().toSet
     assert(all == TextAnalysis.lmScore(rows).collect().toSet)
-    // An empty reference slice raises loudly from inside the plan.
+    // A degenerate reference raises loudly from inside the plan: both
+    // the no-docs shape and the vocabulary-but-no-bigrams shape (only
+    // sub-2-token ref docs — without the guard every doc would score a
+    // silent constant ppl 1.0 against the empty model).
     val err = intercept[Exception](
       TextAnalysis.lmScoreRef(rows, col("lang") === "nope").collect())
-    assert(err.getMessage.contains("empty reference slice"))
+    assert(err.getMessage.contains("degenerate reference slice"))
+    val err2 = intercept[Exception](
+      TextAnalysis.lmScoreRef(rows, col("doc_id") === 3L).collect())
+    assert(err2.getMessage.contains("degenerate reference slice"))
   }
 
   test("PQ/ADC ANN: full refine is exact; shortlist recall holds; deterministic") {
@@ -1386,18 +1392,23 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     // Per-doc UNIQUE non-content chrome (title/script/comment — all
     // stripped by extraction): if markup leaked into hashing, docs 1/2
     // would stop being exact dups and the dedup verdicts would change.
-    val markup = plain.withColumn("html", concat(
+    val chrome = concat(
       lit("<html><head><title>page "), col("doc_id"),
       lit("</title><script>var v="), col("doc_id"),
       lit(";</script></head><body><!-- chrome "), col("doc_id"),
-      lit(" --><p>"), col("text"), lit("</p></body></html>")))
-      .drop("text")
+      lit(" --><p>"), col("text"), lit("</p></body></html>"))
+    val markup = plain.withColumn("html", chrome).drop("text")
     def res(df: org.apache.spark.sql.DataFrame, html: Option[String]) =
       CorpusPipeline.curate(df,
           pairsOf = d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.5),
           htmlCol = html)
         .select("doc_id", "text", "split").collect().toSet
-    assert(res(markup, Some("html")) == res(plain, None))
+    val want = res(plain, None)
+    assert(res(markup, Some("html")) == want)
+    // markup arriving IN the text column itself — the natural crawl
+    // shape; the overwrite must not drop its own extraction
+    val inPlace = plain.withColumn("text", chrome)
+    assert(res(inPlace, Some("text")) == want)
   }
 
   test("corpus pipeline: every stage gates what it should") {

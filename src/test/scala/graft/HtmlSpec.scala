@@ -55,6 +55,17 @@ class HtmlSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == (("", "plain text, no markup at all", 28)))
   }
 
+  test("html_extract: commented-out script opener never eats real content") {
+    // Comments strip before script blocks: the <script> inside the
+    // comment must not pair with the later real </script>.
+    val out = extract(
+      1L -> "<!-- ad disabled: <script> -->Hello world.<script>track()</script>",
+      // and a comment fully inside a script dies with the script
+      2L -> "<p>keep</p><script>/* <!-- x --> */ y()</script>")
+    assert(out(1L)._2 == "Hello world.")
+    assert(out(2L)._2 == "keep")
+  }
+
   test("html_extract: whitespace normalization is the documented chain") {
     val (_, text, _) =
       extract(1L -> "<p>  a\t\tb </p>\n\n\n<p> c </p>  ")(1L)

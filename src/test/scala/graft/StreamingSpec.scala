@@ -678,13 +678,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       def key(r: org.apache.spark.sql.Row) =
         (r.getAs[Long]("user_id"), r.getAs[Long]("right_id"),
           r.getAs[Long]("left_id"), r.getAs[Long]("lag_us"))
-      val streamed = spark.table("range_stream").collect().map(key).toSet
+      // MULTISET comparison (sorted seq, not set): a duplicate
+      // re-emission from the streaming side must fail the parity claim.
+      val streamed = spark.table("range_stream").collect().map(key).toSeq.sorted
       // Batch twin on the union of the same events.
       val events = (clickRows.map { case (e, u, t) => (e, u, "click", t) } ++
         purchaseRows.map { case (e, u, t) => (e, u, "purchase", t) })
         .toDF("event_id", "user_id", "event_type", "ts")
       val batch = graft.operators.Analytics.rangeJoin(events, windowSec = 3600L)
-        .collect().map(key).toSet
+        .collect().map(key).toSeq.sorted
       assert(streamed == batch && streamed.size == 3,
         s"streamed=$streamed batch=$batch")
     } finally query.stop()
