@@ -538,7 +538,15 @@ object TextAnalysis {
     val toks = documents
       .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
       .withColumn("__t", filter(col("__t"), t => t =!= ""))
-    // Per-doc bigram multiplicities: the ONLY pass over raw postings.
+    // Per-doc bigram multiplicities: the ONLY pass over raw postings —
+    // made physically true by the localCheckpoint: dbg feeds THREE
+    // consumers (bc, cc via bc, the scorer join) and without
+    // materialization each re-derives the tokenize+explode+count from
+    // the corpus scan (ReuseProbe read scans=4, liveShuffles=10 — the
+    // guarded-postings rule). Checkpoint rows are (doc_id, w1, w2, m) —
+    // token-scale but post-fold, far smaller than the exploded
+    // postings. The vocab fold keeps its own corpus scan (it must see
+    // sub-2-token docs dbg excludes): 2 scans total, not 4.
     val dbg = toks.filter(size(col("__t")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("__t")) - 1),
@@ -547,6 +555,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
     // Model counts fold out of the per-doc counts (smaller input).
     val bc = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
     val cc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -608,6 +617,9 @@ object TextAnalysis {
         col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"), bool_or(col("__ref")).as("__ref"))
+      // Four consumers here (bc, cc via bc, the bigram guard, the
+      // scorer) — the lmScore checkpoint rule, see that method's note.
+      .localCheckpoint()
     val bc = dbg.filter(col("__ref"))
       .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
     val cc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
