@@ -42,7 +42,13 @@ object CorpusPipeline {
     * ([[operators.Classifier.trainQualityClassifier]]) instead, as a
     * dense-literal projection ([[TextSignals.classifierKeepColWeighted]]).
     *
-    * Round-9 stages: `htmlCol` runs HTML → text extraction
+    * Round-9 stages: `lmDropTail` drops the worst per-lang perplexity
+    * tercile under the corpus-fitted bigram LM
+    * ([[operators.TextAnalysis.lmBuckets]] — the CCNet head/middle/tail
+    * recipe's tail cut) AFTER the cheap gates, at the documented
+    * non-projection cost of the LM fold + one anti-join; no-ppl docs
+    * (< 2 tokens) are kept — length policy belongs to the gates;
+    * `htmlCol` runs HTML → text extraction
     * ([[operators.Html.textCol]]) as the FIRST transform when the
     * corpus arrives as raw markup — every downstream key and score
     * then sees content bytes, not tags; `blocklistTerms` ANDs the
@@ -78,7 +84,8 @@ object CorpusPipeline {
              blocklistTerms: Option[Seq[String]] = None,
              blocklistMaxRatio: Double = 0.05,
              scrubPii: Boolean = false,
-             htmlCol: Option[String] = None): DataFrame = {
+             htmlCol: Option[String] = None,
+             lmDropTail: Boolean = false): DataFrame = {
     // A supplied trained artifact IMPLIES the gate — accepting weights
     // and then silently not gating would let a caller believe the
     // classifier filtered the corpus (r9 review finding).
@@ -157,8 +164,24 @@ object CorpusPipeline {
     ).flatten.reduce(_ && _)
     val gopherOnlyCols = Seq("mean_word_len", "max_word_len", "alpha_share",
       "stop_hits", "symbol_share", "n_fail", "gopher_keep", "reasons")
-    val gated = annotated.filter(gate)
+    val gated0 = annotated.filter(gate)
       .drop((if (gopherRules) gopherOnlyCols else Nil): _*)
+    // 1.5. Optional CCNet perplexity tail cut (Wenzek et al. 2020: the
+    //    worst per-lang ppl tercile under the corpus-fitted bigram LM
+    //    drops; head+middle train). Runs on the GATED corpus — the
+    //    terciles should describe documents that survived the cheap
+    //    gates, not the junk they removed. Like stripBoilerplate this
+    //    is NOT projection-form (the LM fold shuffles + one anti-join
+    //    against the ≤n/3-row tail list) — opt-in at a documented
+    //    cost. Docs without a ppl (fewer than 2 tokens) have no bucket
+    //    and are KEPT: length policy belongs to the quality/gopher
+    //    gates, not to a scorer that cannot see the doc.
+    val gated =
+      if (!lmDropTail) gated0
+      else gated0.join(
+        TextAnalysis.lmBuckets(gated0)
+          .filter(col("bucket") === "tail").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
     // 2. Exact dedup, keep-lowest-id: one shuffle on the content hash.
     //    Persisted: this frame feeds BOTH the pair emitter (materialized
     //    eagerly by the CC loop below) and the final anti-join — the cut

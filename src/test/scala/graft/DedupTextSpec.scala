@@ -1411,6 +1411,33 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(res(inPlace, Some("text")) == want)
   }
 
+  test("corpus pipeline: lmDropTail cuts exactly the per-lang ppl tail, keeps no-ppl docs") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (0L, "a b a b a b a b", "en"), (1L, "a b a b c", "en"),
+      (2L, "a b c d", "en"), (3L, "c d e f g", "en"),
+      (4L, "q r q r", "xx"),
+      (5L, "z", "en")) // one token → no ppl → must be KEPT by the cut
+      .map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noPairs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => Dedup.ngramJaccardInvertedIndex(d, minJaccard = 0.99)
+    def ids(lmCut: Boolean) = CorpusPipeline.curate(rows,
+        minQuality = 0.0, langs = Seq("en", "xx"),
+        pairsOf = noPairs, lmDropTail = lmCut)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val base = ids(lmCut = false)
+    assert(base.contains(5L), s"fixture broke: no-ppl doc gated before the cut ($base)")
+    // Expected drops: exactly lmBuckets' per-lang tail over the same corpus.
+    val tails = TextAnalysis.lmBuckets(rows)
+      .filter(col("bucket") === "tail")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(tails.nonEmpty)
+    val cut = ids(lmCut = true)
+    assert(cut == base -- tails, s"cut=$cut base=$base tails=$tails")
+    assert(cut.contains(5L))
+  }
+
   test("corpus pipeline: every stage gates what it should") {
     val good = ("the cat and the dog sat in the house and it was warm " * 3).trim
     val rows = Seq(
