@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics — the domain-authority tier of a crawl
+  * curation pipeline: once [[Html.linksCol]] extracts the outlinks and
+  * [[Url]] collapses them to registered domains, per-domain PageRank
+  * is the classic source-weighting signal (the Common Crawl ranking
+  * practice) that [[TextSignals.sourceQuality]]-style rollups consume
+  * alongside content scores.
+  *
+  * Determinism discipline: ranks live in exact INTEGER micro-units
+  * (the kmeans_clusters / classifier-fit precedent) — every divide is
+  * a floor over exactly-representable integers, so the ladder is
+  * bit-identical under any partitioning and the DuckDB oracle replays
+  * it round for round with `//`.
+  */
+object Graph {
+
+  /** Shared with the generated oracle (the zorderKeySql rule). */
+  val DefaultRounds = 5
+  val DefaultDampingPct = 85
+  val DefaultMicro: Long = 1000000000L
+
+  /** Exact floor division of non-negative integer Columns: a − a mod b
+    * is exactly divisible, both operands and the quotient stay under
+    * 2^53, so the double divide is exact (the rangeJoin bin rule).
+    */
+  private def exactDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** PageRank power iteration, emitted as the FULL ladder
+    * (round, node, rank_micro) for rounds 0..`rounds` — the oracle
+    * checks every round's ranks, not just the fixed point (the
+    * bpe_vocab rule: iterative fits are graded on the trajectory).
+    *
+    * Update: rank'(d) = (100−p)·micro / (100·N) + p·Σ_{e:src→d}
+    * (rank(src) div outdeg(src)) / 100, all floor-divided integers.
+    * Self-loops and NULL endpoints drop; parallel edges collapse
+    * (unweighted). Dangling nodes (no outlinks) keep receiving the
+    * base term but their mass is NOT redistributed — ranks then sum
+    * below micro; fine for a RELATIVE authority signal, and it keeps
+    * every round one join + one aggregate (documented deviation from
+    * the stochastic-matrix form).
+    *
+    * Scale shape: edges and nodes localCheckpoint once (multi-round
+    * consumers — the guarded-postings rule); each round is one
+    * shuffle join on src + one aggregate on dst at NODE grain, and
+    * each round's ranks checkpoint so plan depth stays constant. N is
+    * a broadcast 1-row aggregate. Rounds are bounded (≤ 50) — rank
+    * convergence needs ~10 even on web-scale graphs.
+    */
+  def pageRankLadder(edges: DataFrame, rounds: Int = DefaultRounds,
+                     dampingPct: Int = DefaultDampingPct,
+                     micro: Long = DefaultMicro): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"pageRankLadder: rounds must be in [1, 50], got $rounds")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"pageRankLadder: dampingPct must be in [0, 100], got $dampingPct")
+    require(micro >= 1000L && micro <= 1000000000000L,
+      s"pageRankLadder: micro must be in [1e3, 1e12], got $micro")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val nn = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val r0 = nodes.crossJoin(nn)
+      .select(col("node"), exactDiv(lit(micro), col("__n")).as("rank_micro"))
+      .localCheckpoint()
+    var prev = r0
+    val ladder = Seq.newBuilder[DataFrame]
+    ladder += r0.withColumn("round", lit(0))
+    for (k <- 1 to rounds) {
+      val contrib = e
+        .join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          exactDiv(col("rank_micro"), col("__outdeg")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__contrib"))
+      val next = nodes.crossJoin(nn)
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (exactDiv(lit((100L - dampingPct) * micro), lit(100L) * col("__n")) +
+            exactDiv(lit(dampingPct.toLong) * coalesce(col("__contrib"), lit(0L)),
+              lit(100L))).as("rank_micro"))
+        .localCheckpoint()
+      ladder += next.withColumn("round", lit(k))
+      prev = next
+    }
+    ladder.result().reduce(_ unionByName _)
+      .select(col("round"), col("node"), col("rank_micro"))
+  }
+}

@@ -65,6 +65,12 @@ object Html {
   val BreakTagPattern =
     "(?i)</?(?:br|p|div|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|nav)\\b[^>]*>"
   val TagPattern = "<[^>]*>"
+
+  /** Anchor hrefs, double-quoted form only (single-quoted/bare hrefs
+    * pass — documented narrowing; the quoted form dominates real
+    * markup and keeps the pattern Java∩RE2-portable with one group).
+    */
+  val LinkPattern = "(?i)<a\\b[^>]*\\bhref[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*\"([^\"]*)\""
   val HSpacePattern = "[ \\t\\f\\r\\x0B]+"
   val NewlinePadPattern = " ?\\n ?"
   val NewlineRunPattern = "\\n+"
@@ -119,6 +125,17 @@ object Html {
   def titleCol(html: Column): Column =
     normalizeWs(decodeEntities(
       regexp_extract(noBlocks(html), TitlePattern, 1)))
+
+  /** All anchor hrefs as an array Column — the crawl-frontier /
+    * link-graph extraction front ([[LinkPattern]]; entity-decoded,
+    * since `&amp;` is how markup writes `&` inside a URL). Links
+    * inside script/style/comment blocks are excluded (dead chrome,
+    * not navigation). Feeds [[Graph.pageRankLadder]] via the
+    * [[Url]] registered-domain projection.
+    */
+  def linksCol(html: Column): Column =
+    transform(regexp_extract_all(noBlocks(html), lit(LinkPattern), lit(1)),
+      l => decodeEntities(l))
 
   /** #47t4 html_extract: (doc_id, title, text, n_chars) per input row —
     * rules in the object scaladoc. `htmlCol` is the markup column;

@@ -227,6 +227,19 @@ object TextSignalsQueries {
     "text_normalize" -> ((s, d) =>
       TextSignals.textNormalize(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Link-graph authority ladder (#47t5): PageRank over a
+    // deterministic source→source edge fixture (the synthetic corpus
+    // has no URL column, so edges derive from real table columns:
+    // src = the doc's source label, dst = the label its id hashes to —
+    // deployment wires Html.linksCol → Url registered domains into the
+    // same operator). The oracle replays every round.
+    "pagerank" -> ((s, d) =>
+      Graph.pageRankLadder(docs(s, d).select(
+          col("source").as("src"),
+          concat(lit("src"), pmod(col("doc_id") * 7, lit(20L)).cast("string"))
+            .as("dst")))
+        .orderBy(col("round"), col("node"))),
+
     // The synthetic corpus is already clean text, so the row plants
     // deterministic MESSY markup (full page with script/style/comment
     // blocks, a title, entities incl. double-encoding, block and inline
@@ -236,6 +249,17 @@ object TextSignalsQueries {
     "html_extract" -> ((s, d) =>
       Html.extract(docs(s, d).withColumn("html", messyHtml))
         .orderBy(col("doc_id"))),
+
+    // Outlink extraction (#47t6) — the crawl-frontier / link-graph
+    // front feeding `pagerank`. Fixture families: mixed-case HREF with
+    // spaces + entity-encoded &, a script-buried link (excluded) next
+    // to a real one with a bare-href decoy (skipped — double-quoted
+    // form only, documented), and a linkless doc (emits no rows).
+    "html_links" -> ((s, d) =>
+      docs(s, d).withColumn("html", messyLinks)
+        .select(col("doc_id"),
+          explode(Html.linksCol(col("html"))).as("link"))
+        .orderBy(col("doc_id"), col("link"))),
   )
 
   /** Deterministic messy-URL fixture for `url_normalize` — five
@@ -287,6 +311,30 @@ object TextSignalsQueries {
       .otherwise(concat(col("text"), lit(" &lt;raw&gt;&nbsp;tail")))
   }
 
+  /** Deterministic anchor fixture for `html_links` — three families
+    * over doc_id%3 (see the query row's comment).
+    */
+  private def messyLinks: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(3L)).cast("int")
+    when(m === 0, concat(
+      lit("<p><a href=\"https://example.com/a?id="), id,
+      lit("&amp;ref=x\">one</a> text <a class=\"b\" HREF = \"/rel/"), id,
+      lit("\">two</a></p>")))
+      .when(m === 1, concat(
+        lit("<script><a href=\"https://dead.example/x\"></script>"),
+        lit("<a href=bare>skip</a><a href=\"https://ok.example/"), id,
+        lit("\">k</a>")))
+      .otherwise(col("text"))
+  }
+
+  /** The same fixture in DuckDB. */
+  private val messyLinksSql: String =
+    """CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN '<p><a href="https://example.com/a?id=' || CAST(doc_id AS VARCHAR) || '&amp;ref=x">one</a> text <a class="b" HREF = "/rel/' || CAST(doc_id AS VARCHAR) || '">two</a></p>'
+      |      WHEN 1 THEN '<script><a href="https://dead.example/x"></script><a href=bare>skip</a><a href="https://ok.example/' || CAST(doc_id AS VARCHAR) || '">k</a>'
+      |      ELSE text END""".stripMargin
+
   /** The same fixture in DuckDB (chr(10) = the Scala side's \n). */
   private val messyHtmlSql: String =
     """CASE CAST(doc_id % 4 AS INT)
@@ -315,7 +363,68 @@ object TextSignalsQueries {
        |      '${Html.NewlineRunPattern}', chr(10), 'g'),
        |      '${Html.EdgeTrimPattern}', '', 'g')""".stripMargin
 
+  /** The [[Graph.pageRankLadder]] update replayed round for round —
+    * generated from the same constants (rounds/damping/micro), all
+    * integer floor divisions, so the trajectories are bit-equal.
+    */
+  private def pagerankSql: String = {
+    val p = Graph.DefaultDampingPct
+    val m = Graph.DefaultMicro
+    val roundsSql = (1 to Graph.DefaultRounds).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.node,
+         |    CAST(((${100 - p} * CAST($m AS BIGINT)) // (100 * nn.n))
+         |      + (($p * coalesce(s.c, 0)) // 100) AS BIGINT) AS rank_micro
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r${k - 1}.rank_micro // deg.outdeg) AS c
+         |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |    JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst) s ON s.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to Graph.DefaultRounds).map { k =>
+      s"SELECT CAST($k AS INT) AS round, node, CAST(rank_micro AS BIGINT) AS rank_micro FROM r$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d0 AS (
+       |  SELECT source AS src,
+       |    'src' || CAST((doc_id * 7) % 20 AS VARCHAR) AS dst
+       |  FROM documents WHERE source IS NOT NULL),
+       |e AS (SELECT DISTINCT src, dst FROM d0 WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(CAST($m AS BIGINT) // nn.n AS BIGINT) AS rank_micro
+       |       FROM nodes CROSS JOIN nn),
+       |$roundsSql
+       |SELECT * FROM (
+       |$unions
+       |) ORDER BY round, node""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "pagerank" -> pagerankSql,
+
+    // Same block-strip chain as html_extract (comments first), then
+    // the SAME LinkPattern + entity decode per extracted href.
+    "html_links" ->
+      s"""WITH h0 AS (
+         |  SELECT doc_id, $messyLinksSql AS html
+         |  FROM documents),
+         |nb AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(coalesce(html, ''),
+         |      '${Html.CommentPattern}', ' ', 'g'),
+         |      '${Html.ScriptPattern}', ' ', 'g'),
+         |      '${Html.StylePattern}', ' ', 'g') AS h
+         |  FROM h0),
+         |l AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(h, '${Html.LinkPattern}', 1)) AS raw
+         |  FROM nb)
+         |SELECT doc_id, ${htmlDecodeSql("raw")} AS link
+         |FROM l ORDER BY doc_id, link""".stripMargin,
+
     // The [[Html]] extraction chain replayed with the SAME pattern
     // constants and entity table interpolated verbatim (Java∩RE2 — the
     // two engines run identical pattern bytes; the decode/normalize SQL

@@ -66,6 +66,19 @@ class HtmlSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L)._2 == "keep")
   }
 
+  test("html_links: quoted hrefs only, block-dead links excluded, entities decoded") {
+    import org.apache.spark.sql.functions.col
+    val html =
+      "<a HREF = \"https://x.example/a?b=1&amp;c=2\">A</a>" +
+        "<script><a href=\"https://dead.example/x\"></script>" +
+        "<!-- <a href=\"https://commented.example/y\"> -->" +
+        "<a href=bare>skip</a><a class=\"z\" href=\"/rel\">R</a>"
+    val links = Seq((1L, html)).toDF("doc_id", "html")
+      .select(Html.linksCol(col("html")).as("l"))
+      .collect().head.getSeq[String](0)
+    assert(links == Seq("https://x.example/a?b=1&c=2", "/rel"))
+  }
+
   test("html_extract: whitespace normalization is the documented chain") {
     val (_, text, _) =
       extract(1L -> "<p>  a\t\tb </p>\n\n\n<p> c </p>  ")(1L)
