@@ -45,6 +45,37 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRankLadder(edges, dampingPct = 101))
   }
 
+  test("deployment path: markup → linksCol → registered domains → pagerank composes") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.operators.{Html, Url}
+    // Three crawled pages on two source domains; every page links to
+    // hub.example, one also links cross-site. The full wiring the
+    // SURVEY rows promise: Html.linksCol → Url.withDomain → Graph.
+    val pages = Seq(
+      (1L, "https://a.one.example/p1",
+        "<p><a href=\"https://www.hub.example/x\">h</a></p>"),
+      (2L, "https://b.one.example/p2",
+        "<a href=\"https://hub.example/y\">h</a><a href=\"https://two.example/z\">t</a>"),
+      (3L, "https://two.example/p3",
+        "<script><a href=\"https://dead.example\"></script><a href=\"https://hub.example/\">h</a>"))
+      .toDF("doc_id", "url", "html")
+    val src = Url.withDomain(pages, "url")
+      .select(col("doc_id"), col("registered_domain").as("src"))
+    val dst = Url.withDomain(
+        pages.select(col("doc_id"),
+          explode(Html.linksCol(col("html"))).as("url")), "url")
+      .select(col("doc_id"), col("registered_domain").as("dst"))
+    val edges = src.join(dst, Seq("doc_id")).select("src", "dst")
+    val ranks = Graph.pageRankLadder(edges, rounds = 3)
+      .filter($"round" === 3)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // www. strips, script-dead link never becomes an edge, and the
+    // hub every domain links to outranks everyone.
+    assert(ranks.keySet == Set("one.example", "two.example", "hub.example"))
+    assert(ranks("hub.example") > ranks("one.example") &&
+      ranks("hub.example") > ranks("two.example"), ranks.toString)
+  }
+
   test("pagerank: authority flows to the hub — sink of a star outranks leaves") {
     val star = (1 to 9).map(i => (s"leaf$i", "hub")).toDF("src", "dst")
     val ranks = Graph.pageRankLadder(star, rounds = 5)
