@@ -176,12 +176,20 @@ object CorpusPipeline {
     //    cost. Docs without a ppl (fewer than 2 tokens) have no bucket
     //    and are KEPT: length policy belongs to the quality/gopher
     //    gates, not to a scorer that cannot see the doc.
+    //    The gated frame feeds FOUR consumers when the cut is on
+    //    (lmScore's count and vocab folds, lmBuckets' lang join, the
+    //    anti-join left side) — without materialization the whole
+    //    annotate+gate chain re-derives per consumer (the
+    //    guarded-postings rule), so it localCheckpoints first.
     val gated =
       if (!lmDropTail) gated0
-      else gated0.join(
-        TextAnalysis.lmBuckets(gated0)
-          .filter(col("bucket") === "tail").select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+      else {
+        val g = gated0.localCheckpoint()
+        g.join(
+          TextAnalysis.lmBuckets(g)
+            .filter(col("bucket") === "tail").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
     // 2. Exact dedup, keep-lowest-id: one shuffle on the content hash.
     //    Persisted: this frame feeds BOTH the pair emitter (materialized
     //    eagerly by the CC loop below) and the final anti-join — the cut

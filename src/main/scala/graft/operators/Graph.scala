@@ -67,8 +67,11 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val nn = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    // nn and deg are read by EVERY round — checkpoint like e/nodes, or
+    // each round's plan re-runs the degree shuffle and the node count.
+    val nn = broadcast(nodes.agg(count(lit(1)).as("__n")).localCheckpoint())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint()
     val r0 = nodes.crossJoin(nn)
       .select(col("node"), exactDiv(lit(micro), col("__n")).as("rank_micro"))
       .localCheckpoint()

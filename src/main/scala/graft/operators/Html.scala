@@ -69,8 +69,11 @@ object Html {
   /** Anchor hrefs, double-quoted form only (single-quoted/bare hrefs
     * pass — documented narrowing; the quoted form dominates real
     * markup and keeps the pattern Java∩RE2-portable with one group).
+    * `href` must follow literal whitespace — `\bhref` would also match
+    * inside `data-href`/`xlink:href` (`-`/`:` are non-word chars) and
+    * leak tracker URLs into the edge set.
     */
-  val LinkPattern = "(?i)<a\\b[^>]*\\bhref[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*\"([^\"]*)\""
+  val LinkPattern = "(?i)<a\\b[^>]*[ \\t\\n\\f\\r]href[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*\"([^\"]*)\""
   val HSpacePattern = "[ \\t\\f\\r\\x0B]+"
   val NewlinePadPattern = " ?\\n ?"
   val NewlineRunPattern = "\\n+"
@@ -132,6 +135,12 @@ object Html {
     * inside script/style/comment blocks are excluded (dead chrome,
     * not navigation). Feeds [[Graph.pageRankLadder]] via the
     * [[Url]] registered-domain projection.
+    *
+    * Cost note: the per-href entity decode is a `transform` HOF at
+    * ARRAY grain (a handful of links per doc) — the object scaladoc's
+    * no-HOF whole-stage-codegen claim covers the document-grain
+    * extract chain; this one interpreted array map is not on that
+    * path and its input is tag-bounded, not document-sized.
     */
   def linksCol(html: Column): Column =
     transform(regexp_extract_all(noBlocks(html), lit(LinkPattern), lit(1)),

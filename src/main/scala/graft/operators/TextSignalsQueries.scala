@@ -343,6 +343,16 @@ object TextSignalsQueries {
       |      WHEN 2 THEN '<table><tr><td>' || text || '</td></tr></table>' || chr(10) || '<p>Tail &amp;&amp; done &amp;lt;escaped&amp;gt;</p>'
       |      ELSE text || ' &lt;raw&gt;&nbsp;tail' END""".stripMargin
 
+  /** [[Html]]'s block strip (comments → script → style, the order the
+    * Column chain runs) in DuckDB — shared by the html_extract and
+    * html_links oracles (one definition, no drift).
+    */
+  private def htmlNoBlocksSql(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+       |      '${Html.CommentPattern}', ' ', 'g'),
+       |      '${Html.ScriptPattern}', ' ', 'g'),
+       |      '${Html.StylePattern}', ' ', 'g')""".stripMargin
+
   /** [[Html.Entities]] decode chain in DuckDB — generated from the same
     * table the Column chain folds over, in the same order.
     */
@@ -413,10 +423,7 @@ object TextSignalsQueries {
          |  FROM documents),
          |nb AS (
          |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(regexp_replace(coalesce(html, ''),
-         |      '${Html.CommentPattern}', ' ', 'g'),
-         |      '${Html.ScriptPattern}', ' ', 'g'),
-         |      '${Html.StylePattern}', ' ', 'g') AS h
+         |    ${htmlNoBlocksSql("coalesce(html, '')")} AS h
          |  FROM h0),
          |l AS (
          |  SELECT doc_id,
@@ -436,10 +443,7 @@ object TextSignalsQueries {
          |  FROM documents),
          |nb AS (
          |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(regexp_replace(coalesce(html, ''),
-         |      '${Html.CommentPattern}', ' ', 'g'),
-         |      '${Html.ScriptPattern}', ' ', 'g'),
-         |      '${Html.StylePattern}', ' ', 'g') AS h
+         |    ${htmlNoBlocksSql("coalesce(html, '')")} AS h
          |  FROM h0),
          |ex AS (
          |  SELECT doc_id,

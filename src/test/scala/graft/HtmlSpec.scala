@@ -72,10 +72,13 @@ class HtmlSpec extends AnyFunSuite with SparkSpec {
       "<a HREF = \"https://x.example/a?b=1&amp;c=2\">A</a>" +
         "<script><a href=\"https://dead.example/x\"></script>" +
         "<!-- <a href=\"https://commented.example/y\"> -->" +
-        "<a href=bare>skip</a><a class=\"z\" href=\"/rel\">R</a>"
+        "<a href=bare>skip</a><a class=\"z\" href=\"/rel\">R</a>" +
+        "<a data-href=\"https://tracker.example/t\">no real href</a>"
     val links = Seq((1L, html)).toDF("doc_id", "html")
       .select(Html.linksCol(col("html")).as("l"))
       .collect().head.getSeq[String](0)
+    // data-href is an attribute that merely ENDS in href — it must
+    // never leak a tracker URL into the edge set
     assert(links == Seq("https://x.example/a?b=1&c=2", "/rel"))
   }
 
