@@ -298,4 +298,41 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(out == exp, s"trial $trial k=$k")
     }
   }
+
+  test("range join equals the brute-force range predicate on random event streams") {
+    import java.sql.Timestamp
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      // Random µs-grain timestamps clustered tightly enough that
+      // same-bin, bin-straddling, boundary-equal, and empty-window
+      // shapes all occur; window width varies per trial.
+      val windowSec = Seq(60L, 300L, 3600L)(rnd.nextInt(3))
+      val base = 1704067200000000L // 2024-01-01 in µs
+      val events = (1 to 200).map { i =>
+        val tpe = if (rnd.nextBoolean()) "click" else "purchase"
+        val us = base + rnd.nextInt(4) * windowSec * 1000000L +
+          (rnd.nextLong() % (2 * windowSec * 1000000L)).abs
+        (i.toLong, (rnd.nextInt(6) + 1).toLong, tpe, us)
+      }
+      val df = events.map { case (e, u, t, us) =>
+        val ts = new Timestamp(us / 1000L)
+        ts.setNanos(((us % 1000000L) * 1000L).toInt)
+        (e, u, t, ts)
+      }.toDF("event_id", "user_id", "event_type", "ts")
+      val out = graft.operators.Analytics.rangeJoin(df, windowSec = windowSec)
+        .collect()
+        .map(r => (r.getAs[Long]("right_id"), r.getAs[Long]("left_id"),
+          r.getAs[Long]("lag_us"))).toSeq.sorted
+      // Brute force: every (purchase, click) pair, same user, half-open
+      // window — stated directly, no bins.
+      val w = windowSec * 1000000L
+      val exp = (for {
+        (re, ru, rt, rus) <- events if rt == "purchase"
+        (le, lu, lt, lus) <- events
+        if lt == "click" && lu == ru && lus >= rus - w && lus < rus
+      } yield (re, le, rus - lus)).sorted
+      assert(out == exp, s"trial $trial w=$windowSec: got ${out.size}, want ${exp.size}")
+      assert(exp.nonEmpty, s"trial $trial degenerate fixture")
+    }
+  }
 }
