@@ -159,6 +159,99 @@ object AnalyticsQueries {
       Analytics.rangeJoin(clean(s, d))
         .orderBy(col("right_id"), col("left_id"))),
 
+    // #49m StreamRangeJoin as a DRIVER-CHECKED correctness row
+    // (VERDICT r9 next-round #1): the native watermarked stream-stream
+    // interval join driven through a REAL micro-batch run and
+    // hash-checked against the SAME oracle as the batch `range_join`
+    // (one shared SQL constant — the two rows assert one predicate,
+    // through two genuinely different plans: binned-equi batch vs
+    // buffered stream-stream). Both sides feed in one micro-batch;
+    // inner-join rows emit as they match, so no watermark sentinel is
+    // needed (the watermark only bounds state retention). The driver
+    // collect is the harness shim on a deterministic 1/5 user subset
+    // (the stream_bars harness-cost rule: the row checks the join
+    // machinery, and the single-threaded stateful feed is the cost —
+    // measured 7.9 s full vs ~1.6 s subset at sf0.1); production
+    // reads two readStream sources.
+    "stream_range_join" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // ONE collect for both sides (the two-feed form re-derived the
+      // clean chain per side), split driver-side.
+      val src = clean(s, d)
+        .filter(pmod(col("user_id"), lit(5L)) === 0 &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .collect()
+      def feed(tpe: String): IndexedSeq[(Long, Long, java.sql.Timestamp)] =
+        src.iterator.filter(_.getString(3) == tpe)
+          .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+          .toIndexedSeq
+      val sink = "stream_range_join_sink"
+      s.catalog.dropTempView(sink)
+      val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      // The stream-stream join plants FOUR state stores per shuffle
+      // partition; at the session's 32 partitions the store setup/commit
+      // dominates this single-micro-batch harness (~7.5 s → ~2 s at 4).
+      // Session-scoped config, restored after the query stops —
+      // shuffle.partitions is only read at stream START for the state
+      // partition count, so the restore cannot race the running query.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamRangeJoin.attribution(
+            clicks.toDF().toDF("user_id", "event_id", "ts"),
+            purchases.toDF().toDF("user_id", "event_id", "ts"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          clicks.addData(feed("click"))
+          purchases.addData(feed("purchase"))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sink).orderBy(col("right_id"), col("left_id"))
+    }),
+
+    // #49d StreamAsOf as a DRIVER-CHECKED correctness row (VERDICT r9
+    // next-round #1 — THE market-data streaming join): purchases
+    // (side 1) and views (side 0) tag into one union, feed a
+    // MemoryStream, and the single-row-state fold enriches every
+    // purchase with the latest view at or before it — hash-checked
+    // against the same DuckDB ASOF JOIN shape the batch twins carry
+    // (without event_id: the tagged union carries (key, ts, value),
+    // and (user_id, ts) is unique post-clean, so nothing is lost).
+    // flatMapGroupsWithState in append mode emits within the batch —
+    // no watermark sentinel needed. The driver collect is the harness
+    // shim, bounded by the event table (the stream_bars rule).
+    "stream_asof" -> ((s, d) => {
+      import graft.streaming.StreamAsOf
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val src = clean(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("user_id"), col("ts"), col("value"),
+          (col("event_type") === lit("purchase")).cast("int").as("side"))
+        .collect()
+        .map(r => StreamAsOf.Tagged(r.getLong(0), r.getTimestamp(1),
+          r.getInt(3), r.getDouble(2)))
+      val sink = "stream_asof_sink"
+      s.catalog.dropTempView(sink)
+      val input = MemoryStream[StreamAsOf.Tagged]
+      val q = StreamAsOf.enrich(input.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.table(sink).select(col("user_id"), col("ts"),
+          col("value").as("purchase_value"),
+          col("asof_ts").as("view_ts"), col("asof_value").as("view_value"))
+        .orderBy(col("user_id"), col("ts"))
+    }),
+
     // Z-order key (#31e): the write-side layout key over
     // (user, days-since-epoch) — the oracle replays the identical
     // generated interleave chain (Layout.zorderKeySql).
@@ -200,8 +293,46 @@ object AnalyticsQueries {
        |  ON p.user_id = v.user_id AND p.ts >= v.ts
        |ORDER BY p.user_id, p.ts""".stripMargin
 
+  /** The range predicate stated directly — ONE definition shared by
+    * the batch `range_join` (binned-equi plan, `where` = "") and the
+    * streaming `stream_range_join` (watermarked stream-stream join,
+    * `where` = its 1/5 user subset): two plans, one asserted semantics
+    * (the sessionChainSql rule — the subset predicate is the only
+    * variable).
+    */
+  private def rangeJoinSql(where: String): String =
+    s"""${MarketQueries.CleanCte}
+       |SELECT r.user_id, r.event_id AS right_id, r.ts AS right_ts,
+       |  l.event_id AS left_id, l.ts AS left_ts,
+       |  epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+       |FROM clean r JOIN clean l
+       |  ON r.user_id = l.user_id
+       | AND r.event_type = 'purchase' AND l.event_type = 'click'
+       | AND epoch_us(l.ts) >= epoch_us(r.ts) - ${Analytics.DefaultRangeWindowSec * 1000000L}
+       | AND epoch_us(l.ts) < epoch_us(r.ts)$where
+       |ORDER BY right_id, left_id""".stripMargin
+
+  /** The ASOF JOIN at (key, ts, value) grain — the streaming fold's
+    * oracle (the batch twins additionally carry event_id).
+    */
+  private val StreamAsOfOracle: String =
+    s"""${MarketQueries.CleanCte},
+       |p AS (SELECT user_id, ts, value FROM clean
+       |      WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, ts, value FROM clean
+       |      WHERE event_type = 'view')
+       |SELECT p.user_id, p.ts, p.value AS purchase_value,
+       |  v.ts AS view_ts, v.value AS view_value
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.ts >= v.ts
+       |ORDER BY p.user_id, p.ts""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "asof_join_native" -> AsOfOracle,
+
+    "stream_asof" -> StreamAsOfOracle,
+
+    "stream_range_join" -> rangeJoinSql("\n AND r.user_id % 5 = 0"),
 
     // The identical generated shift/mask interleave chain — the SQL is
     // produced by the same Scala loop as the Column expression.
@@ -213,18 +344,9 @@ object AnalyticsQueries {
          |FROM events ORDER BY event_id""".stripMargin,
 
     // The range predicate stated directly — the specification the
-    // binned-replication plan must reproduce pair-for-pair.
-    "range_join" ->
-      s"""${MarketQueries.CleanCte}
-         |SELECT r.user_id, r.event_id AS right_id, r.ts AS right_ts,
-         |  l.event_id AS left_id, l.ts AS left_ts,
-         |  epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
-         |FROM clean r JOIN clean l
-         |  ON r.user_id = l.user_id
-         | AND r.event_type = 'purchase' AND l.event_type = 'click'
-         | AND epoch_us(l.ts) >= epoch_us(r.ts) - ${Analytics.DefaultRangeWindowSec * 1000000L}
-         | AND epoch_us(l.ts) < epoch_us(r.ts)
-         |ORDER BY right_id, left_id""".stripMargin,
+    // binned-replication plan must reproduce pair-for-pair (shared
+    // body with stream_range_join).
+    "range_join" -> rangeJoinSql(""),
     "correlation_pairs" ->
       s"""${MarketQueries.BarsCte},
          |ret AS (

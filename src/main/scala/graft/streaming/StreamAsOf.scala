@@ -31,8 +31,13 @@ object StreamAsOf {
     */
   case class Tagged(user_id: Long, ts: Timestamp, side: Int, value: Double)
 
-  /** Latest right event per key. */
-  case class LatestRight(ts: Long, value: Double)
+  /** Latest right event per key; `tsUs` in MICROSECONDS since epoch —
+    * events carry µs timestamps, and a ms-grain fold would both order
+    * same-millisecond events wrongly and truncate the emitted
+    * `asof_ts` (the exact defect class the stream_sessionize driver
+    * row caught in the sessionizer: ms-vs-µs truncation).
+    */
+  case class LatestRight(tsUs: Long, value: Double)
 
   /** One enriched left event: the matched right event's time/value, or
     * None when no right event preceded it.
@@ -89,17 +94,20 @@ object StreamAsOf {
             var st = state.getOption.orNull
             val out = Seq.newBuilder[Enriched]
             var maxMs = Long.MinValue
-            // Event-time order with rights before lefts on ties, so an
-            // equal-timestamp quote is visible to its trade.
-            it.toSeq.sortBy(e => (e.ts.getTime, e.side)).foreach { e =>
+            // Event-time order at µs grain ([[Sessionize.usOf]] — the
+            // fold must see the precision the events carry) with rights
+            // before lefts on ties, so an equal-timestamp quote is
+            // visible to its trade.
+            it.toSeq.sortBy(e => (Sessionize.usOf(e.ts), e.side)).foreach { e =>
+              val us = Sessionize.usOf(e.ts)
               maxMs = math.max(maxMs, e.ts.getTime)
               if (e.side == 0) {
-                if (st == null || e.ts.getTime >= st.ts)
-                  st = LatestRight(e.ts.getTime, e.value)
+                if (st == null || us >= st.tsUs)
+                  st = LatestRight(us, e.value)
               } else {
-                val matched = st != null && st.ts <= e.ts.getTime
+                val matched = st != null && st.tsUs <= us
                 out += Enriched(uid, e.ts, e.value,
-                  if (matched) Some(new Timestamp(st.ts)) else None,
+                  if (matched) Some(Sessionize.tsOfUs(st.tsUs)) else None,
                   if (matched) Some(st.value) else None)
               }
             }
@@ -110,10 +118,11 @@ object StreamAsOf {
               // of: this batch's events, the HELD row (a batch of only
               // late stragglers must never shorten a deadline the held
               // row already armed), and the watermark (a deadline at or
-              // below it would have already fired).
+              // below it would have already fired). Timer grain is ms
+              // (setTimeoutTimestamp's unit); µs state floors onto it.
               idleTimeout.foreach { d =>
                 state.setTimeoutTimestamp(
-                  math.max(math.max(maxMs, st.ts),
+                  math.max(math.max(maxMs, st.tsUs / 1000L),
                     state.getCurrentWatermarkMs()) + d.toMillis)
               }
             }
