@@ -107,7 +107,7 @@ object Bpe {
   def train(documents: DataFrame, merges: Int = 10): Seq[Merge] = {
     var vocab = wordFreqs(documents)
       .select(initSymbols(col("w")).as("syms"), col("freq"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.frame)
     val out = Seq.newBuilder[Merge]
     var round = 1
     var exhausted = false
@@ -122,7 +122,7 @@ object Bpe {
         out += Merge(round, a, b, a + b, n)
         vocab = vocab
           .withColumn("syms", mergeSyms(col("syms"), a, b))
-          .localCheckpoint()
+          .transform(graft.Ckpt.frame)
         round += 1
       }
     }
@@ -172,7 +172,7 @@ object Bpe {
       s"trainBatched: sliceSize=$sliceSize and batchMax=$batchMax must be >= 1")
     var vocab = wordFreqs(documents)
       .select(initSymbols(col("w")).as("syms"), col("freq"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.frame)
     val out = Seq.newBuilder[Merge]
     var done = 0
     var rounds = 0
@@ -220,7 +220,7 @@ object Bpe {
           .withColumn("syms", batch.foldLeft(col("syms")) {
             case (s, (l, r, _)) => mergeSyms(s, l, r)
           })
-          .localCheckpoint()
+          .transform(graft.Ckpt.frame)
         done += batch.size
       }
     }
@@ -311,7 +311,7 @@ object Bpe {
     // / 7 shuffles checkpointed — AQE reuses nothing across
     // separately-instantiated branches). The localCheckpoint idiom,
     // same as the LCP-pairs fix.
-    val seg = tokenizeByVocab(documents, merges).localCheckpoint()
+    val seg = tokenizeByVocab(documents, merges).transform(graft.Ckpt.frame)
     val counts = seg.select(col("doc_id"),
       size(col("bpe_tokens")).cast("bigint").as("n_tokens"))
     val manifest = Shard.globalCum(counts, parts)

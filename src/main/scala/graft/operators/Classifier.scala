@@ -93,7 +93,7 @@ object Classifier {
       .groupBy(col("doc_id"), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
       .join(lab, Seq("doc_id"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.frame)
     // Round 0: the closed-form smoothed-rate init, pure BIGINT.
     val w0 = feat.groupBy(col("__b")).agg(
         sum(when(col("__y") === 1, col("__cnt")).otherwise(lit(0L))).as("__pos"),

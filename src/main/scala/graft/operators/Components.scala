@@ -78,7 +78,7 @@ object Components {
     // is free and shaves a full join+materialize round off the loop.
     var labels = sym.groupBy(col("a").as("id"))
       .agg(least(col("a"), min(col("b"))).as("label"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.frame)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -107,7 +107,7 @@ object Components {
       val next = advanced
         .select(col("id"), col("label"),
           (col("label") < col("prev")).as("changed"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.frame)
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("id"), col("label"))
       i += 1
