@@ -287,10 +287,22 @@ object Analytics {
     */
   val DefaultRangeWindowSec: Long = 86400L
 
+  /** Upper window bound: 10 years in seconds. Two jobs: `windowSec ×
+    * 1e6` can never overflow a long (ADVICE r9 — the old positive-only
+    * require allowed silent overflow for absurd windows), and the
+    * exact-integer bin/divide argument (µs values < 2^53) keeps
+    * civilization-scale headroom (~year 2255) rather than being
+    * consumed by the window itself. No real attribution window
+    * approaches a decade.
+    */
+  val MaxRangeWindowSec: Long = 315360000L
+
   def rangeJoin(cleanEvents: DataFrame, leftType: String = "click",
                 rightType: String = "purchase",
                 windowSec: Long = DefaultRangeWindowSec): DataFrame = {
-    require(windowSec > 0, s"rangeJoin: windowSec must be positive, got $windowSec")
+    require(windowSec > 0 && windowSec <= MaxRangeWindowSec,
+      s"rangeJoin: windowSec must be in (0, $MaxRangeWindowSec] " +
+        s"(10 years — keeps wUs exact and overflow-free), got $windowSec")
     val wUs = windowSec * 1000000L
     // The input feeds BOTH join sides; without materialization the
     // whole upstream derivation (scan + the cleaner's dedup window)

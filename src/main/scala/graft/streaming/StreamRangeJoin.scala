@@ -36,8 +36,11 @@ object StreamRangeJoin {
   def attribution(clicks: DataFrame, purchases: DataFrame,
                   windowSec: Long = graft.operators.Analytics.DefaultRangeWindowSec,
                   watermarkDelay: String = "10 minutes"): DataFrame = {
-    require(windowSec > 0,
-      s"StreamRangeJoin: windowSec must be positive, got $windowSec")
+    require(windowSec > 0 &&
+        windowSec <= graft.operators.Analytics.MaxRangeWindowSec,
+      s"StreamRangeJoin: windowSec must be in (0, " +
+        s"${graft.operators.Analytics.MaxRangeWindowSec}] (the batch " +
+        s"twin's overflow-safe bound), got $windowSec")
     val l = clicks
       .select(col("user_id"), col("event_id").as("left_id"),
         col("ts").as("left_ts"))

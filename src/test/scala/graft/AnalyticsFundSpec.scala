@@ -133,6 +133,12 @@ class AnalyticsFundSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"range join fell back:\n$p")
     assert(p.contains("__bin"), s"expected the time-bin equi key:\n$p")
+    // window bound (ADVICE r9): wUs must stay exact and overflow-free
+    intercept[IllegalArgumentException](
+      Analytics.rangeJoin(events, windowSec = 0L))
+    intercept[IllegalArgumentException](
+      Analytics.rangeJoin(events,
+        windowSec = Analytics.MaxRangeWindowSec + 1))
   }
 
   test("funnel requires strict view→click→purchase ordering") {

@@ -49,6 +49,12 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       .filter(col("a") >= 16 && col("a") < 24 && col("b") >= 32 && col("b") < 40)
       .select("pid").distinct().count()
     assert(boxPids <= 3, s"aligned 8x8 box touched $boxPids partitions")
+    // a caller column named __z would be clobbered by the scratch key
+    // (ADVICE r9) — refused loudly instead
+    val err = intercept[IllegalArgumentException](
+      Layout.zorderLayout(grid.withColumn("__z", lit(1)),
+        col("a"), col("b"), numFiles = 2, bits = 6))
+    assert(err.getMessage.contains("__z"))
   }
 
   test("zorder key: loud guard out of range, NULL propagates, bits bound enforced") {
