@@ -38,11 +38,21 @@ object Graph {
     * Update: rank'(d) = (100−p)·micro / (100·N) + p·Σ_{e:src→d}
     * (rank(src) div outdeg(src)) / 100, all floor-divided integers.
     * Self-loops and NULL endpoints drop; parallel edges collapse
-    * (unweighted). Dangling nodes (no outlinks) keep receiving the
-    * base term but their mass is NOT redistributed — ranks then sum
-    * below micro; fine for a RELATIVE authority signal, and it keeps
-    * every round one join + one aggregate (documented deviation from
-    * the stochastic-matrix form).
+    * (unweighted). By default dangling nodes (no outlinks) keep
+    * receiving the base term but their mass is NOT redistributed —
+    * ranks then sum below micro; fine for a RELATIVE authority
+    * signal, and it keeps every round one join + one aggregate
+    * (documented deviation from the stochastic-matrix form).
+    *
+    * `redistributeDangling = true` (r10, VERDICT r9 #4) adds the
+    * stochastic-form correction: each round also computes the
+    * dangling mass (Σ rank over nodes with no outlinks — ONE 1-row
+    * anti-join aggregate, broadcast back) and spreads it uniformly:
+    * rank'(d) += p·DM / (100·N), floor-divided. Ranks then sum to
+    * micro up to the bounded floor losses (< 1 unit per floor site —
+    * the invariant the oracle ladder and spec pin); the per-round
+    * shape stays one join + one node-grain aggregate + one 1-row
+    * aggregate. Integer headroom: p·DM ≤ 100·micro ≤ 10¹⁴ < 2⁵³.
     *
     * Scale shape: edges and nodes localCheckpoint once (multi-round
     * consumers — the guarded-postings rule); each round is one
@@ -53,7 +63,8 @@ object Graph {
     */
   def pageRankLadder(edges: DataFrame, rounds: Int = DefaultRounds,
                      dampingPct: Int = DefaultDampingPct,
-                     micro: Long = DefaultMicro): DataFrame = {
+                     micro: Long = DefaultMicro,
+                     redistributeDangling: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"pageRankLadder: rounds must be in [1, 50], got $rounds")
     require(dampingPct >= 0 && dampingPct <= 100,
@@ -63,18 +74,18 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Ckpt.frame)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Ckpt.frame)
     // nn and deg are read by EVERY round — checkpoint like e/nodes, or
     // each round's plan re-runs the degree shuffle and the node count.
-    val nn = broadcast(nodes.agg(count(lit(1)).as("__n")).localCheckpoint())
+    val nn = broadcast(nodes.agg(count(lit(1)).as("__n")).transform(graft.Ckpt.frame))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.frame)
     val r0 = nodes.crossJoin(nn)
       .select(col("node"), exactDiv(lit(micro), col("__n")).as("rank_micro"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.frame)
     var prev = r0
     val ladder = Seq.newBuilder[DataFrame]
     ladder += r0.withColumn("round", lit(0))
@@ -85,13 +96,28 @@ object Graph {
         .select(col("dst").as("node"),
           exactDiv(col("rank_micro"), col("__outdeg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__contrib"))
-      val next = nodes.crossJoin(nn)
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (exactDiv(lit((100L - dampingPct) * micro), lit(100L) * col("__n")) +
-            exactDiv(lit(dampingPct.toLong) * coalesce(col("__contrib"), lit(0L)),
-              lit(100L))).as("rank_micro"))
-        .localCheckpoint()
+      val linked = exactDiv(lit((100L - dampingPct) * micro),
+          lit(100L) * col("__n")) +
+        exactDiv(lit(dampingPct.toLong) * coalesce(col("__contrib"), lit(0L)),
+          lit(100L))
+      val next = (if (!redistributeDangling) {
+        nodes.crossJoin(nn)
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"), linked.as("rank_micro"))
+      } else {
+        // Dangling mass: the held rank of every node with no outlinks
+        // — a 1-row anti-join aggregate per round, broadcast back, so
+        // the one-join-one-agg round shape survives.
+        val dm = broadcast(prev
+          .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("__dm"))
+          .transform(graft.Ckpt.frame))
+        nodes.crossJoin(nn).crossJoin(dm)
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (linked + exactDiv(lit(dampingPct.toLong) * col("__dm"),
+              lit(100L) * col("__n"))).as("rank_micro"))
+      }).transform(graft.Ckpt.frame)
       ladder += next.withColumn("round", lit(k))
       prev = next
     }

@@ -234,10 +234,17 @@ object TextSignalsQueries {
     // deployment wires Html.linksCol → Url registered domains into the
     // same operator). The oracle replays every round.
     "pagerank" -> ((s, d) =>
-      Graph.pageRankLadder(docs(s, d).select(
-          col("source").as("src"),
-          concat(lit("src"), pmod(col("doc_id") * 7, lit(20L)).cast("string"))
-            .as("dst")))
+      Graph.pageRankLadder(fixtureEdges(docs(s, d)))
+        .orderBy(col("round"), col("node"))),
+
+    // The stochastic-form option (#47t5b, r10 — VERDICT r9 #4): the
+    // same fixture graph with per-round dangling-mass redistribution
+    // (the fixture's 15 sink-only dst labels carry real dangling
+    // mass), oracle-replayed round for round — the near-conservation
+    // invariant (Σ rank = micro − bounded floor losses) IS the test.
+    "pagerank_stochastic" -> ((s, d) =>
+      Graph.pageRankLadder(fixtureEdges(docs(s, d)),
+          redistributeDangling = true)
         .orderBy(col("round"), col("node"))),
 
     // The synthetic corpus is already clean text, so the row plants
@@ -251,14 +258,20 @@ object TextSignalsQueries {
         .orderBy(col("doc_id"))),
 
     // Outlink extraction (#47t6) — the crawl-frontier / link-graph
-    // front feeding `pagerank`. Fixture families: mixed-case HREF with
-    // spaces + entity-encoded &, a script-buried link (excluded) next
-    // to a real one with a bare-href decoy (skipped — double-quoted
-    // form only, documented), and a linkless doc (emits no rows).
+    // front feeding `pagerank`. r10 (VERDICT r9 missing #2): all three
+    // quote forms captured (double, single, bare) and every href
+    // RESOLVED against the doc's base URL (Url.resolveCol — root-,
+    // path- and protocol-relative, ../ collapse, fragment-only).
+    // Fixture families: mixed-case spaced HREF + entity-encoded & +
+    // single-quoted root-relative + bare ../ path-relative; a
+    // script-buried link (excluded) next to a kept bare href, a
+    // protocol-relative CDN link and a fragment-only link; a linkless
+    // doc (emits no rows).
     "html_links" -> ((s, d) =>
       docs(s, d).withColumn("html", messyLinks)
         .select(col("doc_id"),
           explode(Html.linksCol(col("html"))).as("link"))
+        .withColumn("resolved", Url.resolveCol(col("link"), docBase))
         .orderBy(col("doc_id"), col("link"))),
   )
 
@@ -307,41 +320,62 @@ object TextSignalsQueries {
         col("text"),
         lit("<br/>\n<br>More &quot;quoted&quot; &#39;here&#39;</div>")))
       .when(m === 2, concat(lit("<table><tr><td>"), col("text"),
-        lit("</td></tr></table>\n<p>Tail &amp;&amp; done &amp;lt;escaped&amp;gt;</p>")))
-      .otherwise(concat(col("text"), lit(" &lt;raw&gt;&nbsp;tail")))
+        lit("</td></tr></table>\n<p>Tail &amp;&amp; done &amp;lt;escaped&amp;gt;</p><p>price < 100 and > 50</p>")))
+      .otherwise(concat(col("text"),
+        lit(" &lt;raw&gt;&nbsp;tail &#8220;q&#8221; &#x3c;nn&#x3e;&#160;end&#8230;")))
   }
 
   /** Deterministic anchor fixture for `html_links` — three families
-    * over doc_id%3 (see the query row's comment).
+    * over doc_id%3 (see the query row's comment); r10 adds the
+    * single-quoted, bare, path-relative (`../`), protocol-relative and
+    * fragment-only forms.
     */
   private def messyLinks: org.apache.spark.sql.Column = {
     val id = col("doc_id").cast("string")
     val m = pmod(col("doc_id"), lit(3L)).cast("int")
     when(m === 0, concat(
       lit("<p><a href=\"https://example.com/a?id="), id,
-      lit("&amp;ref=x\">one</a> text <a class=\"b\" HREF = \"/rel/"), id,
-      lit("\">two</a></p>")))
+      lit("&amp;ref=x\">one</a> text <a class='b' HREF = '/rel/"), id,
+      lit("'>two</a> <a href=../up/"), id, lit(">three</a></p>")))
       .when(m === 1, concat(
         lit("<script><a href=\"https://dead.example/x\"></script>"),
-        lit("<a href=bare>skip</a><a href=\"https://ok.example/"), id,
-        lit("\">k</a>")))
+        lit("<a href=bare/"), id,
+        lit(">kept</a><a href=\"//cdn.example/lib/"), id,
+        lit("\">c</a><a href='#top'>t</a>")))
       .otherwise(col("text"))
   }
 
   /** The same fixture in DuckDB. */
   private val messyLinksSql: String =
     """CASE CAST(doc_id % 3 AS INT)
-      |      WHEN 0 THEN '<p><a href="https://example.com/a?id=' || CAST(doc_id AS VARCHAR) || '&amp;ref=x">one</a> text <a class="b" HREF = "/rel/' || CAST(doc_id AS VARCHAR) || '">two</a></p>'
-      |      WHEN 1 THEN '<script><a href="https://dead.example/x"></script><a href=bare>skip</a><a href="https://ok.example/' || CAST(doc_id AS VARCHAR) || '">k</a>'
+      |      WHEN 0 THEN '<p><a href="https://example.com/a?id=' || CAST(doc_id AS VARCHAR) || '&amp;ref=x">one</a> text <a class=''b'' HREF = ''/rel/' || CAST(doc_id AS VARCHAR) || '''>two</a> <a href=../up/' || CAST(doc_id AS VARCHAR) || '>three</a></p>'
+      |      WHEN 1 THEN '<script><a href="https://dead.example/x"></script><a href=bare/' || CAST(doc_id AS VARCHAR) || '>kept</a><a href="//cdn.example/lib/' || CAST(doc_id AS VARCHAR) || '">c</a><a href=''#top''>t</a>'
       |      ELSE text END""".stripMargin
+
+  /** The per-doc base URL the `html_links` resolution runs against —
+    * deterministic from doc_id, rebuilt verbatim by the oracle.
+    */
+  private def docBase: org.apache.spark.sql.Column =
+    concat(lit("https://site"), pmod(col("doc_id"), lit(5L)).cast("string"),
+      lit(".example.com/dir/sub/page"), col("doc_id").cast("string"),
+      lit(".html"))
+
+  /** The same base in DuckDB. */
+  private val docBaseSql: String =
+    "'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/dir/sub/page' || CAST(doc_id AS VARCHAR) || '.html'"
 
   /** The same fixture in DuckDB (chr(10) = the Scala side's \n). */
   private val messyHtmlSql: String =
     """CASE CAST(doc_id % 4 AS INT)
       |      WHEN 0 THEN '<!DOCTYPE html>' || chr(10) || '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; Friends </title>' || chr(10) || '<style type="text/css">' || chr(10) || ' body { color: #333; }' || chr(10) || '</style></head>' || chr(10) || '<body><nav><ul><li><a href="/home">Home</a></li></ul></nav>' || chr(10) || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>' || text || '</p>' || chr(10) || '<script>' || chr(10) || 'var x = 1 < 2 && "</p>";' || chr(10) || '</script>' || chr(10) || '<footer>&copy; 2026 Example &lt;Corp&gt;</footer></body></html>'
       |      WHEN 1 THEN '<div class="post">' || chr(10) || '<!-- ad: <script>alert(1)</script> -->' || chr(10) || text || '<br/>' || chr(10) || '<br>More &quot;quoted&quot; &#39;here&#39;</div>'
-      |      WHEN 2 THEN '<table><tr><td>' || text || '</td></tr></table>' || chr(10) || '<p>Tail &amp;&amp; done &amp;lt;escaped&amp;gt;</p>'
-      |      ELSE text || ' &lt;raw&gt;&nbsp;tail' END""".stripMargin
+      |      WHEN 2 THEN '<table><tr><td>' || text || '</td></tr></table>' || chr(10) || '<p>Tail &amp;&amp; done &amp;lt;escaped&amp;gt;</p><p>price < 100 and > 50</p>'
+      |      ELSE text || ' &lt;raw&gt;&nbsp;tail &#8220;q&#8221; &#x3c;nn&#x3e;&#160;end&#8230;' END""".stripMargin
+
+  /** Escape a shared regex constant for embedding in a DuckDB
+    * single-quoted literal (LinkPattern/QuoteTrimPattern carry `'`).
+    */
+  private def sqlPat(p: String): String = p.replace("'", "''")
 
   /** [[Html]]'s block strip (comments → script → style, the order the
     * Column chain runs) in DuckDB — shared by the html_extract and
@@ -373,19 +407,44 @@ object TextSignalsQueries {
        |      '${Html.NewlineRunPattern}', chr(10), 'g'),
        |      '${Html.EdgeTrimPattern}', '', 'g')""".stripMargin
 
+  /** The `pagerank` / `pagerank_stochastic` edge fixture: the
+    * synthetic corpus has no URL column, so edges derive from real
+    * table columns (src = source label, dst = the label the id hashes
+    * to — 15 of the 20 dst labels are sink-only and dangle);
+    * deployment wires Html.linksCol → Url.resolveCol → registered
+    * domains into the same operator.
+    */
+  private def fixtureEdges(docs: DataFrame): DataFrame =
+    docs.select(col("source").as("src"),
+      concat(lit("src"), pmod(col("doc_id") * 7, lit(20L)).cast("string"))
+        .as("dst"))
+
   /** The [[Graph.pageRankLadder]] update replayed round for round —
     * generated from the same constants (rounds/damping/micro), all
     * integer floor divisions, so the trajectories are bit-equal.
+    * `stochastic` adds the per-round dangling-mass CTE + uniform
+    * redistribution term, generated from the same shape the engine
+    * runs.
     */
-  private def pagerankSql: String = {
+  private def pagerankSql(stochastic: Boolean = false): String = {
     val p = Graph.DefaultDampingPct
     val m = Graph.DefaultMicro
     val roundsSql = (1 to Graph.DefaultRounds).map { k =>
-      s"""r$k AS (
+      val dmCte = if (!stochastic) ""
+      else
+        s"""dm${k - 1} AS (
+           |  SELECT coalesce(sum(rank_micro), 0) AS dm
+           |  FROM r${k - 1} WHERE node NOT IN (SELECT src FROM deg)),
+           |""".stripMargin
+      val dmTerm = if (!stochastic) ""
+      else s"""
+           |      + (($p * dm${k - 1}.dm) // (100 * nn.n))""".stripMargin
+      val dmFrom = if (!stochastic) "" else s" CROSS JOIN dm${k - 1}"
+      s"""${dmCte}r$k AS (
          |  SELECT nodes.node,
          |    CAST(((${100 - p} * CAST($m AS BIGINT)) // (100 * nn.n))
-         |      + (($p * coalesce(s.c, 0)) // 100) AS BIGINT) AS rank_micro
-         |  FROM nodes CROSS JOIN nn
+         |      + (($p * coalesce(s.c, 0)) // 100)$dmTerm AS BIGINT) AS rank_micro
+         |  FROM nodes CROSS JOIN nn$dmFrom
          |  LEFT JOIN (
          |    SELECT e.dst AS node, sum(r${k - 1}.rank_micro // deg.outdeg) AS c
          |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
@@ -413,24 +472,33 @@ object TextSignalsQueries {
   }
 
   def oracles: Map[String, String] = Map(
-    "pagerank" -> pagerankSql,
+    "pagerank" -> pagerankSql(),
+
+    "pagerank_stochastic" -> pagerankSql(stochastic = true),
 
     // Same block-strip chain as html_extract (comments first), then
-    // the SAME LinkPattern + entity decode per extracted href.
+    // the SAME LinkPattern (three quote forms) + quote trim + entity
+    // decode per extracted href, and the SAME generated resolution
+    // chain (Url.resolveSql) against the rebuilt per-doc base.
     "html_links" ->
       s"""WITH h0 AS (
-         |  SELECT doc_id, $messyLinksSql AS html
+         |  SELECT doc_id, $messyLinksSql AS html, $docBaseSql AS base
          |  FROM documents),
          |nb AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, base,
          |    ${htmlNoBlocksSql("coalesce(html, '')")} AS h
          |  FROM h0),
          |l AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(h, '${Html.LinkPattern}', 1)) AS raw
-         |  FROM nb)
-         |SELECT doc_id, ${htmlDecodeSql("raw")} AS link
-         |FROM l ORDER BY doc_id, link""".stripMargin,
+         |  SELECT doc_id, base,
+         |    unnest(regexp_extract_all(h, '${sqlPat(Html.LinkPattern)}', 1)) AS raw
+         |  FROM nb),
+         |lk AS (
+         |  SELECT doc_id, base,
+         |    ${htmlDecodeSql(
+              s"regexp_replace(raw, '${sqlPat(Html.QuoteTrimPattern)}', '', 'g')")} AS link
+         |  FROM l)
+         |SELECT doc_id, link, ${Url.resolveSql("link", "base")} AS resolved
+         |FROM lk ORDER BY doc_id, link""".stripMargin,
 
     // The [[Html]] extraction chain replayed with the SAME pattern
     // constants and entity table interpolated verbatim (Java∩RE2 — the

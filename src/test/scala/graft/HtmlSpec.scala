@@ -66,20 +66,45 @@ class HtmlSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L)._2 == "keep")
   }
 
-  test("html_links: quoted hrefs only, block-dead links excluded, entities decoded") {
+  test("html_links: all three quote forms, block-dead links excluded, entities decoded") {
     import org.apache.spark.sql.functions.col
     val html =
       "<a HREF = \"https://x.example/a?b=1&amp;c=2\">A</a>" +
         "<script><a href=\"https://dead.example/x\"></script>" +
         "<!-- <a href=\"https://commented.example/y\"> -->" +
-        "<a href=bare>skip</a><a class=\"z\" href=\"/rel\">R</a>" +
+        "<a href=bare>B</a><a class=\"z\" href=\"/rel\">R</a>" +
+        "<a href='/single'>S</a><a href=\"it's\">Q</a>" +
         "<a data-href=\"https://tracker.example/t\">no real href</a>"
     val links = Seq((1L, html)).toDF("doc_id", "html")
       .select(Html.linksCol(col("html")).as("l"))
       .collect().head.getSeq[String](0)
     // data-href is an attribute that merely ENDS in href — it must
-    // never leak a tracker URL into the edge set
-    assert(links == Seq("https://x.example/a?b=1&c=2", "/rel"))
+    // never leak a tracker URL into the edge set. Bare and
+    // single-quoted forms capture (r10); a quoted value whose interior
+    // holds the OTHER quote keeps it (the anchored-pair trim).
+    assert(links == Seq("https://x.example/a?b=1&c=2", "bare", "/rel",
+      "/single", "it's"))
+  }
+
+  test("html_extract: bare angle brackets in prose are content, not tags") {
+    // ADVICE r9: `<[^>]*>` silently ate ' 100 and ' — the tag strip
+    // now requires a tag-start character after '<'.
+    val out = extract(
+      1L -> "<p>price < 100 and > 50</p>",
+      2L -> "<p>a <b>bold</b> 2<3 end</p>")
+    assert(out(1L)._2 == "price < 100 and > 50")
+    assert(out(2L)._2 == "a bold 2<3 end")
+  }
+
+  test("html_extract: numeric entities — decimal and hex forms of the shared table") {
+    val out = extract(
+      1L -> "<p>q &#34;x&#x22; s &#39;y&#x27; amp &#38;&#x26; sp&#160;z</p>",
+      2L -> "<p>curly &#8220;a&#8221; dash &#8211; ell &#8230; lt &#x3c;nn&#x3e;</p>",
+      // the long numeric tail beyond the table passes through verbatim
+      3L -> "<p>&#9731; &#x1F600;</p>")
+    assert(out(1L)._2 == "q \"x\" s 'y' amp && sp z")
+    assert(out(2L)._2 == "curly “a” dash – ell … lt <nn>")
+    assert(out(3L)._2 == "&#9731; &#x1F600;")
   }
 
   test("html_extract: whitespace normalization is the documented chain") {

@@ -97,4 +97,60 @@ class UrlSpec extends AnyFunSuite with SparkSpec {
     assert(byDomain == Map("example.co.uk" -> 2L, "other.net" -> 1L),
       byDomain.toString)
   }
+
+  test("resolveCol: hand-computed RFC-3986-lite resolution table") {
+    val base = "https://site.example.com/dir/sub/page.html?q=1#frag"
+    val cases = Seq(
+      // absolute and scheme-ful pass as-is
+      1L -> "https://other.example/x",
+      2L -> "mailto:a@b.example",
+      // protocol-relative takes the base scheme
+      3L -> "//cdn.example/lib.js",
+      // root-relative takes the origin
+      4L -> "/top/x",
+      // path-relative joins the base directory
+      5L -> "img/logo.png",
+      // ./ and ../ collapse (within the documented passes)
+      6L -> "./a/./b",
+      7L -> "../up.html",
+      8L -> "../../root.html",
+      // fragment-only and empty resolve to the base (core)
+      9L -> "#sec",
+      10L -> "",
+      // query-only replaces the base query, keeps the path
+      11L -> "?p=2",
+      // over-popping past the root stays (documented)
+      12L -> "../../../far.html")
+    val out = cases.toDF("doc_id", "href")
+      .select(col("doc_id"),
+        Url.resolveCol(col("href"),
+          org.apache.spark.sql.functions.lit(base)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "https://other.example/x")
+    assert(out(2L) == "mailto:a@b.example")
+    assert(out(3L) == "https://cdn.example/lib.js")
+    assert(out(4L) == "https://site.example.com/top/x")
+    assert(out(5L) == "https://site.example.com/dir/sub/img/logo.png")
+    assert(out(6L) == "https://site.example.com/dir/sub/a/b")
+    assert(out(7L) == "https://site.example.com/dir/up.html")
+    assert(out(8L) == "https://site.example.com/root.html")
+    assert(out(9L) == "https://site.example.com/dir/sub/page.html")
+    assert(out(10L) == "https://site.example.com/dir/sub/page.html")
+    assert(out(11L) == "https://site.example.com/dir/sub/page.html?p=2")
+    assert(out(12L) == "https://site.example.com/../far.html")
+  }
+
+  test("resolveCol feeds withDomain: relative crawl edges land on the base's domain") {
+    val docs = Seq(
+      (1L, "https://a.one.example/p", "/local"),
+      (2L, "https://a.one.example/p", "//hub.example/x"),
+      (3L, "https://a.one.example/p", "https://two.example/y"))
+      .toDF("doc_id", "base", "href")
+    val doms = Url.withDomain(
+        docs.select(col("doc_id"),
+          Url.resolveCol(col("href"), col("base")).as("url")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(doms == Map(1L -> "one.example", 2L -> "hub.example",
+      3L -> "two.example"), doms.toString)
+  }
 }
