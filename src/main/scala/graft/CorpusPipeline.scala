@@ -227,4 +227,59 @@ object CorpusPipeline {
     // 4. Deterministic split — stable under corpus growth.
     TextAnalysis.splitByHash(released, "doc_id", valFrac, testFrac)
   }
+
+  /** The per-document curation stages that compose INCREMENTALLY:
+    * quality/lang gate (a projection — verdicts never depend on other
+    * documents) + canonical-key exact dedup keeping the LOWEST doc_id
+    * ([[Dedup.canonicalKey]] hashes, the dedup_incremental key). The
+    * corpus-shaped stages the full [[curate]] adds (near-dup CC, LM
+    * terciles) are deliberately absent — their verdicts depend on the
+    * whole corpus and do not decompose into add-only batches.
+    */
+  def curateLite(documents: DataFrame,
+                 minQuality: Double = 0.55,
+                 langs: Seq[String] = Seq("en", "de", "es", "fr")): DataFrame =
+    TextAnalysis.withQuality(documents)
+      .filter(col("lang").isin(langs: _*) && col("quality_score") >= minQuality)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(xxhash64(Dedup.canonicalKey(col("text"))))
+          .orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** #47c3 curate_incremental — the production re-crawl shape
+    * (VERDICT r9 next-round #7): a released snapshot exists; a new
+    * crawl lands; only the ADDITIONS run curation, deduped against the
+    * prior release's keys ([[Dedup.incrementalNew]]'s join shape), and
+    * the release is prior ∪ surviving additions — the whole corpus is
+    * never re-read.
+    *
+    * Composition law (driver-PROVEN, not just asserted: the oracle
+    * computes the FULL re-curation of prior ∪ additions while the
+    * engine runs this incremental path — a hash match is the theorem
+    * on real data): for an append-only refresh whose addition doc_ids
+    * all exceed the prior corpus's ids (the production contract — new
+    * crawl docs get new ids),
+    * `curateIncremental(curateLite(P), A) = curateLite(P ∪ A)`.
+    * Gate verdicts are per-doc projections (identical on both paths);
+    * a key group's lowest id is a prior doc whenever the group touches
+    * the prior corpus (id monotonicity), which is exactly the doc the
+    * prior release kept and the anti-join preserves; an all-new group
+    * keeps its lowest addition id on both paths.
+    *
+    * Scale shape: the additions batch is a day's slice; the prior
+    * release reduces to its distinct 8-byte key set before the
+    * anti-join (never text) — the [[Dedup.incrementalNew]] story, with
+    * [[Dedup.seenBloomFilter]] layerable in front at 100 TB.
+    */
+  def curateIncremental(priorRelease: DataFrame, additions: DataFrame,
+                        minQuality: Double = 0.55,
+                        langs: Seq[String] = Seq("en", "de", "es", "fr")): DataFrame = {
+    val addGated = curateLite(additions, minQuality, langs)
+    val seen = priorRelease
+      .select(xxhash64(Dedup.canonicalKey(col("text"))).as("__ck")).distinct()
+    val fresh = addGated
+      .withColumn("__ck", xxhash64(Dedup.canonicalKey(col("text"))))
+      .join(seen, Seq("__ck"), "left_anti").drop("__ck")
+    priorRelease.unionByName(fresh)
+  }
 }

@@ -615,6 +615,27 @@ object LlmQueries {
           col("quality_score"), sha2(col("text"), 256).as("content_hash"))
         .orderBy(col("doc_id"))
     }),
+
+    // #47c3 the incremental-release composition driven as a THEOREM
+    // (r10 — VERDICT r9 next-round #7, the production re-crawl shape):
+    // the ENGINE runs the add-only path — prior release ∪ curated
+    // additions deduped against the prior keys — while the ORACLE
+    // re-curates the WHOLE refreshed corpus from scratch; the hash
+    // match proves add-only == full re-curation on real data. Prior
+    // corpus = src0–src4 (the dedup_incremental seen-set); additions =
+    // the other sources with doc_ids shifted +10^6 (the id-monotone
+    // production contract: new crawl docs get new ids).
+    "curate_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val seen = col("source").isin("src0", "src1", "src2", "src3", "src4")
+      val additions = dd.filter(!seen)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.CorpusPipeline.curateIncremental(
+          graft.CorpusPipeline.curateLite(dd.filter(seen)), additions)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Shared vector CTE: double-widened embeddings with L2 norms, and the
@@ -2741,6 +2762,38 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "corpus_pipeline" -> corpusPipelineSql(),
+
+    // FULL re-curation of the refreshed corpus (gate + canonical-key
+    // keep-lowest) — deliberately NOT the incremental composition the
+    // engine runs: the row is the add-only == full theorem (see the
+    // query row's comment).
+    "curate_incremental" ->
+      s"""WITH n0 AS (
+         |  SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |           THEN doc_id ELSE doc_id + 1000000 END AS doc_id,
+         |    text, lang, source
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, lang, source,
+         |    $QualityFieldsSql
+         |  FROM n0
+         |  WHERE lang IN ('en', 'de', 'es', 'fr')),
+         |q AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    $QualityScoreSql AS quality_score
+         |  FROM b),
+         |g AS (SELECT * FROM q WHERE quality_score >= 0.55),
+         |canon AS (
+         |  SELECT *, array_to_string(list_sort(list_distinct(
+         |    list_filter(string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> x <> ''))), ' ') AS ck
+         |  FROM g),
+         |ex AS (
+         |  SELECT * FROM (SELECT *,
+         |      row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+         |    FROM canon)
+         |  WHERE rn = 1)
+         |SELECT doc_id, lang, source, n_chars, quality_score
+         |FROM ex ORDER BY doc_id""".stripMargin,
 
     // The base chain + the pii_report plant (aug, null-text yields
     // null — the decontaminate-plant convention), the blocklist

@@ -1851,4 +1851,40 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(c.length == 1)
     assert(c.head.getAs[Double]("containment") == math.rint(2.0 / 3 * 1e6) / 1e6)
   }
+
+  test("curate_incremental: add-only curation equals full re-curation (the composition law)") {
+    val good = ("the cat and the dog sat in the house and it was warm " * 3).trim
+    val other = "the bird flew to the sea and it was far away from home today"
+    // Prior corpus (ids 1–5) and an id-monotone additions batch
+    // (ids 11–15) exercising every case of the law's analysis: an
+    // addition duplicating a RETAINED prior doc (11 vs 1 — dropped), an
+    // addition duplicating a prior doc the GATE removed (12 vs 4 — but
+    // 12 itself fails the gate too, so absent on both paths), an
+    // in-batch duplicate pair (13/14 — lowest addition id survives),
+    // and a novel addition (15).
+    val prior = Seq(
+      (1L, good, "en", "src0"),
+      (2L, good + " extra and different tail words in this one", "en", "src0"),
+      (3L, other, "en", "src1"),
+      (4L, "!!! ??? ###", "en", "src0"),
+      (5L, good, "zh", "src0"))
+    val adds = Seq(
+      (11L, good, "en", "srcX"),
+      (12L, "!!! ??? ###", "en", "srcX"),
+      (13L, other + " plus a brand new ending for the batch", "en", "srcY"),
+      (14L, other + " plus a brand new ending for the batch", "en", "srcY"),
+      (15L, "the fox ran over the hill and the field while the sun was warm and high", "en", "srcY"))
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val incremental = CorpusPipeline.curateIncremental(
+        CorpusPipeline.curateLite(df(prior)), df(adds))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val full = CorpusPipeline.curateLite(df(prior ++ adds))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(incremental == full,
+      s"add-only path diverged from full re-curation:\n$incremental\nvs\n$full")
+    assert(incremental.map(_.head) == Seq(1L, 2L, 3L, 13L, 15L),
+      incremental.map(_.head).toString)
+  }
 }
