@@ -25,6 +25,70 @@ object BreadthQueries {
       roundCols(breadth(s, d), Seq("breadth_percent", "adv_dec_ratio"))
         .orderBy(col("date"))),
 
+    // #49c StreamBreadth as a DRIVER-CHECKED correctness row (r10 —
+    // the two chained stateful stages run through a real micro-batch:
+    // per-symbol prev-close direction fold → watermarked 1-day window
+    // counts, finalized by a far-future sentinel). The sentinel user
+    // needs TWO bars: its FIRST emits no direction (no prev close — the
+    // lag-null rule), so a single sentinel would never reach the
+    // watermark stage and no window would finalize; the harness then
+    // filters windows at/after the sentinel's (its first direction row
+    // lands in a finalized far-future window). Oracle = the batch
+    // direction-count arithmetic on days that HAVE a direction row
+    // (the streaming operator's contract: no calendar fill, no
+    // new-high/low columns — those need the 10-day prior window the
+    // live fold doesn't claim). Driver collect is the harness shim at
+    // bar grain (the stream_ind_sma rule).
+    "stream_breadth" -> ((s, d) => {
+      import graft.streaming.{StreamBreadth, StreamIndicators}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val src = bars(s, d).select(col("user_id"),
+          datediff(col("date"), lit("1970-01-01").cast("date")).as("days"),
+          col("close"))
+        .collect()
+        .map(r => StreamIndicators.Bar(r.getLong(0),
+          new java.sql.Timestamp(r.getInt(1).toLong * 86400000L),
+          r.getDouble(2)))
+      val maxMs = if (src.isEmpty) 0L else src.iterator.map(_.ts.getTime).max
+      val sentinelMs = maxMs + 40L * 86400000L
+      val sink = "stream_breadth_sink"
+      s.catalog.dropTempView(sink)
+      val input = MemoryStream[StreamIndicators.Bar]
+      // TWO chained stateful stages plant state stores per shuffle
+      // partition; run the harness at 4 (the stream_range_join rule —
+      // session-scoped, restored; partitions are read at stream start).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = StreamBreadth.breadth(input.toDS(), windowDur = "1 day",
+            watermark = "10 minutes")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(src.toIndexedSeq)
+          q.processAllAvailable()
+          input.addData(
+            StreamIndicators.Bar(-1L, new java.sql.Timestamp(sentinelMs), 1.0),
+            StreamIndicators.Bar(-1L,
+              new java.sql.Timestamp(sentinelMs + 86400000L), 1.0))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sink)
+        .filter(col("bucket_start") < new java.sql.Timestamp(sentinelMs))
+        .select(
+          date_add(lit("1970-01-01").cast("date"),
+            (col("bucket_start").cast("long") / lit(86400L)).cast("int"))
+            .as("date"),
+          col("advancers"), col("decliners"), col("unchanged"),
+          col("total_issues"),
+          round(col("breadth_percent"), 6).as("breadth_percent"),
+          round(col("adv_dec_ratio"), 6).as("adv_dec_ratio"))
+        .orderBy(col("date"))
+    }),
+
     "market_health" -> ((s, d) =>
       roundCols(Breadth.marketHealth(breadth(s, d)),
         Seq("health_score", "adv_dec_ratio", "new_high_low_ratio", "confidence"))),
@@ -106,6 +170,33 @@ object BreadthQueries {
          |  round(breadth_percent, 6) AS breadth_percent,
          |  round(adv_dec_ratio, 6) AS adv_dec_ratio
          |FROM breadthd ORDER BY date""".stripMargin,
+
+    // The streaming twin's contract: direction-count arithmetic on
+    // days that HAVE a direction row — no calendar gap fill (a window
+    // with no events never exists live) and no new-high/low columns
+    // (they need the 10-day prior window the live fold doesn't claim).
+    // delta IS NOT NULL drops all-first-bar days exactly as the
+    // stream's lag-null rule does.
+    "stream_breadth" ->
+      s"""${MarketQueries.BarsCte},
+         |flag AS (
+         |  SELECT user_id, date, close,
+         |    close - lag(close) OVER (PARTITION BY user_id ORDER BY date) AS delta
+         |  FROM bars),
+         |d AS (
+         |  SELECT date,
+         |    count(*) FILTER (WHERE delta > 0) AS advancers,
+         |    count(*) FILTER (WHERE delta < 0) AS decliners,
+         |    count(*) FILTER (WHERE delta = 0) AS unchanged
+         |  FROM flag WHERE delta IS NOT NULL GROUP BY date)
+         |SELECT date, advancers, decliners, unchanged,
+         |  advancers + decliners + unchanged AS total_issues,
+         |  round(CASE WHEN advancers + decliners + unchanged > 0
+         |    THEN least(greatest((advancers - decliners)
+         |      / (advancers + decliners + unchanged) * 100, -100.0), 100.0)
+         |    END, 6) AS breadth_percent,
+         |  round(coalesce(advancers / nullif(decliners, 0), 0.0), 6) AS adv_dec_ratio
+         |FROM d ORDER BY date""".stripMargin,
 
     "market_health" ->
       s"""$Base,
