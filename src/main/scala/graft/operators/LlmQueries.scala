@@ -636,6 +636,56 @@ object LlmQueries {
           col("quality_score"))
         .orderBy(col("doc_id"))
     }),
+
+    // #49k StreamNearDup as a DRIVER-CHECKED correctness row (r10 —
+    // the last streaming operator with an SQL-expressible twin): the
+    // per-bucket signature-state fold runs the whole corpus through
+    // one micro-batch (constant ingest_ts) and the emitted candidate
+    // pairs hash-check against the SAME banding chain the dedup_minhash
+    // oracle replays, with est-Jaccard as a generated 32-term
+    // component-match count — one row per colliding band, est ≥ 0.5.
+    // Values are exact binary fractions (m/32), so round(…, 6) is
+    // lossless cross-engine. The fixture's buckets stay far under
+    // maxBucket, so the all-pairs branch is what's checked; the
+    // star-cap branch stays spec-pinned (its fold-order contract has
+    // no batch-SQL twin). Harness-cost shape (the stream_bars rule,
+    // twice over): per-(band, doc) state-store work dominates
+    // (~0.1 ms per bucket-group op, measured — text length is
+    // irrelevant), so the fixture is the 1/25 doc subset truncated to
+    // 300 chars (50 s full at sf0.1 → ~2 s; the truncation bounds the
+    // oracle's shingle replay too), with a planted near-dup TWIN per
+    // doc (doc_id + 10⁷,
+    // ' twin tail marker' appended — the url_normalize plant rule:
+    // rebuilt verbatim by the oracle) so the detector has guaranteed
+    // value-checked pairs at every sf (the raw subset had none at
+    // sf0.01). 4-state-partition rule.
+    "stream_near_dup" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val base = docs(s, d).filter(pmod(col("doc_id"), lit(25L)) === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 300).as("text"))
+      val aug = base.unionByName(base.select(
+        (col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" twin tail marker")).as("text")))
+      val src = aug.collect()
+        .map(r => (r.getLong(0), r.getString(1), t0))
+      val sink = "stream_near_dup_sink"
+      s.catalog.dropTempView(sink)
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamNearDup.candidatePairs(
+            input.toDF().toDF("doc_id", "text", "ingest_ts"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sink).orderBy(col("id1"), col("id2"), col("band"))
+    }),
   )
 
   /** Shared vector CTE: double-widened embeddings with L2 norms, and the
@@ -1345,10 +1395,10 @@ object LlmQueries {
     * (the SpanCte rule). Consumers select from `j` with their own
     * threshold.
     */
-  private val MinhashPairCtes: String =
+  private def minhashPairCtes(rel: String = "documents"): String =
     s"""t AS (
        |  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+') AS toks
-       |  FROM documents),
+       |  FROM $rel),
        |d AS (
        |  SELECT doc_id,
        |    CASE WHEN len(toks) >= 2
@@ -1515,19 +1565,49 @@ object LlmQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_minhash" ->
-      s"""WITH $MinhashPairCtes
+      s"""WITH ${minhashPairCtes()}
          |SELECT id1, id2,
          |  round(CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0), 6) AS jaccard
          |FROM j
          |WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.3
          |ORDER BY id1, id2""".stripMargin,
 
+    // The streaming bucket fold's within-batch contract replayed off
+    // the SHARED banding chain: every intra-bucket pair per colliding
+    // band (the fixture never reaches maxBucket — the star-cap branch
+    // is spec-pinned, its fold-order semantics have no SQL twin), with
+    // est-Jaccard = the minhash component-match share, generated from
+    // the same permutation constants.
+    "stream_near_dup" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, substr(text, 1, 300) AS text
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |dd AS (
+         |  SELECT doc_id, text FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text || ' twin tail marker' FROM d0),
+         |${minhashPairCtes("dd")},
+         |p AS (
+         |  SELECT a.doc_id AS id1, b2.doc_id AS id2, band
+         |  FROM bk a JOIN bk b2 USING (band, band_key)
+         |  WHERE a.doc_id < b2.doc_id),
+         |e AS (
+         |  SELECT id1, id2, band,
+         |    CAST(${(0 until Dedup.Perms).map(i =>
+              s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)")
+              .mkString("\n      + ")} AS DOUBLE) / ${Dedup.Perms} AS est
+         |  FROM p JOIN sig sa ON sa.doc_id = id1 JOIN sig sb ON sb.doc_id = id2)
+         |SELECT id1, id2, CAST(band AS INT) AS band,
+         |  round(est, 6) AS est_jaccard
+         |FROM e WHERE est >= 0.5
+         |ORDER BY id1, id2, band""".stripMargin,
+
     // Replays BOTH arms off the SHARED shingle CTE `d` (the banding
     // chain verbatim via MinhashPairCtes; the truth chain = the
     // ngram_jaccard metadata-blocked exact pairs) and counts the
     // intersection.
     "minhash_recall" ->
-      s"""WITH $MinhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
          |found AS (
          |  SELECT id1, id2 FROM j
          |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.3),
@@ -1552,7 +1632,7 @@ object LlmQueries {
          |FROM tot CROSS JOIN hits CROSS JOIN bnd""".stripMargin,
 
     "dedup_keep_best_lsh" ->
-      s"""WITH RECURSIVE $MinhashPairCtes,
+      s"""WITH RECURSIVE ${minhashPairCtes()},
          |pairs AS (
          |  SELECT id1, id2 FROM j
          |  WHERE CAST(n_common AS DOUBLE) / nullif(CAST(la + lb - n_common AS DOUBLE), 0.0) >= 0.5),
