@@ -23,6 +23,14 @@ object Graph {
   val DefaultDampingPct = 85
   val DefaultMicro: Long = 1000000000L
 
+  /** Per-edge weight cap (weighted mode): keeps rank·w ≤ micro·10³ ≤
+    * 10¹⁵ < 2⁵³ for every allowed micro, so the per-edge floor divide
+    * stays exact. Out-of-range weights raise loudly at DATA level (the
+    * zorderKey guard rule) — a silently clamped weight would skew the
+    * authority signal invisibly.
+    */
+  val MaxEdgeWeight: Long = 1000L
+
   /** Exact floor division of non-negative integer Columns: a − a mod b
     * is exactly divisible, both operands and the quotient stay under
     * 2^53, so the double divide is exact (the rangeJoin bin rule).
@@ -61,27 +69,55 @@ object Graph {
     * a broadcast 1-row aggregate. Rounds are bounded (≤ 50) — rank
     * convergence needs ~10 even on web-scale graphs.
     */
+  /** `weightCol` (r10, the weighted option): per-edge link weights —
+    * the crawl-graph shape where an edge carries HOW MANY links point
+    * domain→domain. Parallel edges SUM their weights (vs collapsing),
+    * out-degree becomes Σw, and each edge contributes
+    * rank·w div Σw_out — floor-divided per edge in the same exact
+    * integer space (rank·w ≤ micro·[[MaxEdgeWeight]] < 2⁵³; SUMMED
+    * per-edge weights outside (0, MaxEdgeWeight] raise at data
+    * level). Unweighted mode is exactly the w≡1 case, byte-identical
+    * to the r9 ladder.
+    */
   def pageRankLadder(edges: DataFrame, rounds: Int = DefaultRounds,
                      dampingPct: Int = DefaultDampingPct,
                      micro: Long = DefaultMicro,
-                     redistributeDangling: Boolean = false): DataFrame = {
+                     redistributeDangling: Boolean = false,
+                     weightCol: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"pageRankLadder: rounds must be in [1, 50], got $rounds")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRankLadder: dampingPct must be in [0, 100], got $dampingPct")
     require(micro >= 1000L && micro <= 1000000000000L,
       s"pageRankLadder: micro must be in [1e3, 1e12], got $micro")
-    val e = edges.select(col("src"), col("dst"))
+    val eBase = edges
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct().transform(graft.Ckpt.frame)
+    val e = (weightCol match {
+      case None =>
+        eBase.select(col("src"), col("dst")).distinct()
+          .withColumn("__w", lit(1L))
+      case Some(wc) =>
+        // The guard binds the SUMMED per-edge weight — that is the
+        // value rank multiplies, so it is the one the 2^53 envelope
+        // needs bounded.
+        eBase.select(col("src"), col("dst"), col(wc).cast("long").as("__w0"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("__w0")).as("__ws"))
+          .select(col("src"), col("dst"),
+            when(col("__ws").isNull || col("__ws") <= 0 ||
+                col("__ws") > MaxEdgeWeight,
+              raise_error(concat(
+                lit(s"pageRankLadder: summed edge weight out of (0, $MaxEdgeWeight]: "),
+                col("__ws").cast("string"))))
+              .otherwise(col("__ws")).as("__w"))
+    }).transform(graft.Ckpt.frame)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().transform(graft.Ckpt.frame)
     // nn and deg are read by EVERY round — checkpoint like e/nodes, or
     // each round's plan re-runs the degree shuffle and the node count.
     val nn = broadcast(nodes.agg(count(lit(1)).as("__n")).transform(graft.Ckpt.frame))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val deg = e.groupBy(col("src")).agg(sum(col("__w")).as("__outdeg"))
       .transform(graft.Ckpt.frame)
     val r0 = nodes.crossJoin(nn)
       .select(col("node"), exactDiv(lit(micro), col("__n")).as("rank_micro"))
@@ -94,7 +130,7 @@ object Graph {
         .join(prev.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"),
-          exactDiv(col("rank_micro"), col("__outdeg")).as("__c"))
+          exactDiv(col("rank_micro") * col("__w"), col("__outdeg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__contrib"))
       val linked = exactDiv(lit((100L - dampingPct) * micro),
           lit(100L) * col("__n")) +

@@ -562,6 +562,18 @@ object LlmQueries {
         col("source").isin("src0", "src1", "src2", "src3", "src4"))
         .orderBy(col("doc_id"))),
 
+    // #37d2 the BLOOM-prefilter twin driven through the driver gate
+    // (r10): definite-new rows take the codegen'd
+    // BloomFilterMightContain path and skip the join entirely;
+    // maybe-dup rows confirm against the exact key set. No false
+    // negatives ⇒ row-identical to the exact path — so it shares
+    // dedup_incremental's oracle VERBATIM (one SQL constant, two
+    // genuinely different plans — the range_join precedent).
+    "dedup_incremental_bloom" -> ((s, d) =>
+      Dedup.incrementalNewBloom(docs(s, d),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .orderBy(col("doc_id"))),
+
     // Snapshot diff over two deterministic carves of the documents
     // table (old: drops doc_id%11==3, halves text at doc_id%7==2;
     // new: drops doc_id%13==5) — so all four statuses populate and the
@@ -1219,6 +1231,25 @@ object LlmQueries {
     * comparison is `IS NOT DISTINCT FROM` (NULL texts diff as values),
     * matching the Spark side's null-folding hash equality.
     */
+  /** One definition for the exact and bloom-prefilter incremental
+    * dedup rows (the range_join shared-constant rule).
+    */
+  private val IncrementalOracle: String =
+    """WITH canon AS (
+      |  SELECT doc_id, source, lang,
+      |    array_to_string(list_sort(list_distinct(
+      |      list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> x <> ''))), ' ') AS ck
+      |  FROM documents),
+      |seen AS (
+      |  SELECT DISTINCT ck FROM canon
+      |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
+      |SELECT c.doc_id, c.source, c.lang,
+      |  CASE WHEN s.ck IS NULL THEN 0 ELSE 1 END AS is_dup,
+      |  CASE WHEN s.ck IS NULL THEN 1 ELSE 0 END AS is_new
+      |FROM canon c LEFT JOIN seen s USING (ck)
+      |WHERE c.source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
+      |ORDER BY c.doc_id""".stripMargin
+
   private val DiffCte: String =
     """WITH o AS (
       |  SELECT doc_id,
@@ -2968,21 +2999,12 @@ object LlmQueries {
         |  CAST(n_tokens = 0 OR CAST(n_blocked AS DOUBLE) <= CAST(n_tokens AS DOUBLE) * 0.05 AS INT) AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
 
-    "dedup_incremental" ->
-      """WITH canon AS (
-        |  SELECT doc_id, source, lang,
-        |    array_to_string(list_sort(list_distinct(
-        |      list_filter(string_split_regex(regexp_replace(lower(text), '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> x <> ''))), ' ') AS ck
-        |  FROM documents),
-        |seen AS (
-        |  SELECT DISTINCT ck FROM canon
-        |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4'))
-        |SELECT c.doc_id, c.source, c.lang,
-        |  CASE WHEN s.ck IS NULL THEN 0 ELSE 1 END AS is_dup,
-        |  CASE WHEN s.ck IS NULL THEN 1 ELSE 0 END AS is_new
-        |FROM canon c LEFT JOIN seen s USING (ck)
-        |WHERE c.source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
-        |ORDER BY c.doc_id""".stripMargin,
+    // Shared verbatim with dedup_incremental_bloom — the bloom twin is
+    // row-identical by the no-false-negative contract (the range_join
+    // shared-constant rule: one SQL, two genuinely different plans).
+    "dedup_incremental_bloom" -> IncrementalOracle,
+
+    "dedup_incremental" -> IncrementalOracle,
 
     "corpus_diff" ->
       s"""$DiffCte

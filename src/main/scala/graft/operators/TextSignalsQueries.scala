@@ -247,6 +247,17 @@ object TextSignalsQueries {
           redistributeDangling = true)
         .orderBy(col("round"), col("node"))),
 
+    // The weighted option (#47t5c, r10): per-doc edges carry weight 1
+    // and the operator SUMS parallel edges, so the effective per-edge
+    // weight is the (src, dst) link multiplicity — exactly the
+    // crawl-graph shape where an edge counts how many links point
+    // domain→domain. Oracle replays the weighted ladder with
+    // count(*)-weighted edges from the same fixture.
+    "pagerank_weighted" -> ((s, d) =>
+      Graph.pageRankLadder(fixtureEdges(docs(s, d)).withColumn("w", lit(1L)),
+          weightCol = Some("w"))
+        .orderBy(col("round"), col("node"))),
+
     // The synthetic corpus is already clean text, so the row plants
     // deterministic MESSY markup (full page with script/style/comment
     // blocks, a title, entities incl. double-encoding, block and inline
@@ -426,9 +437,13 @@ object TextSignalsQueries {
     * redistribution term, generated from the same shape the engine
     * runs.
     */
-  private def pagerankSql(stochastic: Boolean = false): String = {
+  private def pagerankSql(stochastic: Boolean = false,
+                          weighted: Boolean = false): String = {
     val p = Graph.DefaultDampingPct
     val m = Graph.DefaultMicro
+    val contribExpr =
+      if (weighted) s"sum((r#.rank_micro * e.w) // deg.outdeg)"
+      else s"sum(r#.rank_micro // deg.outdeg)"
     val roundsSql = (1 to Graph.DefaultRounds).map { k =>
       val dmCte = if (!stochastic) ""
       else
@@ -446,7 +461,7 @@ object TextSignalsQueries {
          |      + (($p * coalesce(s.c, 0)) // 100)$dmTerm AS BIGINT) AS rank_micro
          |  FROM nodes CROSS JOIN nn$dmFrom
          |  LEFT JOIN (
-         |    SELECT e.dst AS node, sum(r${k - 1}.rank_micro // deg.outdeg) AS c
+         |    SELECT e.dst AS node, ${contribExpr.replace("r#", s"r${k - 1}")} AS c
          |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
          |    JOIN deg ON e.src = deg.src
          |    GROUP BY e.dst) s ON s.node = nodes.node)""".stripMargin
@@ -458,11 +473,15 @@ object TextSignalsQueries {
        |  SELECT source AS src,
        |    'src' || CAST((doc_id * 7) % 20 AS VARCHAR) AS dst
        |  FROM documents WHERE source IS NOT NULL),
-       |e AS (SELECT DISTINCT src, dst FROM d0 WHERE src <> dst),
+       |e AS (${
+        if (weighted)
+          "SELECT src, dst, count(*) AS w FROM d0 WHERE src <> dst GROUP BY src, dst"
+        else "SELECT DISTINCT src, dst FROM d0 WHERE src <> dst"}),
        |nodes AS (SELECT DISTINCT node FROM
        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |nn AS (SELECT count(*) AS n FROM nodes),
-       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |deg AS (SELECT src, ${
+        if (weighted) "sum(w)" else "count(*)"} AS outdeg FROM e GROUP BY src),
        |r0 AS (SELECT node, CAST(CAST($m AS BIGINT) // nn.n AS BIGINT) AS rank_micro
        |       FROM nodes CROSS JOIN nn),
        |$roundsSql
@@ -475,6 +494,8 @@ object TextSignalsQueries {
     "pagerank" -> pagerankSql(),
 
     "pagerank_stochastic" -> pagerankSql(stochastic = true),
+
+    "pagerank_weighted" -> pagerankSql(weighted = true),
 
     // Same block-strip chain as html_extract (comments first), then
     // the SAME LinkPattern (three quote forms) + quote trim + entity

@@ -45,6 +45,40 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRankLadder(edges, dampingPct = 101))
   }
 
+  test("pagerank weighted: hand-computed ladder, parallel-edge sum, guards, w≡1 identity") {
+    import org.apache.spark.sql.functions.col
+    // a→b w=3 (as 2+1 parallel edges — the operator sums them),
+    // a→c w=1, b→a w=2; c dangling. micro 1e6, damping 50%, N=3.
+    val edges = Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "a", 2L)).toDF("src", "dst", "w")
+    val out = Graph.pageRankLadder(edges, rounds = 1, dampingPct = 50,
+        micro = 1000000L, weightCol = Some("w"))
+      .filter($"round" === 1)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // base 166666; a ← b: 333333·2 div 2 = 333333 whole;
+    // b ← a: 333333·3 div 4 = 249999; c ← a: 333333·1 div 4 = 83333.
+    assert(out("a") == 166666L + 50L * 333333L / 100L, out.toString) // 333332
+    assert(out("b") == 166666L + 50L * 249999L / 100L)               // 291665
+    assert(out("c") == 166666L + 50L * 83333L / 100L)                // 208332
+    // w ≡ 1 on a duplicate-free edge set is byte-identical to the
+    // unweighted ladder (the documented degenerate case).
+    val plain = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    val uw = Graph.pageRankLadder(plain, rounds = 2, dampingPct = 50,
+      micro = 1000000L).collect().map(_.toSeq).toSet
+    val w1 = Graph.pageRankLadder(
+      plain.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      rounds = 2, dampingPct = 50, micro = 1000000L,
+      weightCol = Some("w")).collect().map(_.toSeq).toSet
+    assert(uw == w1)
+    // summed-weight guard raises loudly at data level
+    val bad = Seq(("a", "b", 0L)).toDF("src", "dst", "w")
+    intercept[Exception](Graph.pageRankLadder(bad, rounds = 1,
+      weightCol = Some("w")).collect())
+    val huge = Seq(("a", "b", Graph.MaxEdgeWeight + 1)).toDF("src", "dst", "w")
+    intercept[Exception](Graph.pageRankLadder(huge, rounds = 1,
+      weightCol = Some("w")).collect())
+  }
+
   test("reliable checkpoint seam: the ladder is identical under spark.graft.checkpoint=reliable") {
     // The multi-round loops thread graft.Ckpt.frame; under `reliable`
     // every loop seam becomes a recoverable checkpoint() against the
