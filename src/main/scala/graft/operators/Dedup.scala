@@ -153,8 +153,14 @@ object Dedup {
     * [[seenBloomFilter]] in front: definite-new rows never shuffle.
     */
   def incrementalNew(documents: DataFrame, seenPred: Column): DataFrame = {
+    // keyed feeds BOTH branches (seen-key set + incoming probe) — the
+    // guarded-postings rule: without materialization the corpus scan +
+    // tokenize/sort canonical-key derivation runs once per consumer
+    // (ReuseProbe r10: scans 2 → 1). The held frame is ~40 bytes/row
+    // (ids + 8-byte key + flags), never text — safe to pin at scale.
     val keyed = documents.select(col("doc_id"), col("source"), col("lang"),
       xxhash64(canonicalKey(col("text"))).as("__ck"), seenPred.as("__seen"))
+      .localCheckpoint()
     val seenKeys = keyed.filter(col("__seen"))
       .select(col("__ck")).distinct()
       .withColumn("__hit", lit(1))
@@ -178,8 +184,13 @@ object Dedup {
   def incrementalNewBloom(documents: DataFrame, seenPred: Column,
                           expectedItems: Long = 1000000L,
                           fpp: Double = 0.01): DataFrame = {
+    // Four consumers (bloom build, seen-key set, definite-new probe,
+    // maybe-dup probe) — materialized for the same reason as
+    // [[incrementalNew]]'s keyed frame (ReuseProbe r10: corpus scans
+    // 4 → 1; the held rows carry no text).
     val keyed = documents.select(col("doc_id"), col("source"), col("lang"),
       xxhash64(canonicalKey(col("text"))).as("__ck"), seenPred.as("__seen"))
+      .localCheckpoint()
     val bloom = keyed.filter(col("__seen"))
       .stat.bloomFilter("__ck", expectedItems, fpp)
     // The probe is Spark's own codegen'd BloomFilterMightContain over a

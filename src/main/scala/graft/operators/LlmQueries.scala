@@ -642,8 +642,14 @@ object LlmQueries {
       val seen = col("source").isin("src0", "src1", "src2", "src3", "src4")
       val additions = dd.filter(!seen)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      // The prior release feeds TWO consumers inside curateIncremental
+      // (key set + union); in production it is a storage-backed table,
+      // so the fixture materializes its derivation once instead of
+      // re-running the gate+window per consumer (ReuseProbe r10:
+      // scans 3 → 2, windows 3 → 2).
       graft.CorpusPipeline.curateIncremental(
-          graft.CorpusPipeline.curateLite(dd.filter(seen)), additions)
+          graft.CorpusPipeline.curateLite(dd.filter(seen)).localCheckpoint(),
+          additions)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("quality_score"))
         .orderBy(col("doc_id"))
