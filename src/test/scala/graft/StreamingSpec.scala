@@ -501,6 +501,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of folds at µs grain: same-ms ordering and µs-exact match time") {
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.Tagged
+    import spark.implicits._
+    val sqlCtx = spark.sqlContext
+    implicit val ctx = sqlCtx
+    // Events carry µs timestamps; a Timestamp.getTime (ms) fold ordered
+    // same-millisecond quote/trade pairs by SIDE and truncated the
+    // emitted match time (the r10 fix — the stream_sessionize defect
+    // class). All three events share one millisecond here.
+    def tsUs(us: Int): java.sql.Timestamp = {
+      val t = ts("2024-01-01 10:00:00"); t.setNanos(us * 1000); t
+    }
+    val input = MemoryStream[Tagged]
+    val query = StreamAsOf.enrich(input.toDS())
+      .writeStream.format("memory").queryName("sasof_us").outputMode("append").start()
+    try {
+      input.addData(
+        Tagged(1L, tsUs(300), 1, 500.0), // trade 300µs — BEFORE the quote
+        Tagged(1L, tsUs(400), 0, 10.0),  // quote 400µs
+        Tagged(1L, tsUs(500), 1, 501.0)) // trade 500µs — matches, µs-exact
+      query.processAllAvailable()
+      val out = spark.table("sasof_us").collect()
+        .map(r => (r.getAs[Double]("value"),
+          Option(r.getAs[java.sql.Timestamp]("asof_ts")),
+          Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue)))
+        .sortBy(_._1)
+      // the 300µs trade must NOT see the 400µs quote (an ms fold
+      // matched it: equal getTime, quote-first tie-break)…
+      assert(out(0) == ((500.0, None, None)), out.mkString(";"))
+      // …and the 500µs trade's match time keeps its microseconds.
+      assert(out(1)._3 == Some(10.0))
+      assert(out(1)._2.contains(tsUs(400)),
+        s"asof_ts lost µs: ${out(1)._2} vs ${tsUs(400)}")
+    } finally query.stop()
+  }
+
   test("streaming as-of disorder: fresher late quotes accepted, late trades emit correct-or-stale") {
     import graft.streaming.StreamAsOf
     import graft.streaming.StreamAsOf.Tagged
