@@ -335,4 +335,40 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(exp.nonEmpty, s"trial $trial degenerate fixture")
     }
   }
+
+  test("url resolution is idempotent and absolute on random references") {
+    import org.apache.spark.sql.functions.col
+    // A crawl frontier re-resolves URLs it already resolved (a page
+    // links to a URL another page's extraction produced) — resolution
+    // must be a NO-OP on its own outputs: every output is scheme-ful,
+    // and scheme-ful references pass through unchanged.
+    val rnd = new Random(11)
+    val segs = Seq("a", "bb", "x1", "img", "..", ".")
+    def path(n: Int) = (1 to n).map(_ => segs(rnd.nextInt(segs.size))).mkString("/")
+    val hrefs = (1 to 120).map { i =>
+      rnd.nextInt(7) match {
+        case 0 => s"https://h$i.example/${path(2)}"
+        case 1 => s"//cdn$i.example/${path(1)}"
+        case 2 => s"/${path(3)}"
+        case 3 => path(3)
+        case 4 => s"#frag$i"
+        case 5 => s"?q=$i"
+        case _ => ""
+      }
+    }
+    val base = "https://site.example.com/dir/sub/page.html?q=1#top"
+    val df = hrefs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "href")
+      .withColumn("r1", graft.operators.Url.resolveCol(col("href"),
+        org.apache.spark.sql.functions.lit(base)))
+    val out = df
+      .withColumn("r2", graft.operators.Url.resolveCol(col("r1"),
+        org.apache.spark.sql.functions.lit(base)))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    out.foreach { case (h, r1, r2) =>
+      assert(r1 == r2, s"not idempotent: '$h' -> '$r1' -> '$r2'")
+      assert(r1.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*"),
+        s"not absolute: '$h' -> '$r1'")
+    }
+  }
 }
