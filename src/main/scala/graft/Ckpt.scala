@@ -27,6 +27,17 @@ import org.apache.spark.sql.DataFrame
   * constant across rounds. Single-pass materializations outside the
   * loops (the guarded-postings sites) stay `localCheckpoint`: losing
   * one costs a single re-derivation, not a compounding ladder.
+  *
+  * Retention (reliable mode): Spark never deletes reliable checkpoint
+  * files on its own — each loop round leaves a directory behind, and a
+  * long BPE/PageRank/CC session accumulates them unboundedly. Set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  * SparkConf-time setting — it must be on the config BEFORE the
+  * SparkContext starts) so the ContextCleaner deletes a round's files
+  * once its RDD is garbage-collected, which for these loops is as soon
+  * as the next round's frame supersedes it; or point [[DirKey]] at a
+  * job-scoped directory and delete it after the job. The per-round
+  * write is priced above; this note prices the RETENTION.
   */
 object Ckpt {
 

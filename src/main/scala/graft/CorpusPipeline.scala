@@ -271,9 +271,35 @@ object CorpusPipeline {
     * anti-join (never text) — the [[Dedup.incrementalNew]] story, with
     * [[Dedup.seenBloomFilter]] layerable in front at 100 TB.
     */
+  /** `checkIdMonotonic` (ADVICE r10): the composition law above rests
+    * on the id-monotonicity PREcondition — every addition doc_id must
+    * exceed every prior id, which production gets for free (new crawl
+    * docs get new ids) but an ad-hoc caller might not, and a violation
+    * degrades SILENTLY (the incremental path keeps the prior doc where
+    * full re-curation would keep the lower-id addition). Opt in to the
+    * runtime assertion when the caller lacks the id contract: two tiny
+    * 1-row aggregates (max prior id, min addition id — dim-grain
+    * driver reads, the bounded-orchestration class), raising
+    * `IllegalArgumentException` on overlap. Off by default: production
+    * has the contract and the two extra jobs are pure cost there.
+    */
   def curateIncremental(priorRelease: DataFrame, additions: DataFrame,
                         minQuality: Double = 0.55,
-                        langs: Seq[String] = Seq("en", "de", "es", "fr")): DataFrame = {
+                        langs: Seq[String] = Seq("en", "de", "es", "fr"),
+                        checkIdMonotonic: Boolean = false): DataFrame = {
+    if (checkIdMonotonic) {
+      val maxPrior = priorRelease.agg(max(col("doc_id"))).head().get(0)
+      val minAdd = additions.agg(min(col("doc_id"))).head().get(0)
+      (maxPrior, minAdd) match {
+        case (p: Long, a: Long) =>
+          require(p < a,
+            s"curateIncremental: id monotonicity violated — max prior " +
+              s"doc_id $p >= min addition doc_id $a; the add-only == " +
+              "full-re-curation law does not hold for overlapping id " +
+              "ranges (re-run full curateLite over prior ∪ additions)")
+        case _ => // one side empty: trivially monotone
+      }
+    }
     val addGated = curateLite(additions, minQuality, langs)
     val seen = priorRelease
       .select(xxhash64(Dedup.canonicalKey(col("text"))).as("__ck")).distinct()

@@ -171,19 +171,65 @@ object Dedup {
         (coalesce(col("__hit"), lit(0)) === 0).cast("int").as("is_new"))
   }
 
+  /** Driver memory budget for a serialized bloom sketch (bytes): the
+    * sketch is built ON THE DRIVER and shipped as a plan literal, so
+    * its size is driver-heap and task-broadcast cost, not executor
+    * state. 256 MB ≈ 2.1×10⁹ bits ≈ 2.2×10⁸ keys at fpp 0.01 — past
+    * that the right plan is the exact distributed key join
+    * ([[incrementalNew]] — a shuffle on 8-byte keys that Spark
+    * distributes fine at any scale), or split the seen set into ≤budget
+    * shards and AND the verdicts.
+    */
+  val MaxBloomSketchBytes: Long = 256L * 1024 * 1024
+
+  /** Serialized size (bytes) of Spark's bloom sketch for (n, fpp):
+    * optimal bits = ⌈−n·ln(fpp)/ln²2⌉ (the BloomFilter.create formula).
+    */
+  def bloomSketchBytes(expectedItems: Long, fpp: Double): Long = {
+    val ln2 = math.log(2.0)
+    val bits = math.ceil(-expectedItems.toDouble * math.log(fpp) / (ln2 * ln2))
+    (bits / 8.0).toLong + 1L
+  }
+
+  /** The loud driver-budget gate (VERDICT r10 next-round #4 — the
+    * zorderKey guard rule applied to driver memory): raises when the
+    * requested sketch would exceed [[MaxBloomSketchBytes]], naming the
+    * exact-join fallback, instead of silently OOMing the driver or
+    * shipping a multi-GB literal into every task.
+    */
+  private[operators] def requireBloomBudget(expectedItems: Long, fpp: Double,
+                                            site: String): Unit = {
+    require(expectedItems > 0, s"$site: expectedItems must be > 0, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"$site: fpp must be in (0, 1), got $fpp")
+    val bytes = bloomSketchBytes(expectedItems, fpp)
+    require(bytes <= MaxBloomSketchBytes,
+      s"$site: bloom sketch for $expectedItems items at fpp $fpp would " +
+        s"serialize to ~$bytes bytes (> ${MaxBloomSketchBytes} budget — " +
+        "a driver-held plan literal). Use the exact distributed key join " +
+        "(Dedup.incrementalNew / withContamination) or shard the key set " +
+        "and AND the verdicts.")
+  }
+
   /** Bloom pre-filter for [[incrementalNew]] at scale: build a bloom
     * filter over the seen key set once (collected to the driver — size
-    * is `expectedItems·~10 bits`, ~1.2 GB at 10⁹ seen docs; past that,
-    * split the seen set and AND the verdicts), broadcast it, and split
+    * is `expectedItems·~10 bits`, ~1.2 GB at 10⁹ seen docs, which is
+    * why [[requireBloomBudget]] caps the build at
+    * [[MaxBloomSketchBytes]]; past that, split the seen set and AND
+    * the verdicts, or stay on the exact join), broadcast it, and split
     * incoming rows into definite-new (bloom miss — no false negatives,
     * rows skip the join entirely) and maybe-dup (bloom hit — confirmed
     * by the exact key join). Returns the same rows as the exact path
     * (spec-asserted); only the fraction of incoming rows that shuffle
     * changes: fpp + true-dup-rate instead of 1.0.
+    *
+    * 100 TB contract in bytes: at the default fpp 0.01 the budget
+    * admits ~2.2×10⁸ seen keys (~256 MB sketch); a 10⁹-key corpus
+    * needs the exact join or 5 sharded sketches.
     */
   def incrementalNewBloom(documents: DataFrame, seenPred: Column,
                           expectedItems: Long = 1000000L,
                           fpp: Double = 0.01): DataFrame = {
+    requireBloomBudget(expectedItems, fpp, "incrementalNewBloom")
     // Four consumers (bloom build, seen-key set, definite-new probe,
     // maybe-dup probe) — materialized for the same reason as
     // [[incrementalNew]]'s keyed frame (ReuseProbe r10: corpus scans
@@ -386,6 +432,10 @@ object Dedup {
     // plan literal (ADVICE r7). Floor keeps degenerate benches sane.
     val items = if (expectedItems > 0) expectedItems
                 else math.max(64L, posts.select(col("g")).distinct().count())
+    // Same driver budget as incrementalNewBloom — the sketch is a plan
+    // literal; a benchmark suite so large its gram set breaks the
+    // budget should stay on the exact join (withContamination).
+    requireBloomBudget(items, fpp, "benchGramBloom")
     val bloom = posts.stat.bloomFilter("g", items, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)

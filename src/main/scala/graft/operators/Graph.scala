@@ -100,8 +100,21 @@ object Graph {
       case Some(wc) =>
         // The guard binds the SUMMED per-edge weight — that is the
         // value rank multiplies, so it is the one the 2^53 envelope
-        // needs bounded.
-        eBase.select(col("src"), col("dst"), col(wc).cast("long").as("__w0"))
+        // needs bounded. The PRE-cast value is guarded too (ADVICE
+        // r10): the exact-integer ladder takes integral weights only,
+        // and a silent long-cast of 1.9 → 1 (or 0.5 → 0) would skew
+        // authority without ever reaching the loud out-of-range raise
+        // below. Fractional weights raise at data level; a caller with
+        // real-valued weights scales them to integers first (the micro
+        // convention every iterative ladder here uses).
+        eBase.select(col("src"), col("dst"),
+          when(col(wc).isNotNull &&
+              col(wc).cast("double") =!= floor(col(wc).cast("double")),
+            raise_error(concat(
+              lit("pageRankLadder: non-integral edge weight (scale to " +
+                "integer micro-units first): "),
+              col(wc).cast("string"))).cast("long"))
+            .otherwise(col(wc).cast("long")).as("__w0"))
           .groupBy(col("src"), col("dst")).agg(sum(col("__w0")).as("__ws"))
           .select(col("src"), col("dst"),
             when(col("__ws").isNull || col("__ws") <= 0 ||

@@ -220,6 +220,60 @@ object MarketQueries {
     "data_quality" -> ((s, d) =>
       Quality.dataQuality(Tables.events(s, d)).orderBy(col("user_id"))),
 
+    // #48c WindowedAggs.qualityCounters driven through a REAL
+    // watermarked micro-batch run (VERDICT r10 next-round #6 — the
+    // last streaming operator with oracle-expressible columns): raw
+    // ticks feed a MemoryStream, the 1-day window counters aggregate
+    // under append mode, a far-future sentinel finalizes every real
+    // window (the stream_bars pattern), and the EXACT per-day counters
+    // (rows, nulls, non-positives, freshness) hash-check against a
+    // per-(user, day) batch oracle. The HLL duplicate ESTIMATE
+    // (n_dup_ts_est) stays out of the hash by design — approx sketches
+    // are not cross-engine portable; the batch `data_quality` row
+    // carries the exact count. Deterministic 1/5 user subset + 4 state
+    // partitions: the single-threaded MemoryStream feed and per-
+    // partition state stores are the harness cost, not the operator
+    // (the stream_bars / stream_range_join harness rules).
+    "stream_quality" -> ((s, d) => {
+      import graft.streaming.WindowedAggs
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val src = Tables.events(s, d)
+        .filter(col("ts").isNotNull && pmod(col("user_id"), lit(5L)) === 0)
+        .select(col("user_id"), col("ts"), col("value"))
+        .collect()
+        .map(r => WindowedAggs.QTick(r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      val maxMs = if (src.isEmpty) 0L
+                  else src.iterator.map(_.ts.getTime).max
+      val sink = "stream_quality_sink"
+      s.catalog.dropTempView(sink)
+      val input = MemoryStream[WindowedAggs.QTick]
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = WindowedAggs.qualityCounters(input.toDF(), windowDur = "1 day",
+            watermark = "1 hour")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(src.toIndexedSeq)
+          q.processAllAvailable()
+          input.addData(WindowedAggs.QTick(-1L,
+            new java.sql.Timestamp(maxMs + 40L * 86400000L), Some(1.0)))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sink).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_add(lit("1970-01-01").cast("date"),
+            (col("day").cast("long") / lit(86400L)).cast("int")).as("date"),
+          col("n_rows"), col("n_null_value"), col("n_nonpos_value"),
+          col("last_ts"))
+        .orderBy(col("user_id"), col("date"))
+    }),
+
     "feature_matrix" -> ((s, d) =>
       ordered(Features.featureMatrix(bars(s, d)))),
 
@@ -620,6 +674,20 @@ object MarketQueries {
         |  n_dup_ts, n_null_value, n_nonpos_value, last_ts, days_stale,
         |  n_issues, greatest(0, 100 - 10 * n_issues) AS quality_score
         |FROM q ORDER BY user_id""".stripMargin,
+
+    // The streaming twin's finalized-window counters per (user, day) —
+    // exact columns only (the HLL dup estimate is deliberately absent;
+    // see the query row). Same 1/5 subset predicate as the harness.
+    "stream_quality" ->
+      """SELECT user_id, CAST(ts AS DATE) AS date,
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value,
+        |  count(CASE WHEN value <= 0 THEN 1 END) AS n_nonpos_value,
+        |  max(ts) AS last_ts
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |WHERE ts IS NOT NULL AND user_id % 5 = 0
+        |GROUP BY 1, 2
+        |ORDER BY user_id, date""".stripMargin,
 
     "ind_returns" ->
       s"""$BarsCte,

@@ -302,7 +302,13 @@ object TextSignalsQueries {
         lit(".example.com.au/post/"), id, lit("?a=1&fbclid=xyz&b=2  ")))
       .when(m === 3, concat(lit("http://user:pw@"), col("source"),
         lit(".example.org:8080/x%20y?ref=tw&id="), id))
-      .otherwise(concat(col("source"), lit(".Example.net./no-scheme//"), id))
+      .otherwise(when(pmod(col("doc_id"), lit(10L)) === 9,
+        // Opaque (no-authority) family — mailto: URIs exercise the
+        // isOpaque guard: without it `mailto:userN@` strips as
+        // userinfo and "source.example.net" fabricates a domain.
+        concat(lit("mailto:user"), id, lit("@"), col("source"),
+          lit(".example.net")))
+        .otherwise(concat(col("source"), lit(".Example.net./no-scheme//"), id)))
   }
 
   /** The same fixture in DuckDB. */
@@ -312,7 +318,9 @@ object TextSignalsQueries {
       |      WHEN 1 THEN 'http://' || source || '.example.com/path/to/page/?utm_medium=email&gclid=abc' || CAST(doc_id AS VARCHAR)
       |      WHEN 2 THEN '  https://blog.' || source || '.example.com.au/post/' || CAST(doc_id AS VARCHAR) || '?a=1&fbclid=xyz&b=2  '
       |      WHEN 3 THEN 'http://user:pw@' || source || '.example.org:8080/x%20y?ref=tw&id=' || CAST(doc_id AS VARCHAR)
-      |      ELSE source || '.Example.net./no-scheme//' || CAST(doc_id AS VARCHAR) END""".stripMargin
+      |      ELSE CASE WHEN doc_id % 10 = 9
+      |        THEN 'mailto:user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.net'
+      |        ELSE source || '.Example.net./no-scheme//' || CAST(doc_id AS VARCHAR) END END""".stripMargin
 
   /** Deterministic messy-markup fixture for `html_extract` — four
     * families over doc_id%4 (see the query row's comment), wrapping the
@@ -562,9 +570,11 @@ object TextSignalsQueries {
          |  FROM uu),
          |h AS (
          |  SELECT *,
-         |    regexp_replace(regexp_replace(
+         |    CASE WHEN regexp_matches(u, '${Url.AbsoluteRefPattern}')
+         |           AND NOT regexp_matches(u, '${Url.SchemeStripPattern}') THEN ''
+         |    ELSE regexp_replace(regexp_replace(
          |      lower(regexp_extract(rest, '${Url.HostPattern}', 1)),
-         |      '${Url.TrailingDotPattern}', ''), '${Url.WwwPattern}', '') AS host,
+         |      '${Url.TrailingDotPattern}', ''), '${Url.WwwPattern}', '') END AS host,
          |    CASE WHEN scheme_raw = '' THEN 'http' ELSE scheme_raw END AS scheme,
          |    regexp_extract(rest, '${Url.PortPattern}', 1) AS port,
          |    regexp_replace(regexp_extract(rest, '${Url.PathPattern}', 1),
@@ -802,7 +812,7 @@ object TextSignalsQueries {
          |  SELECT doc_id, $messyUrlSql AS url
          |  FROM documents),
          |r AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, trim(url) AS u,
          |    regexp_replace(regexp_replace(regexp_replace(trim(url),
          |      '${Url.FragmentPattern}', ''),
          |      '${Url.SchemeStripPattern}', ''),
@@ -810,9 +820,11 @@ object TextSignalsQueries {
          |  FROM u0),
          |h AS (
          |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(
+         |    CASE WHEN regexp_matches(u, '${Url.AbsoluteRefPattern}')
+         |           AND NOT regexp_matches(u, '${Url.SchemeStripPattern}') THEN ''
+         |    ELSE regexp_replace(regexp_replace(
          |      lower(regexp_extract(rest, '${Url.HostPattern}', 1)),
-         |      '${Url.TrailingDotPattern}', ''), '${Url.WwwPattern}', '') AS host
+         |      '${Url.TrailingDotPattern}', ''), '${Url.WwwPattern}', '') END AS host
          |  FROM r),
          |dm AS (
          |  SELECT doc_id,

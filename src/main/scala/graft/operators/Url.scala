@@ -123,7 +123,16 @@ object Url {
     * RELATIVE href's own query string would collapse (no real encoder
     * emits one). The base is assumed an absolute `scheme://host[/path]`
     * URL — a schemeless base yields '' origin and the reference passes
-    * through joined to '/'.
+    * through joined to '/'. A reference whose FIRST segment contains a
+    * colon (`news:latest.html`, `v1.2:notes`) is scheme-ful under the
+    * RFC 3986 grammar (`news` and `v1.2` are valid schemes) and passes
+    * through unresolved — the same reading every browser applies; an
+    * author who meant a relative path must write `./v1.2:notes` (RFC
+    * 3986 §4.2's own prescription). The consequence for the link graph
+    * is bounded by construction: such refs carry no `//authority`, so
+    * the opaque-URI guard in [[withDomain]]/[[normalize]] extracts no
+    * host from them and they drop out of the domain/pagerank tiers
+    * rather than fabricating a junk authority.
     */
   def resolveCol(href: Column, base: Column): Column = {
     val h = coalesce(href, lit(""))
@@ -194,13 +203,28 @@ object Url {
         SchemeStripPattern, ""),
       UserinfoPattern, "")
 
+  /** Scheme-ful URI with NO authority component — `mailto:a@b`,
+    * `news:latest.html`, `javascript:void(0)`, `tel:+1...`: a scheme
+    * prefix present but not followed by `//`. Such URIs carry no host
+    * (RFC 3986 §3: the authority only exists after `//`), so the
+    * domain tier must extract NOTHING from them — without this guard
+    * `news:latest.html` fabricates host "news" and `mailto:a@b.com`
+    * strips `mailto:a@` as userinfo and fabricates host "b.com"
+    * (ADVICE r10). Both patterns are shared constants the oracles
+    * interpolate; no lookahead (Java∩RE2 — the opaque test is
+    * "matches scheme-colon AND NOT scheme-colon-slash-slash").
+    */
+  private def isOpaque(u: Column): Column =
+    u.rlike(AbsoluteRefPattern) && !u.rlike(SchemeStripPattern)
+
   /** Appending form: adds `registered_domain` (plus nothing else) —
     * the composable front for the per-domain tier
     * (`sourceQuality(withDomain(df, "url").withColumn("source",
     * col("registered_domain")))`).
     */
   def withDomain(df: DataFrame, urlCol: String = "url"): DataFrame = {
-    val host = hostOf(restOf(trim(coalesce(col(urlCol), lit("")))))
+    val u = trim(coalesce(col(urlCol), lit("")))
+    val host = when(isOpaque(u), lit("")).otherwise(hostOf(restOf(u)))
     df.withColumn("registered_domain", registeredDomainOf(host))
   }
 
@@ -248,7 +272,9 @@ object Url {
   def normalize(df: DataFrame, urlCol: String = "url"): DataFrame = {
     val u = trim(coalesce(col(urlCol), lit("")))
     val rest = restOf(u)
-    val host = hostOf(rest)
+    // Opaque (no-authority) URIs canonicalize to all-empty fields, the
+    // same degradation as a blank url — see [[isOpaque]].
+    val host = when(isOpaque(u), lit("")).otherwise(hostOf(rest))
     val schemeRaw = schemeOf(u)
     val scheme = when(schemeRaw === "", lit("http")).otherwise(schemeRaw)
     val port = regexp_extract(rest, PortPattern, 1)

@@ -36,6 +36,17 @@ object StreamAsOf {
     * same-millisecond events wrongly and truncate the emitted
     * `asof_ts` (the exact defect class the stream_sessionize driver
     * row caught in the sessionizer: ms-vs-µs truncation).
+    *
+    * STATE-FORMAT BREAK (v1 → v2, r10): v1 stored milliseconds in a
+    * field named `ts`; v2 stores microseconds in `tsUs`. The rename is
+    * deliberate and load-bearing — Spark's state-store schema
+    * validation compares field NAMES, so a streaming query restarted
+    * from a v1 checkpoint fails loudly at start instead of silently
+    * reinterpreting stored ms values as µs (which would make every
+    * held quote look ~1000× older than it is while still matching).
+    * Do not rename `tsUs` back or alias it to `ts` without a state
+    * migration; a future unit change must change the field name again
+    * for the same reason.
     */
   case class LatestRight(tsUs: Long, value: Double)
 

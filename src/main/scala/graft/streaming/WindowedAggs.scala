@@ -28,6 +28,12 @@ object WindowedAggs {
     */
   case class Tick(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
+  /** MemoryStream row shape for the driver-checked `stream_quality`
+    * row — value is nullable (the quality counters COUNT the nulls, so
+    * the harness feed must carry them through).
+    */
+  case class QTick(user_id: Long, ts: java.sql.Timestamp, value: Option[Double])
+
   /** Per-(window, user) OHLC-ish aggregate with event-time watermark.
     * Output schema: window(start, end), user_id, n_events, avg_value,
     * min_value, max_value.

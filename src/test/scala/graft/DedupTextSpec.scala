@@ -1768,6 +1768,28 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"definite-new branch should probe via might_contain, got:\n$physical")
   }
 
+  test("bloom driver budget: over-budget sketches raise with the exact-join pointer (VERDICT r10 #4)") {
+    val d = Seq((1L, "alpha beta", "en", "seen", 10L),
+      (10L, "gamma delta", "en", "new", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val seen = org.apache.spark.sql.functions.col("source") === "seen"
+    // The formula matches the stated contract: ~2.2e8 keys at fpp 0.01
+    // fit the 256 MB budget, 1e9 do not.
+    assert(Dedup.bloomSketchBytes(220000000L, 0.01) <= Dedup.MaxBloomSketchBytes)
+    assert(Dedup.bloomSketchBytes(1000000000L, 0.01) > Dedup.MaxBloomSketchBytes)
+    val e = intercept[IllegalArgumentException](
+      Dedup.incrementalNewBloom(d, seen, expectedItems = 1000000000L))
+    assert(e.getMessage.contains("incrementalNew"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Dedup.incrementalNewBloom(d, seen, expectedItems = 100L, fpp = 1.5))
+    intercept[IllegalArgumentException](
+      Dedup.incrementalNewBloom(d, seen, expectedItems = 0L))
+    intercept[IllegalArgumentException](
+      Dedup.benchGramBloom(d, expectedItems = 4000000000L))
+    // In-budget builds still work end-to-end.
+    assert(Dedup.incrementalNewBloom(d, seen, expectedItems = 100L).count() == 1L)
+  }
+
   test("corpus diff: all four statuses, NULL text diffs as a value") {
     import graft.operators.Snapshot
     val old = Seq((1L, "aaa"), (2L, "bbb"), (3L, null: String),
@@ -1886,5 +1908,23 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       s"add-only path diverged from full re-curation:\n$incremental\nvs\n$full")
     assert(incremental.map(_.head) == Seq(1L, 2L, 3L, 13L, 15L),
       incremental.map(_.head).toString)
+    // The opt-in precondition check (ADVICE r10): a monotone batch
+    // passes, a batch whose ids overlap the prior range raises loudly
+    // instead of silently keeping the prior doc where full re-curation
+    // would keep the lower-id addition.
+    val checked = CorpusPipeline.curateIncremental(
+        CorpusPipeline.curateLite(df(prior)), df(adds),
+        checkIdMonotonic = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(checked == full)
+    val overlapping = adds.map { case (id, t, l, s) => (id - 10L, t, l, s) }
+    intercept[IllegalArgumentException](CorpusPipeline.curateIncremental(
+      CorpusPipeline.curateLite(df(prior)), df(overlapping),
+      checkIdMonotonic = true))
+    // empty additions are trivially monotone under the check
+    assert(CorpusPipeline.curateIncremental(
+      CorpusPipeline.curateLite(df(prior)), df(adds).limit(0),
+      checkIdMonotonic = true).count() ==
+      CorpusPipeline.curateLite(df(prior)).count())
   }
 }

@@ -77,6 +77,15 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val huge = Seq(("a", "b", Graph.MaxEdgeWeight + 1)).toDF("src", "dst", "w")
     intercept[Exception](Graph.pageRankLadder(huge, rounds = 1,
       weightCol = Some("w")).collect())
+    // fractional weights raise BEFORE the long-cast would silently
+    // truncate 1.9 → 1 / 0.5 → 0 (ADVICE r10)
+    val frac = Seq(("a", "b", 1.9), ("b", "a", 0.5)).toDF("src", "dst", "w")
+    intercept[Exception](Graph.pageRankLadder(frac, rounds = 1,
+      weightCol = Some("w")).collect())
+    // integral-valued doubles pass (the cast is exact for them)
+    val intd = Seq(("a", "b", 2.0), ("b", "a", 1.0)).toDF("src", "dst", "w")
+    assert(Graph.pageRankLadder(intd, rounds = 1, dampingPct = 50,
+      micro = 1000000L, weightCol = Some("w")).count() > 0)
   }
 
   test("reliable checkpoint seam: the ladder is identical under spark.graft.checkpoint=reliable") {

@@ -47,6 +47,30 @@ class UrlSpec extends AnyFunSuite with SparkSpec {
     assert(out(9L) == (("", "", "", "", false)))
   }
 
+  test("opaque (no-authority) URIs canonicalize empty — no fabricated host (ADVICE r10)") {
+    // mailto: would otherwise strip `mailto:a@` as userinfo and read
+    // "b.example.com" as a host; news:/tel:/javascript: would read
+    // their scheme as a single-label host. All must yield empty
+    // fields, like a blank url.
+    val out = norm(
+      1L -> "mailto:a@b.example.com",
+      2L -> "news:latest.html",
+      3L -> "javascript:void(0)",
+      4L -> "tel:+1-555-0100",
+      5L -> "v1.2:notes")
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id)._2 == "" && out(id)._3 == "" && out(id)._4 == "",
+        s"doc $id: ${out(id)}")
+    }
+    // withDomain applies the same guard
+    val doms = Url.withDomain(
+      Seq((1L, "news:latest.html"), (2L, "https://real.example.com/x"))
+        .toDF("doc_id", "url"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(doms(1L) == "")
+    assert(doms(2L) == "example.com")
+  }
+
   test("url_normalize: already-canonical urls report changed = false") {
     val out = norm(1L -> "https://example.com/a?b=1")
     assert(out(1L) == (("https", "example.com", "example.com",
