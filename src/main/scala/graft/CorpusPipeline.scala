@@ -59,6 +59,12 @@ object CorpusPipeline {
     * dedup, because content identity is decided on original bytes and
     * the redaction is an export-time privacy pass. Both projection-form.
     *
+    * Round-11 stage: `fixEncoding` repairs cp1252-in-UTF-8 mojibake
+    * ([[operators.Encoding.fixEncodingCol]]) as the VERY FIRST
+    * transform, ahead of `htmlCol` extraction — charset damage must be
+    * undone before any byte is hashed, shingled or scored, or a clean
+    * page and its mojibake twin never dedup. Projection-form.
+    *
     * NOTE `gopherRules` changes the published `n_words` DEFINITION:
     * the battery's filtered whitespace-word count overwrites
     * [[TextAnalysis.withQuality]]'s raw `split("\\s+")` count (which
@@ -85,11 +91,25 @@ object CorpusPipeline {
              blocklistMaxRatio: Double = 0.05,
              scrubPii: Boolean = false,
              htmlCol: Option[String] = None,
-             lmDropTail: Boolean = false): DataFrame = {
+             lmDropTail: Boolean = false,
+             fixEncoding: Boolean = false): DataFrame = {
     // A supplied trained artifact IMPLIES the gate — accepting weights
     // and then silently not gating would let a caller believe the
     // classifier filtered the corpus (r9 review finding).
     val classifierGateOn = classifierGate || classifierWeights.isDefined
+    // -2. Optional charset front (r11, [[operators.Encoding]]): repair
+    //    cp1252-in-UTF-8 mojibake BEFORE extraction and everything
+    //    downstream — a wrongly-decoded page must hash, shingle and
+    //    gate on its repaired bytes, or its clean twin never dedups
+    //    against it. Runs on the RAW column (the markup column when
+    //    the corpus arrives as HTML — entity names and attribute text
+    //    carry mojibake too). Projection-form: zero shuffle, zero join.
+    val repaired =
+      if (!fixEncoding) documents
+      else {
+        val c = htmlCol.getOrElse("text")
+        documents.withColumn(c, operators.Encoding.fixEncodingCol(col(c)))
+      }
     // -1. Optional crawl front ([[operators.Html.textCol]]): when the
     //    corpus arrives as raw markup in `htmlCol`, extraction replaces
     //    `text` BEFORE every other stage — normalization, hashing,
@@ -97,12 +117,12 @@ object CorpusPipeline {
     //    hash must not change when its markup chrome does). Projection-
     //    form like the other opt-in gates: zero shuffle, zero join.
     val unwrapped = htmlCol match {
-      case None => documents
+      case None => repaired
       case Some(c) =>
         // A crawl frame may carry its markup IN the `text` column —
         // dropping `c` after the overwrite would then drop the
         // extraction itself (r9 review finding).
-        val extracted = documents.withColumn("text",
+        val extracted = repaired.withColumn("text",
           operators.Html.textCol(col(c)))
         if (c == "text") extracted else extracted.drop(c)
     }

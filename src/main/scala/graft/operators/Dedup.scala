@@ -1690,6 +1690,20 @@ object Dedup {
           when(col(s"b_$j") * 2 > col("n"), lit(1 << jj)).otherwise(lit(0))
         }.reduce(_ + _).as(s"k$c")
       }: _*)
+    hammingBandPairs(sig, maxHamming, maxBucket)
+  }
+
+  /** The 16-bit-chunk hamming-band candidate join, factored for every
+    * 64-bit-signature family (simhash text signatures, the r11 media
+    * dHash signatures — [[graft.ops.Multimodal.mediaNearDup]]): `sig`
+    * carries (doc_id, k0..k3); docs sharing any chunk bucket become
+    * candidates (exact for hamming ≤ 3 by pigeonhole), buckets collect
+    * locally and pair-expand under the [[cappedPairs]] star guard, and
+    * the verify is the exact four-chunk hamming sum. Identical plan to
+    * the pre-factor simhashPairsPortable tail.
+    */
+  private[graft] def hammingBandPairs(sig: DataFrame, maxHamming: Int,
+                                      maxBucket: Int): DataFrame = {
     val chunked = sig.select(
       col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3"),
       explode(array((0 until 4).map { c =>

@@ -510,6 +510,31 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("bin"))
     }),
 
+    // #50c media_near_dup (r11, VERDICT r10 next-round #2): dHash
+    // perceptual signatures through the hamming-band machinery, with
+    // the byte-level StubCodec twin carrying the DuckDB oracle (the
+    // media_features rule: printable-ASCII corpus, so DuckDB rebuilds
+    // the 9×8 byte grid, the 64 gradient bits and the four chunk keys
+    // from the same utf-8 bytes). The natural corpus has few pairs
+    // within hamming 3, so the row plants deterministic twins — exact
+    // payload copies (hamming 0) and single-leading-byte perturbations
+    // (the gradient flips only in the cells that sample byte 0) — the
+    // pii_scrub planting discipline. At maxHamming 3 the banding is
+    // exact by pigeonhole, so both engines enumerate the identical
+    // pair set; the real ImageIoCodec/WavCodec grids ride the same
+    // seam, spec-pinned on hand-computed pixels/samples.
+    "media_near_dup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = base.filter(pmod(col("doc_id"), lit(50L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val perturbed = base.filter(pmod(col("doc_id"), lit(50L)) === 25)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("Z"), substring(col("text"), 2, 1000000)).as("text"))
+      val aug = base.unionByName(twins).unionByName(perturbed)
+      graft.ops.Multimodal.mediaNearDup(graft.ops.Multimodal.asMedia(aug))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     "corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d))
         .withColumn("avg_words", round(col("avg_words"), 6))
@@ -2823,6 +2848,53 @@ object LlmQueries {
         |FROM d CROSS JOIN bins b
         |LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = b.bin
         |ORDER BY d.doc_id, b.bin""".stripMargin,
+
+    // The StubCodec dHash replayed at byte level: the 9×8
+    // nearest-neighbor grid (floor index arithmetic, short-payload
+    // clamp to the last byte), 64 neighbor-gradient bits, four 16-bit
+    // chunk keys, then ALL pairs within hamming 3 — which equals the
+    // engine's banded candidate set exactly (pigeonhole at ≤ 3). The
+    // oracle may all-pairs at this scale; the engine side must not.
+    "media_near_dup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'Z' || substr(text, 2)
+        |  FROM documents WHERE doc_id % 50 = 25),
+        |d AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    length(text) % 64 + 1 AS w, length(text) // 64 + 1 AS ht
+        |  FROM aug),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(72), i ->
+        |      CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text,
+        |        least(((i // 9) * ht // 8) * w + ((i % 9) * w // 9), n - 1) + 1,
+        |        1)) END) AS grid
+        |  FROM d),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(64), bb ->
+        |      CASE WHEN grid[(bb // 8) * 9 + (bb % 8) + 2] >
+        |                grid[(bb // 8) * 9 + (bb % 8) + 1]
+        |           THEN 1 ELSE 0 END) AS bits
+        |  FROM g),
+        |k AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(16), j -> bits[j + 1] * (1 << j))) AS INT) AS k0,
+        |    CAST(list_sum(list_transform(range(16), j -> bits[16 + j + 1] * (1 << j))) AS INT) AS k1,
+        |    CAST(list_sum(list_transform(range(16), j -> bits[32 + j + 1] * (1 << j))) AS INT) AS k2,
+        |    CAST(list_sum(list_transform(range(16), j -> bits[48 + j + 1] * (1 << j))) AS INT) AS k3
+        |  FROM b),
+        |p AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |         bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS INT) AS hamming
+        |  FROM k a JOIN k b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin,
 
     "corpus_stats" ->
       """SELECT lang,

@@ -227,6 +227,23 @@ object TextSignalsQueries {
     "text_normalize" -> ((s, d) =>
       TextSignals.textNormalize(docs(s, d)).orderBy(col("doc_id"))),
 
+    // #47aa text_fix_encoding (r11, VERDICT r10 next-round #3): the
+    // synthetic corpus is clean ASCII, so the row plants REAL
+    // cp1252-in-UTF-8 mojibake — computed by the actual round trip
+    // (Encoding.mojibakeOf), never hand-typed — plus an
+    // already-clean-unicode family that must pass through UNTOUCHED
+    // (confidence exactly 1.0), the pii_scrub planting discipline. The
+    // oracle interpolates the same Scala constants and replays the
+    // same generated replace chain.
+    "text_fix_encoding" -> ((s, d) => {
+      val aug = docs(s, d).withColumn("text",
+        concat(col("text"), mojiSuffix))
+      Encoding.withFixedEncoding(aug)
+        .select(col("doc_id"), col("n_mojibake_chars"),
+          col("charset_confidence"), col("text_fixed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Link-graph authority ladder (#47t5): PageRank over a
     // deterministic source→source edge fixture (the synthetic corpus
     // has no URL column, so edges derive from real table columns:
@@ -285,6 +302,37 @@ object TextSignalsQueries {
         .withColumn("resolved", Url.resolveCol(col("link"), docBase))
         .orderBy(col("doc_id"), col("link"))),
   )
+
+  /** Clean strings whose mojibake forms the `text_fix_encoding` row
+    * plants (families over doc_id%4): punctuation-class damage,
+    * accented-letter damage, and an ALREADY-CLEAN unicode sample that
+    * the repair must not touch. The planted bytes are
+    * [[Encoding.mojibakeOf]] of these — the real corruption round
+    * trip, shared with the oracle.
+    */
+  private val MojiPunctSample =
+    " — don’t “quote… the café’s rosé — €9"
+  private val MojiAccentSample =
+    " àâäçèéêëîïôöùûüñ ÀÉÜ über señor œuvre"
+  private val CleanUnicodeSample =
+    " résumé – naïve fiancée"
+
+  /** The per-family planted suffix (Spark side). */
+  private def mojiSuffix: org.apache.spark.sql.Column = {
+    val m = pmod(col("doc_id"), lit(4L)).cast("int")
+    when(m === 0, lit(Encoding.mojibakeOf(MojiPunctSample)))
+      .when(m === 1, lit(Encoding.mojibakeOf(MojiAccentSample)))
+      .when(m === 2, lit(CleanUnicodeSample))
+      .otherwise(lit(""))
+  }
+
+  /** The same suffix in DuckDB — identical Scala constants, SQL-escaped. */
+  private val mojiSuffixSql: String =
+    s"""CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN ${Encoding.sqlLit(Encoding.mojibakeOf(MojiPunctSample))}
+       |      WHEN 1 THEN ${Encoding.sqlLit(Encoding.mojibakeOf(MojiAccentSample))}
+       |      WHEN 2 THEN ${Encoding.sqlLit(CleanUnicodeSample)}
+       |      ELSE '' END""".stripMargin
 
   /** Deterministic messy-URL fixture for `url_normalize` — five
     * families over doc_id%5 (see the query row's comment), built from
@@ -894,6 +942,24 @@ object TextSignalsQueries {
 
     // Same Java∩RE2 patterns the Spark plan runs, with DuckDB's 'g'
     // flag supplying the replace-all Spark applies by default.
+    // The generated replace chain replayed verbatim (same MojibakeTable
+    // constants in the same order — the html_extract discipline); the
+    // signal columns are pure length arithmetic over it.
+    "text_fix_encoding" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || $mojiSuffixSql AS text
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, text,
+         |    ${Encoding.fixEncodingSql("text")} AS text_fixed
+         |  FROM aug)
+         |SELECT doc_id,
+         |  CAST(length(text) - length(text_fixed) AS BIGINT) AS n_mojibake_chars,
+         |  round(1.0 - (length(text) - length(text_fixed)) * 1.0 /
+         |    greatest(length(text), 1), 6) AS charset_confidence,
+         |  text_fixed
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id, text,

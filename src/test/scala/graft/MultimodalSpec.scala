@@ -31,6 +31,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
         Array.fill(w * h)(9.toByte)
       def sampleFrames(p: Array[Byte], m: MediaMeta, n: Int): Iterator[(Int, Int, Array[Byte])] =
         Iterator((0, 0, p))
+      def lumaGrid(p: Array[Byte], m: MediaMeta, w: Int, h: Int): Array[Int] =
+        Array.tabulate(w * h)(i => i % 7)
     }
     val rec = MediaRecord(1L, MediaMeta("image", "fake/raw", 4, 2),
       Array.tabulate(8)(_.toByte))
@@ -253,5 +255,94 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.WavCodec.decode(Array[Byte](1, 2, 3, 4), wavMeta)
     }
+  }
+
+  // --- Perceptual dedup (r11): dHash + lumaGrid + mediaNearDup ---
+
+  test("dHashChunks: hand-computed bits — ascending, flat and single-gradient grids") {
+    // Strictly ascending grid: every right neighbor wins → all 64 bits.
+    val asc = Array.tabulate(72)(identity)
+    assert(Multimodal.dHashChunks(asc).toSeq == Seq(0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF))
+    // Flat grid: strict > never fires → all zero.
+    assert(Multimodal.dHashChunks(Array.fill(72)(5)).toSeq == Seq(0, 0, 0, 0))
+    // One gradient at (row 0, x 0): only bit 0 → k0 = 1.
+    val one = Array.fill(72)(0); one(1) = 9
+    // grid[1] > grid[0] sets bit 0; grid[2] > grid[1] is 0 > 9 → unset.
+    assert(Multimodal.dHashChunks(one).toSeq == Seq(1, 0, 0, 0))
+    intercept[IllegalArgumentException](Multimodal.dHashChunks(Array.fill(64)(0)))
+  }
+
+  test("StubCodec.lumaGrid is the resizeStub byte grid, unsigned") {
+    val meta = Multimodal.MediaMeta("image", "fake/raw", 4, 4)
+    val payload = Array.tabulate(16)(i => (i * 17 - 128).toByte)
+    val g = Multimodal.StubCodec.lumaGrid(payload, meta, 2, 2)
+    val expected = Multimodal.resizeStub(payload, meta, 2, 2).map(_ & 0xff)
+    assert(g.toSeq == expected.toSeq)
+    assert(g.forall(v => v >= 0 && v <= 255))
+  }
+
+  test("ImageIoCodec.lumaGrid + dHash: hand-computed on a 2x2 PNG") {
+    // Luminance: black 0, white 255, red 76, blue 29. 9×8 grid samples
+    // srcY = y·2/8 (rows 0–3 → 0, 4–7 → 1), srcX = x·2/9 (x 0–4 → 0,
+    // 5–8 → 1): top rows [0×5, 255×4], bottom rows [76×5, 29×4].
+    val payload = png(Array(Array(Black, White), Array(Red, Blue)))
+    val meta = Multimodal.MediaMeta("image", "image/png", 2, 2)
+    val g = Multimodal.ImageIoCodec.lumaGrid(payload, meta, 9, 8)
+    assert(g.length == 72)
+    assert(g.slice(0, 9).toSeq == Seq(0, 0, 0, 0, 0, 255, 255, 255, 255))
+    assert(g.slice(63, 72).toSeq == Seq(76, 76, 76, 76, 76, 29, 29, 29, 29))
+    // dHash: rows 0–3 fire only at x=4 (255 > 0) → bits 4, 12, 20, 28;
+    // rows 4–7: 29 > 76 false everywhere → k2 = k3 = 0.
+    val ks = Multimodal.dHashChunks(g)
+    assert(ks.toSeq == Seq((1 << 4) | (1 << 12), (1 << 4) | (1 << 12), 0, 0))
+  }
+
+  test("WavCodec.lumaGrid: amplitude grid over evenly-spaced mono samples") {
+    // 8 samples alternating -32768 / +32512 → grid values 0 / 255
+    // ((32512 + 32768) / 256 = 255).
+    val payload = wav(Array.tabulate(8)(i => if (i % 2 == 0) -32768 else 32512))
+    val g = Multimodal.WavCodec.lumaGrid(payload, wavMeta, 4, 2)
+    // 8 positions over 8 samples: identity sampling.
+    assert(g.toSeq == Seq(0, 255, 0, 255, 0, 255, 0, 255))
+  }
+
+  test("mediaNearDup: twins pair at hamming 0; banding equals brute force at <= 3") {
+    import spark.implicits._
+    val textA = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val docs = Seq(
+      (1L, textA),
+      (2L, textA),                              // exact twin → hamming 0
+      (3L, "Z" + textA.substring(1)),           // leading-byte perturbation
+      (4L, ("entirely different content words here with other bytes " * 5).trim))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    val pairs = Multimodal.mediaNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)), pairs.toString)
+    assert(pairs.forall(_._3 <= 3))
+    // Pigeonhole proof on the fixture: the banded set equals the
+    // brute-force all-pairs set at maxHamming 3.
+    val sigs = Multimodal.perceptualSig(media).collect()
+      .map(s => s.doc_id -> Seq(s.k0, s.k1, s.k2, s.k3)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = (sigs(a) zip sigs(b)).map { case (x, y) =>
+        Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(pairs == brute, s"banded $pairs vs brute $brute")
+    // The real image codec rides the same seam: two identical PNGs
+    // pair at hamming 0, and near-identical (one-pixel) variants stay
+    // within reach while a different image does not pair at 0.
+    val imgA = png(Array(Array(Black, White), Array(Red, Blue)))
+    val imgB = png(Array(Array(White, Black), Array(Blue, Red)))
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("image", "image/png", 2, 2), imgA),
+      Multimodal.MediaRecord(2L, Multimodal.MediaMeta("image", "image/png", 2, 2), imgA),
+      Multimodal.MediaRecord(3L, Multimodal.MediaMeta("image", "image/png", 2, 2), imgB))
+    val ip = Multimodal.mediaNearDup(Seq(recs: _*).toDS(), Multimodal.ImageIoCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ip.contains((1L, 2L, 0)), ip.toString)
+    assert(!ip.contains((1L, 3L, 0)) && !ip.contains((2L, 3L, 0)))
   }
 }

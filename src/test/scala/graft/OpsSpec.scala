@@ -32,6 +32,49 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(restricted.count() == 3)
   }
 
+  test("cached universe: valid cache reads, stale recomputes, clear/info entry points (r11 #5)") {
+    val base = Files.createTempDirectory("graft-univ").toString + "/universe"
+    var computes = 0
+    def universe(tag: String) = {
+      computes += 1
+      Seq((1L, "AAA", tag), (2L, "BBB", tag))
+        .toDF("entity_id", "symbol", "exchange")
+    }
+    // missing cache → compute + write; returned frame is storage-backed
+    val t0 = 1000000L
+    val first = Scope.cachedUniverse(spark, base, ttlMs = 60000L, nowMs = t0)(
+      universe("v1"))
+    assert(computes == 1)
+    assert(first.collect().map(_.getString(2)).toSet == Set("v1"))
+    val info1 = Scope.universeCacheInfo(spark, base, 60000L, nowMs = t0 + 5000L)
+    assert(info1.exists && info1.valid && info1.stampMs.contains(t0) &&
+      info1.ageMs.contains(5000L) && info1.nSnapshots == 1)
+    // within ttl → cache hit, the thunk never runs
+    val second = Scope.cachedUniverse(spark, base, ttlMs = 60000L,
+      nowMs = t0 + 30000L)(universe("v2"))
+    assert(computes == 1, "valid cache must not recompute")
+    assert(second.collect().map(_.getString(2)).toSet == Set("v1"))
+    // past ttl → stale: info says so, the seam recomputes and rewrites
+    val infoStale = Scope.universeCacheInfo(spark, base, 60000L,
+      nowMs = t0 + 61000L)
+    assert(infoStale.exists && !infoStale.valid)
+    val third = Scope.cachedUniverse(spark, base, ttlMs = 60000L,
+      nowMs = t0 + 61000L)(universe("v3"))
+    assert(computes == 2)
+    assert(third.collect().map(_.getString(2)).toSet == Set("v3"))
+    assert(Scope.universeCacheInfo(spark, base, 60000L,
+      nowMs = t0 + 61000L).nSnapshots == 2) // old snapshot stays pinnable
+    // clear → info reports missing, next call recomputes
+    assert(Scope.clearUniverseCache(spark, base) == 2)
+    val infoGone = Scope.universeCacheInfo(spark, base, 60000L, nowMs = t0)
+    assert(!infoGone.exists && !infoGone.valid && infoGone.nSnapshots == 0)
+    Scope.cachedUniverse(spark, base, ttlMs = 60000L, nowMs = t0 + 70000L)(
+      universe("v4"))
+    assert(computes == 3)
+    intercept[IllegalArgumentException](
+      Scope.cachedUniverse(spark, base, ttlMs = -1L)(universe("v5")))
+  }
+
   test("export: partitioned parquet round-trips with pruned layout") {
     val dir = Files.createTempDirectory("graft-export").toString
     val df = Seq((d("2024-01-01"), 1L, 10.0), (d("2024-01-02"), 1L, 11.0))
