@@ -18,6 +18,22 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** The media-dedup planted corpus (shared by #50c/#50d): the natural
+    * documents plus exact payload twins (doc_id%50==0, +1e6 — hamming
+    * 0 by construction) and leading-byte perturbations (doc_id%50==25,
+    * +2e6 — the gradient flips only in cells that sample byte 0), the
+    * pii_scrub planting discipline.
+    */
+  private def mediaAug(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val twins = base.filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val perturbed = base.filter(pmod(col("doc_id"), lit(50L)) === 25)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("Z"), substring(col("text"), 2, 1000000)).as("text"))
+    base.unionByName(twins).unionByName(perturbed)
+  }
+
   /** Report-over-frame bench twins (r7 verdict item 8): the registry
     * rows for cluster_stats / span_stats / dedup_keep_best re-derive
     * their full upstream pipelines each run so the DuckDB oracle can
@@ -523,17 +539,22 @@ object LlmQueries {
     // exact by pigeonhole, so both engines enumerate the identical
     // pair set; the real ImageIoCodec/WavCodec grids ride the same
     // seam, spec-pinned on hand-computed pixels/samples.
-    "media_near_dup" -> ((s, d) => {
-      val base = docs(s, d).select(col("doc_id"), col("text"))
-      val twins = base.filter(pmod(col("doc_id"), lit(50L)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val perturbed = base.filter(pmod(col("doc_id"), lit(50L)) === 25)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(lit("Z"), substring(col("text"), 2, 1000000)).as("text"))
-      val aug = base.unionByName(twins).unionByName(perturbed)
-      graft.ops.Multimodal.mediaNearDup(graft.ops.Multimodal.asMedia(aug))
-        .orderBy(col("id1"), col("id2"))
-    }),
+    "media_near_dup" -> ((s, d) =>
+      graft.ops.Multimodal.mediaNearDup(graft.ops.Multimodal.asMedia(mediaAug(s, d)))
+        .orderBy(col("id1"), col("id2"))),
+
+    // #50d media_dedup_clusters (r11): the media-dedup RESOLUTION —
+    // the #50c perceptual pairs through the same connected-components
+    // machinery the text tier uses (Components.dedupClusters: cluster
+    // = min reachable id, canonical = the kept member), so a
+    // multimodal corpus gets its image keep/drop list exactly like its
+    // text one. Oracle: the shared pair chain + the recursive-CTE CC
+    // (the CcLabelChain rule).
+    "media_dedup_clusters" -> ((s, d) =>
+      Components.dedupClusters(
+        graft.ops.Multimodal.mediaNearDup(graft.ops.Multimodal.asMedia(mediaAug(s, d)))
+          .select(col("id1"), col("id2")), "id1", "id2")
+        .orderBy(col("cluster_id"), col("id"))),
 
     "corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d))
@@ -742,6 +763,50 @@ object LlmQueries {
       |    sqrt(list_reduce(list_transform(range(len(v)), i -> v[i+1] * v[i+1]),
       |      (s, x) -> s + x)) AS nrm
       |  FROM e)""".stripMargin
+
+  /** The planted media corpus → StubCodec byte grid → dHash chunk keys
+    * → all-pairs hamming, ending at `p(id1, id2, hamming)` — shared by
+    * the media_near_dup and media_dedup_clusters oracles (the SpanCte
+    * rule). Callers prepend `WITH ` (or `WITH RECURSIVE `) themselves.
+    */
+  private val MediaPairChain: String =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'Z' || substr(text, 2)
+      |  FROM documents WHERE doc_id % 50 = 25),
+      |md AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    length(text) % 64 + 1 AS w, length(text) // 64 + 1 AS ht
+      |  FROM aug),
+      |mg AS (
+      |  SELECT doc_id,
+      |    list_transform(range(72), i ->
+      |      CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text,
+      |        least(((i // 9) * ht // 8) * w + ((i % 9) * w // 9), n - 1) + 1,
+      |        1)) END) AS grid
+      |  FROM md),
+      |mb AS (
+      |  SELECT doc_id,
+      |    list_transform(range(64), bb ->
+      |      CASE WHEN grid[(bb // 8) * 9 + (bb % 8) + 2] >
+      |                grid[(bb // 8) * 9 + (bb % 8) + 1]
+      |           THEN 1 ELSE 0 END) AS bits
+      |  FROM mg),
+      |mk AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(16), j -> bits[j + 1] * (1 << j))) AS INT) AS k0,
+      |    CAST(list_sum(list_transform(range(16), j -> bits[16 + j + 1] * (1 << j))) AS INT) AS k1,
+      |    CAST(list_sum(list_transform(range(16), j -> bits[32 + j + 1] * (1 << j))) AS INT) AS k2,
+      |    CAST(list_sum(list_transform(range(16), j -> bits[48 + j + 1] * (1 << j))) AS INT) AS k3
+      |  FROM mb),
+      |p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+      |         bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS INT) AS hamming
+      |  FROM mk a JOIN mk b ON a.doc_id < b.doc_id)""".stripMargin
 
   /** Label-bucketed cosine pairs → recursive-CTE connected components,
     * ending at `labels(id, cluster_id)` — shared by the dedup_clusters
@@ -2856,45 +2921,27 @@ object LlmQueries {
     // engine's banded candidate set exactly (pigeonhole at ≤ 3). The
     // oracle may all-pairs at this scale; the engine side must not.
     "media_near_dup" ->
-      """WITH aug AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000, 'Z' || substr(text, 2)
-        |  FROM documents WHERE doc_id % 50 = 25),
-        |d AS (
-        |  SELECT doc_id, text, length(text) AS n,
-        |    length(text) % 64 + 1 AS w, length(text) // 64 + 1 AS ht
-        |  FROM aug),
-        |g AS (
-        |  SELECT doc_id,
-        |    list_transform(range(72), i ->
-        |      CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text,
-        |        least(((i // 9) * ht // 8) * w + ((i % 9) * w // 9), n - 1) + 1,
-        |        1)) END) AS grid
-        |  FROM d),
-        |b AS (
-        |  SELECT doc_id,
-        |    list_transform(range(64), bb ->
-        |      CASE WHEN grid[(bb // 8) * 9 + (bb % 8) + 2] >
-        |                grid[(bb // 8) * 9 + (bb % 8) + 1]
-        |           THEN 1 ELSE 0 END) AS bits
-        |  FROM g),
-        |k AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(16), j -> bits[j + 1] * (1 << j))) AS INT) AS k0,
-        |    CAST(list_sum(list_transform(range(16), j -> bits[16 + j + 1] * (1 << j))) AS INT) AS k1,
-        |    CAST(list_sum(list_transform(range(16), j -> bits[32 + j + 1] * (1 << j))) AS INT) AS k2,
-        |    CAST(list_sum(list_transform(range(16), j -> bits[48 + j + 1] * (1 << j))) AS INT) AS k3
-        |  FROM b),
-        |p AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
-        |         bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS INT) AS hamming
-        |  FROM k a JOIN k b ON a.doc_id < b.doc_id)
-        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
-        |ORDER BY id1, id2""".stripMargin,
+      s"""WITH $MediaPairChain
+         |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id1, id2""".stripMargin,
+
+    // The pair chain + recursive-CTE components (the CcLabelChain
+    // shape): cluster = min reachable id, canonical = id == cluster.
+    "media_dedup_clusters" ->
+      s"""WITH RECURSIVE $MediaPairChain,
+         |mp AS (SELECT id1, id2 FROM p WHERE hamming <= 3),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM mp
+         |          UNION ALL SELECT id2, id1 FROM mp),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  CAST(id = cluster_id AS INT) AS is_canonical
+         |FROM labels ORDER BY cluster_id, id""".stripMargin,
 
     "corpus_stats" ->
       """SELECT lang,

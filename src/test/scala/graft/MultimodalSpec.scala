@@ -331,6 +331,16 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       if h <= 3
     } yield (a, b, h)).toSet
     assert(pairs == brute, s"banded $pairs vs brute $brute")
+    // The cluster resolution composes on the pairs (the #50d row):
+    // exact twins 1 and 2 share cluster 1; canonical = min member id.
+    val cl = graft.operators.Components.dedupClusters(
+      Multimodal.mediaNearDup(media)
+        .select(org.apache.spark.sql.functions.col("id1"),
+          org.apache.spark.sql.functions.col("id2")), "id1", "id2")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+    assert(cl(1L) == ((1L, 1)) && cl(2L)._1 == 1L && cl(2L)._2 == 0, cl.toString)
+    assert(cl.forall { case (id, (cid, canon)) => (canon == 1) == (id == cid) })
     // The real image codec rides the same seam: two identical PNGs
     // pair at hamming 0, and near-identical (one-pixel) variants stay
     // within reach while a different image does not pair at 0.
