@@ -371,4 +371,72 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         s"not absolute: '$h' -> '$r1'")
     }
   }
+
+  test("encoding repair inverts the mojibake round trip on random target mixes") {
+    import graft.operators.Encoding
+    // Random sentences mixing ASCII with repair-table targets: the
+    // planted corruption is the REAL round trip (utf8 → cp1252), and
+    // one chain pass must invert it exactly; clean strings that avoid
+    // the marker characters must pass through untouched (confidence 1).
+    val rnd = new Random(29)
+    val targets = Encoding.MojibakeTable.map(_._2)
+    val ascii = "the quick brown fox 42 jumps".split(" ")
+    def sentence(): String = (1 to 12).map { _ =>
+      if (rnd.nextInt(3) == 0) targets(rnd.nextInt(targets.size))
+      else ascii(rnd.nextInt(ascii.size))
+    }.mkString(" ")
+    val rows = (1 to 80).map(i => (i.toLong, sentence()))
+    val planted = rows.map { case (i, s) => (i, Encoding.mojibakeOf(s), s) }
+      .toDF("doc_id", "text", "expected")
+    val fixed = Encoding.withFixedEncoding(planted)
+      .collect().map(r => (r.getAs[String]("expected"),
+        r.getAs[String]("text_fixed"), r.getAs[Long]("n_mojibake_chars")))
+    fixed.foreach { case (exp, got, n) =>
+      assert(got == exp, s"repair diverged:\n  expected '$exp'\n  got      '$got'")
+      // every non-ASCII target char cost exactly its mojibake surplus
+      val surplus = Encoding.mojibakeOf(exp).length - exp.length
+      assert(n == surplus, s"n_mojibake_chars $n != planted surplus $surplus")
+    }
+    // ASCII-only strings are fixpoints with confidence exactly 1.0
+    val clean = (1 to 20).map(i => (i.toLong, (1 to 8).map(_ =>
+      ascii(rnd.nextInt(ascii.size))).mkString(" "))).toDF("doc_id", "text")
+    val cleanOut = Encoding.withFixedEncoding(clean).collect()
+    cleanOut.foreach { r =>
+      assert(r.getAs[String]("text_fixed") == r.getAs[String]("text"))
+      assert(r.getAs[Double]("charset_confidence") == 1.0)
+    }
+  }
+
+  test("media near-dup banding equals brute-force hamming <= 3 on random corpora") {
+    import graft.ops.Multimodal
+    // The pigeonhole claim on random data: the banded candidate join
+    // (chunk-bucket collect + exact verify) must enumerate EXACTLY the
+    // all-pairs set within hamming 3 — including planted twins and
+    // whatever collisions the random corpus produces.
+    val rnd = new Random(47)
+    val words = "alpha beta gamma delta epsilon zeta eta theta".split(" ")
+    def text(): String = (1 to (20 + rnd.nextInt(120)))
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (1 to 60).map(i => (i.toLong, text()))
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, t) => (i + 100L, t) } ++
+      base.filter(_._1 % 10 == 5).map { case (i, t) =>
+        (i + 200L, "Q" + t.substring(1)) }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    val banded = Multimodal.mediaNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Multimodal.perceptualSig(media).collect()
+      .map(s => s.doc_id -> Seq(s.k0, s.k1, s.k2, s.k3)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = (sigs(a) zip sigs(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded == brute,
+      s"banded ${banded.size} pairs != brute ${brute.size}")
+    // the planted exact twins are all present at hamming 0
+    base.filter(_._1 % 10 == 0).foreach { case (i, _) =>
+      assert(banded.contains((i, i + 100L, 0)), s"missing twin pair for $i")
+    }
+  }
 }
