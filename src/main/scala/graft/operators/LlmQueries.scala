@@ -556,6 +556,26 @@ object LlmQueries {
           .select(col("id1"), col("id2")), "id1", "id2")
         .orderBy(col("cluster_id"), col("id"))),
 
+    // #50e media_keep_best (r11): per perceptual cluster keep the
+    // highest-fidelity member (max payload bytes, tie → lowest id) —
+    // the media analog of dedup_keep_best, decided by one
+    // max(struct) hash aggregate, never a cluster window.
+    "media_keep_best" -> ((s, d) =>
+      graft.ops.Multimodal.mediaKeepBest(
+          graft.ops.Multimodal.asMedia(mediaAug(s, d)))
+        .orderBy(col("cluster_id"), col("doc_id"))),
+
+    // #50f media_dedup_incremental (r11): the daily-crawl shape — the
+    // planted additions (ids ≥ 1e6) probe the natural corpus (the
+    // seen side) through the bipartite chunk-bucket join; only
+    // NEW×SEEN work runs, never seen×seen. Exact twins land is_dup=1
+    // at best_hamming 0 by construction.
+    "media_dedup_incremental" -> ((s, d) =>
+      graft.ops.Multimodal.mediaIncrementalNew(
+          graft.ops.Multimodal.asMedia(mediaAug(s, d)),
+          col("doc_id") < 1000000L)
+        .orderBy(col("doc_id"))),
+
     "corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d))
         .withColumn("avg_words", round(col("avg_words"), 6))
@@ -2924,6 +2944,65 @@ object LlmQueries {
       s"""WITH $MediaPairChain
          |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin,
+
+    // Keep-best replay: the pair chain + CC labels + payload sizes
+    // (stub payload = utf8 of ASCII text, so n_bytes = length(text)),
+    // keep = first of (n_bytes DESC, id) per cluster — the oracle may
+    // window; the engine side must not.
+    "media_keep_best" ->
+      s"""WITH RECURSIVE $MediaPairChain,
+         |mp AS (SELECT id1, id2 FROM p WHERE hamming <= 3),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM mp
+         |          UNION ALL SELECT id2, id1 FROM mp),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+         |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |sz AS (
+         |  SELECT id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM labels),
+         |sc AS (
+         |  SELECT sz.id AS doc_id, sz.cluster_id, sz.cluster_size,
+         |    CAST(length(aug.text) AS BIGINT) AS n_bytes
+         |  FROM sz JOIN aug ON aug.doc_id = sz.id),
+         |bst AS (
+         |  SELECT cluster_id, doc_id AS keep_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_bytes DESC, doc_id) AS rn
+         |    FROM sc) WHERE rn = 1)
+         |SELECT sc.doc_id, sc.cluster_id, sc.cluster_size, sc.n_bytes,
+         |  bst.keep_id,
+         |  CAST(sc.doc_id = bst.keep_id AS INT) AS is_kept
+         |FROM sc JOIN bst USING (cluster_id)
+         |ORDER BY sc.cluster_id, sc.doc_id""".stripMargin,
+
+    // Incremental replay: the same chunk keys, bipartite NEW (planted
+    // ids ≥ 1e6) × SEEN (natural corpus) all-pairs at hamming ≤ 3 —
+    // which equals the engine's bucket join exactly (pigeonhole holds
+    // across sets); per new doc the best distance and match count.
+    "media_dedup_incremental" ->
+      s"""WITH $MediaPairChain,
+         |cand AS (
+         |  SELECT n.doc_id AS id, s.doc_id AS sid,
+         |    CAST(bit_count(xor(n.k0, s.k0)) + bit_count(xor(n.k1, s.k1)) +
+         |         bit_count(xor(n.k2, s.k2)) + bit_count(xor(n.k3, s.k3)) AS INT) AS h
+         |  FROM mk n JOIN mk s
+         |    ON n.doc_id >= 1000000 AND s.doc_id < 1000000),
+         |m AS (
+         |  SELECT id, min(h) AS best_hamming, count(*) AS n_matches
+         |  FROM cand WHERE h <= 3 GROUP BY id)
+         |SELECT a.doc_id,
+         |  CAST(m.id IS NOT NULL AS INT) AS is_dup,
+         |  CAST(m.id IS NULL AS INT) AS is_new,
+         |  m.best_hamming,
+         |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
+         |FROM (SELECT doc_id FROM aug WHERE doc_id >= 1000000) a
+         |LEFT JOIN m ON m.id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
 
     // The pair chain + recursive-CTE components (the CcLabelChain
     // shape): cluster = min reachable id, canonical = id == cluster.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** #50 ops.Multimodal: opaque binary media columns with typed metadata,
@@ -596,4 +596,120 @@ object Multimodal {
                    maxBucket: Int = 4096): DataFrame =
     graft.operators.Dedup.hammingBandPairs(
       perceptualSig(media, codec).toDF(), maxHamming, maxBucket)
+
+  /** #50e media_keep_best: per perceptual cluster, keep the
+    * HIGHEST-FIDELITY variant — the media analog of the text tier's
+    * [[graft.operators.Dedup.keepBest]] (near-dup members differ, and
+    * real curation keeps the best one, not an arbitrary one). Fidelity
+    * proxy = payload byte size (a larger encoding of the same visual
+    * content carries more detail — the thumbnail-vs-original case this
+    * exists for), ties → lowest doc_id (deterministic, and docs
+    * already kept stay kept as the corpus grows).
+    *
+    * Shape: clusters via [[mediaNearDup]] + hash-min CC; the keep
+    * decision is ONE max(struct(n_bytes, −id)) hash aggregate per
+    * cluster (the keepBest rule — never a cluster-partitioned window).
+    * Output: (doc_id, cluster_id, cluster_size, n_bytes, keep_id,
+    * is_kept) for every clustered member; singletons are absent (they
+    * have nothing to resolve), exactly like dedup_clusters.
+    */
+  def mediaKeepBest(media: Dataset[MediaRecord],
+                    codec: MediaCodec = StubCodec,
+                    maxHamming: Int = 3,
+                    maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions.{length => slen}
+    val pairs = mediaNearDup(media, codec, maxHamming, maxBucket)
+      .select(col("id1"), col("id2"))
+    val clusters = graft.operators.Components.dedupClusters(pairs, "id1", "id2")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    val bytes = media.toDF()
+      .select(col("doc_id"), slen(col("payload")).cast("long").as("n_bytes"))
+    val scored = clusters.join(bytes, Seq("doc_id"))
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_bytes"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keep_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_bytes"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("int").as("is_kept"))
+  }
+
+  /** #50f media_dedup_incremental: the daily-crawl shape for media —
+    * does an ARRIVING image near-duplicate anything in the seen
+    * corpus, WITHOUT re-pairing the corpus against itself (the
+    * [[graft.operators.Dedup.incrementalNew]] story at perceptual
+    * grain). Both sides signature once (one payload-local pass); only
+    * the NEW×SEEN chunk-bucket join runs — never seen×seen — so a
+    * day's additions cost additions-scale work against the corpus's
+    * 20-byte signature set. Exact at maxHamming ≤ 3 (pigeonhole holds
+    * across sets).
+    *
+    * Degenerate-bucket contract: the bipartite bucket join's candidate
+    * count is Σ_bucket |new_b|·|seen_b|. Capping would silently break
+    * the no-false-negative contract (a dropped seen member might be
+    * the only match), so an over-`maxSeenBucket` bucket RAISES loudly
+    * WHEN PROBED (the raise rides the joined rows, so an oversized
+    * bucket no arrival touches costs — and fails — nothing; the guard
+    * bounds actual expansion, the guardedShinglePostings rule). A
+    * bucket that hot means near-constant images (test cards, blanks)
+    * that belong in a quarantine pass, not a silent recall hole.
+    *
+    * Output, one row per NEW record: (doc_id, is_dup, is_new,
+    * best_hamming — null when nothing matched, n_matches).
+    */
+  def mediaIncrementalNew(media: Dataset[MediaRecord], seenPred: Column,
+                          codec: MediaCodec = StubCodec,
+                          maxHamming: Int = 3,
+                          maxSeenBucket: Int = 4096): DataFrame = {
+    // One signature pass feeds both sides — the incrementalNew
+    // materialization rule (20-byte rows, never payloads).
+    val sig = perceptualSig(media, codec).toDF()
+      .withColumn("__seen", seenPred)
+      .localCheckpoint()
+    def chunksOf(df: DataFrame, prefix: String): DataFrame =
+      df.select(
+        col("doc_id").as(s"${prefix}_id"),
+        col("k0").as(s"${prefix}_k0"), col("k1").as(s"${prefix}_k1"),
+        col("k2").as(s"${prefix}_k2"), col("k3").as(s"${prefix}_k3"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"), col(s"k$c").as("chunk_key"))
+        }: _*)).as("ck"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}_k0"), col(s"${prefix}_k1"),
+          col(s"${prefix}_k2"), col(s"${prefix}_k3"),
+          col("ck.chunk").as("chunk"), col("ck.chunk_key").as("chunk_key"))
+    val seenC = chunksOf(sig.filter(col("__seen")), "s")
+    val newC = chunksOf(sig.filter(!col("__seen")), "n")
+    // Loud degenerate-bucket guard (see scaladoc): bucket sizes join
+    // back on the bucket key, and an over-limit bucket raises at data
+    // level before the bipartite expansion can go quadratic silently.
+    val seenSizes = seenC.groupBy(col("chunk"), col("chunk_key"))
+      .agg(count(lit(1)).as("__bs"))
+    val seenGuarded = seenC.join(seenSizes, Seq("chunk", "chunk_key"))
+      .select(col("chunk"), col("chunk_key"),
+        when(col("__bs") > maxSeenBucket,
+          raise_error(concat(
+            lit(s"mediaIncrementalNew: seen chunk bucket over $maxSeenBucket ("),
+            col("__bs").cast("string"),
+            lit(") — quarantine near-constant media before the incremental join"))))
+          .otherwise(col("s_id")).as("s_id"),
+        col("s_k0"), col("s_k1"), col("s_k2"), col("s_k3"))
+    val matches = newC.join(seenGuarded, Seq("chunk", "chunk_key"))
+      .select(col("n_id"), col("s_id"),
+        (bit_count(col("n_k0").bitwiseXOR(col("s_k0"))) +
+          bit_count(col("n_k1").bitwiseXOR(col("s_k1"))) +
+          bit_count(col("n_k2").bitwiseXOR(col("s_k2"))) +
+          bit_count(col("n_k3").bitwiseXOR(col("s_k3")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy(col("n_id"))
+      .agg(min(col("hamming")).as("best_hamming"),
+        count(lit(1)).as("n_matches"))
+    sig.filter(!col("__seen")).select(col("doc_id"))
+      .join(matches.withColumnRenamed("n_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        col("best_hamming").isNotNull.cast("int").as("is_dup"),
+        col("best_hamming").isNull.cast("int").as("is_new"),
+        col("best_hamming"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
 }

@@ -355,4 +355,80 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(ip.contains((1L, 2L, 0)), ip.toString)
     assert(!ip.contains((1L, 3L, 0)) && !ip.contains((2L, 3L, 0)))
   }
+
+  test("mediaKeepBest keeps the largest payload per cluster (tie -> lowest id)") {
+    import spark.implicits._
+    // Gradient-free (constant-byte) payloads share the all-zero dHash
+    // regardless of length — the documented flat-image blind spot,
+    // used here to build a cluster whose members DIFFER in size.
+    val textA = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val docs = Seq(
+      (1L, textA),
+      (2L, textA),        // byte-identical twin: tie → keep 1
+      (5L, "a" * 100),
+      (6L, "a" * 200),    // largest constant payload → the keeper
+      (7L, "b" * 50))
+      .toDF("doc_id", "text")
+    val out = Multimodal.mediaKeepBest(Multimodal.asMedia(docs))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getInt(5))).toMap
+    // cluster {1,2}: equal bytes, keep min id = 1
+    assert(out(1L)._3 == 1L && out(1L)._4 == 1)
+    assert(out(2L)._3 == 1L && out(2L)._4 == 0)
+    // cluster {5,6,7}: all-zero signatures cluster together; 6 is
+    // biggest (200 bytes) and wins despite not being the lowest id
+    assert(Set(5L, 6L, 7L).map(out(_)._1).size == 1, out.toString)
+    assert(out(6L)._4 == 1 && out(5L)._4 == 0 && out(7L)._4 == 0)
+    assert(out(5L)._3 == 6L && out(7L)._3 == 6L)
+  }
+
+  test("mediaIncrementalNew: new-vs-seen only, exact twins flagged, bucket guard raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val textA = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val textB = ("entirely different content words with other letters " * 6).trim
+    val docs = Seq(
+      (1L, textA), (2L, textB),          // seen corpus
+      (11L, textA),                      // new: exact twin of 1
+      (12L, textB.replace("content", "payload"))) // new: perturbed B
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    val out = Multimodal.mediaIncrementalNew(media, col("doc_id") < 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getLong(4))).toMap
+    // only NEW rows come back; the twin matches at distance 0
+    assert(out.keySet == Set(11L, 12L), out.toString)
+    assert(out(11L)._1 == 1 && out(11L)._3.contains(0) && out(11L)._4 >= 1L)
+    // is_dup and is_new are complements; unmatched rows carry null/0
+    out.values.foreach { case (dup, nw, best, n) =>
+      assert(dup + nw == 1)
+      assert((dup == 1) == best.isDefined)
+      assert((dup == 1) == (n > 0))
+    }
+    // never pairs seen x seen or new x new: a seen twin of doc 1 must
+    // not surface anywhere in the output
+    val withSeenTwin = Seq((1L, textA), (3L, textA), (11L, textB))
+      .toDF("doc_id", "text")
+    val o2 = Multimodal.mediaIncrementalNew(
+      Multimodal.asMedia(withSeenTwin), col("doc_id") < 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(o2 == Set(11L))
+    // degenerate-bucket guard: three constant seen payloads share the
+    // all-zero signature; a constant NEW payload probes that bucket
+    // and a maxSeenBucket of 2 raises loudly. An UNPROBED hot bucket
+    // costs nothing and passes — the guard bounds actual expansion.
+    val hot = Seq((1L, "a" * 80), (2L, "b" * 90), (3L, "c" * 70),
+      (11L, "d" * 60)).toDF("doc_id", "text")
+    intercept[Exception] {
+      Multimodal.mediaIncrementalNew(Multimodal.asMedia(hot),
+        col("doc_id") < 10L, maxSeenBucket = 2).collect()
+    }
+    // same hot bucket, never probed (the new doc has gradients): passes
+    val cold = Seq((1L, "a" * 80), (2L, "b" * 90), (3L, "c" * 70),
+      (11L, textA)).toDF("doc_id", "text")
+    assert(Multimodal.mediaIncrementalNew(Multimodal.asMedia(cold),
+      col("doc_id") < 10L, maxSeenBucket = 2).count() == 1L)
+  }
 }
