@@ -120,4 +120,19 @@ object Encoding {
         round(lit(1.0) - col("n_mojibake_chars").cast("double") /
           greatest(length(col(textCol)).cast("double"), lit(1.0)), 6))
   }
+
+  /** #47ab charset_report: the per-source rollup of [[withFixedEncoding]]
+    * — which SOURCES ship charset-damaged text (CCNet's per-shard read
+    * before deciding whether a feed needs the repair pass, or dropping):
+    * document count, damaged-document count, total characters the
+    * repair removed, and mean per-doc confidence. One projection + one
+    * hash aggregate at source grain — the sourceQuality shape.
+    */
+  def charsetReport(documents: DataFrame, srcCol: String = "source"): DataFrame =
+    withFixedEncoding(documents)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_mojibake_chars") > 0).cast("long")).as("n_damaged"),
+        sum(col("n_mojibake_chars")).as("chars_repaired"),
+        round(avg(col("charset_confidence")), 6).as("avg_confidence"))
 }

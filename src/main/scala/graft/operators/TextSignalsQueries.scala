@@ -244,6 +244,14 @@ object TextSignalsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // #47ab charset_report (r11): the per-source damage rollup over the
+    // same planted fixture — the CCNet per-shard read deciding which
+    // feeds need the repair pass. Same suffix constants, same chain.
+    "charset_report" -> ((s, d) =>
+      Encoding.charsetReport(docs(s, d).withColumn("text",
+          concat(col("text"), mojiSuffix)))
+        .orderBy(col("source"))),
+
     // Link-graph authority ladder (#47t5): PageRank over a
     // deterministic source→source edge fixture (the synthetic corpus
     // has no URL column, so edges derive from real table columns:
@@ -959,6 +967,28 @@ object TextSignalsQueries {
          |    greatest(length(text), 1), 6) AS charset_confidence,
          |  text_fixed
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Per-source rollup over the identical planted chain; the mean
+    // confidence averages the per-doc ROUNDED values (the engine's
+    // published column) and re-rounds — the corpus_stats avg policy.
+    "charset_report" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source, text || $mojiSuffixSql AS text
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, source, text,
+         |    ${Encoding.fixEncodingSql("text")} AS text_fixed
+         |  FROM aug),
+         |g AS (
+         |  SELECT source,
+         |    length(text) - length(text_fixed) AS nm,
+         |    length(text) AS n
+         |  FROM f)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged,
+         |  CAST(sum(nm) AS BIGINT) AS chars_repaired,
+         |  round(avg(round(1.0 - nm * 1.0 / greatest(n, 1), 6)), 6) AS avg_confidence
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     "text_normalize" ->
       """WITH n AS (

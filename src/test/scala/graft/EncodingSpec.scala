@@ -67,6 +67,40 @@ class EncodingSpec extends AnyFunSuite with SparkSpec {
     assert(conf3 == math.rint((1.0 - 4.0 / 13.0) * 1e6) / 1e6, conf3.toString)
   }
 
+  test("documented scope bound: CJK mojibake passes through unrepaired") {
+    // The table targets the DOMINANT class (Latin-1 + punctuation);
+    // CJK double-encoding (3-byte targets outside the table) is out of
+    // scope by design — it must pass through UNCHANGED, never be
+    // half-repaired into different garbage.
+    val cjk = "日本語のテキスト 中文文本"
+    val moji = Encoding.mojibakeOf(cjk)
+    assert(moji != cjk)
+    // No table pattern can match inside CJK mojibake: CJK lead bytes
+    // (E3–E9) decode to ã–é and continuation bytes (80–BF) to the
+    // cp1252 symbol range — none are the pattern-start chars
+    // {Â Ã Ä Å Æ Ë â}. So the text passes through EXACTLY unchanged
+    // (never half-repaired into different garbage), confidence 1.0.
+    val out = Seq((1L, moji)).toDF("doc_id", "text")
+    val r = Encoding.withFixedEncoding(out).head()
+    assert(r.getAs[String]("text_fixed") == moji)
+    assert(r.getAs[Long]("n_mojibake_chars") == 0L)
+    assert(r.getAs[Double]("charset_confidence") == 1.0)
+  }
+
+  test("charset_report: per-source rollup counts damage exactly") {
+    val docs = Seq(
+      (1L, "clean ascii", "srcA"),
+      (2L, "one cafÃ© here", "srcA"),       // 1 char repaired
+      (3L, "a â€™ b", "srcB"),              // 2 chars repaired
+      (4L, "also clean", "srcB"),
+      (5L, "more clean", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = Encoding.charsetReport(docs).orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("srcA") == ((2L, 1L, 1L)), out.toString)
+    assert(out("srcB") == ((3L, 1L, 2L)), out.toString)
+  }
+
   test("the poisoning story: repair makes a mojibake doc dedup against its clean twin") {
     val clean = "the café’s menu — très bon"
     val twins = Seq((1L, clean), (2L, Encoding.mojibakeOf(clean)))
