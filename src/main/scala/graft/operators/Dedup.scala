@@ -1703,26 +1703,37 @@ object Dedup {
     * the pre-factor simhashPairsPortable tail.
     */
   private[graft] def hammingBandPairs(sig: DataFrame, maxHamming: Int,
-                                      maxBucket: Int): DataFrame = {
+                                      maxBucket: Int): DataFrame =
+    hammingBandPairsN(sig, 4, maxHamming, maxBucket)
+
+  /** The N-chunk generalization (r11): `sig` carries (doc_id,
+    * k0..k{n−1}); pigeonhole makes the banding exact for
+    * maxHamming ≤ n − 1. n = 4 is the 64-bit simhash/dHash family;
+    * n = 8 the 128-bit wide dHash.
+    */
+  private[graft] def hammingBandPairsN(sig: DataFrame, nChunks: Int,
+                                       maxHamming: Int,
+                                       maxBucket: Int): DataFrame = {
+    require(nChunks >= 2, s"hammingBandPairsN: need >= 2 chunks, got $nChunks")
+    val kCols = (0 until nChunks).map(c => col(s"k$c"))
     val chunked = sig.select(
-      col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"), col(s"k$c").as("chunk_key"))
-      }: _*)).as("ck"))
-      .select(col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3"),
-        col("ck.chunk").as("chunk"), col("ck.chunk_key").as("chunk_key"))
+      (col("doc_id") +: kCols) :+
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk"), col(s"k$c").as("chunk_key"))
+        }: _*)).as("ck"): _*)
+      .select((col("doc_id") +: kCols) :+
+        col("ck.chunk").as("chunk") :+ col("ck.chunk_key").as("chunk_key"): _*)
     chunked
       .groupBy(col("chunk"), col("chunk_key"))
-      .agg(sort_array(collect_list(struct(
-        col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("doc_id") +: kCols: _*))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(cappedPairs(col("ms"), maxBucket)).as("p"))
       .select(Seq(col("p.a.doc_id").as("id1"), col("p.b.doc_id").as("id2")) ++
-        (0 until 4).map(c =>
+        (0 until nChunks).map(c =>
           bit_count(col(s"p.a.k$c").bitwiseXOR(col(s"p.b.k$c"))).as(s"hx$c")): _*)
       .distinct()
       .withColumn("hamming",
-        (col("hx0") + col("hx1") + col("hx2") + col("hx3")).cast("int"))
+        (0 until nChunks).map(c => col(s"hx$c")).reduce(_ + _).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }

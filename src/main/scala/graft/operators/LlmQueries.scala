@@ -556,6 +556,15 @@ object LlmQueries {
           .select(col("id1"), col("id2")), "id1", "id2")
         .orderBy(col("cluster_id"), col("id"))),
 
+    // #50g media_near_dup_wide (r11): the 128-bit / 8-chunk dHash —
+    // exact at hamming ≤ 7 by pigeonhole, bucket keys from a space the
+    // corpus fills 2× slower per chunk (the §5 occupancy dial made
+    // real). Same planted corpus, same generated chain at 16 grid rows.
+    "media_near_dup_wide" -> ((s, d) =>
+      graft.ops.Multimodal.mediaNearDupWide(
+          graft.ops.Multimodal.asMedia(mediaAug(s, d)))
+        .orderBy(col("id1"), col("id2"))),
+
     // #50e media_keep_best (r11): per perceptual cluster keep the
     // highest-fidelity member (max payload bytes, tie → lowest id) —
     // the media analog of dedup_keep_best, decided by one
@@ -786,47 +795,57 @@ object LlmQueries {
 
   /** The planted media corpus → StubCodec byte grid → dHash chunk keys
     * → all-pairs hamming, ending at `p(id1, id2, hamming)` — shared by
-    * the media_near_dup and media_dedup_clusters oracles (the SpanCte
-    * rule). Callers prepend `WITH ` (or `WITH RECURSIVE `) themselves.
+    * the media_near_dup / media_dedup_clusters / media_keep_best /
+    * media_dedup_incremental oracles (the SpanCte rule), GENERATED for
+    * the requested grid height (8 rows = 64-bit/4-chunk default,
+    * 16 = the wide 128-bit/8-chunk variant) so the two widths cannot
+    * drift from one another. Callers prepend `WITH ` (or
+    * `WITH RECURSIVE `) themselves.
     */
-  private val MediaPairChain: String =
-    """aug AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 2000000, 'Z' || substr(text, 2)
-      |  FROM documents WHERE doc_id % 50 = 25),
-      |md AS (
-      |  SELECT doc_id, text, length(text) AS n,
-      |    length(text) % 64 + 1 AS w, length(text) // 64 + 1 AS ht
-      |  FROM aug),
-      |mg AS (
-      |  SELECT doc_id,
-      |    list_transform(range(72), i ->
-      |      CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text,
-      |        least(((i // 9) * ht // 8) * w + ((i % 9) * w // 9), n - 1) + 1,
-      |        1)) END) AS grid
-      |  FROM md),
-      |mb AS (
-      |  SELECT doc_id,
-      |    list_transform(range(64), bb ->
-      |      CASE WHEN grid[(bb // 8) * 9 + (bb % 8) + 2] >
-      |                grid[(bb // 8) * 9 + (bb % 8) + 1]
-      |           THEN 1 ELSE 0 END) AS bits
-      |  FROM mg),
-      |mk AS (
-      |  SELECT doc_id,
-      |    CAST(list_sum(list_transform(range(16), j -> bits[j + 1] * (1 << j))) AS INT) AS k0,
-      |    CAST(list_sum(list_transform(range(16), j -> bits[16 + j + 1] * (1 << j))) AS INT) AS k1,
-      |    CAST(list_sum(list_transform(range(16), j -> bits[32 + j + 1] * (1 << j))) AS INT) AS k2,
-      |    CAST(list_sum(list_transform(range(16), j -> bits[48 + j + 1] * (1 << j))) AS INT) AS k3
-      |  FROM mb),
-      |p AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |    CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
-      |         bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS INT) AS hamming
-      |  FROM mk a JOIN mk b ON a.doc_id < b.doc_id)""".stripMargin
+  private def mediaPairChainOf(rows: Int): String = {
+    val nChunks = rows / 2
+    val kDefs = (0 until nChunks).map(c =>
+      s"CAST(list_sum(list_transform(range(16), j -> bits[${c * 16} + j + 1] * (1 << j))) AS INT) AS k$c")
+      .mkString(",\n    ")
+    val ham = (0 until nChunks).map(c => s"bit_count(xor(a.k$c, b.k$c))")
+      .mkString(" +\n         ")
+    s"""aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, 'Z' || substr(text, 2)
+       |  FROM documents WHERE doc_id % 50 = 25),
+       |md AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    length(text) % 64 + 1 AS w, length(text) // 64 + 1 AS ht
+       |  FROM aug),
+       |mg AS (
+       |  SELECT doc_id,
+       |    list_transform(range(${9 * rows}), i ->
+       |      CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text,
+       |        least(((i // 9) * ht // $rows) * w + ((i % 9) * w // 9), n - 1) + 1,
+       |        1)) END) AS grid
+       |  FROM md),
+       |mb AS (
+       |  SELECT doc_id,
+       |    list_transform(range(${rows * 8}), bb ->
+       |      CASE WHEN grid[(bb // 8) * 9 + (bb % 8) + 2] >
+       |                grid[(bb // 8) * 9 + (bb % 8) + 1]
+       |           THEN 1 ELSE 0 END) AS bits
+       |  FROM mg),
+       |mk AS (
+       |  SELECT doc_id,
+       |    $kDefs
+       |  FROM mb),
+       |p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST($ham AS INT) AS hamming
+       |  FROM mk a JOIN mk b ON a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val MediaPairChain: String = mediaPairChainOf(8)
+  private val MediaWidePairChain: String = mediaPairChainOf(16)
 
   /** Label-bucketed cosine pairs → recursive-CTE connected components,
     * ending at `labels(id, cluster_id)` — shared by the dedup_clusters
@@ -2943,6 +2962,13 @@ object LlmQueries {
     "media_near_dup" ->
       s"""WITH $MediaPairChain
          |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id1, id2""".stripMargin,
+
+    // The same generated chain at 16 grid rows / 8 chunks, all pairs
+    // within hamming 7 — the engine's 8-chunk banding is exact there.
+    "media_near_dup_wide" ->
+      s"""WITH $MediaWidePairChain
+         |SELECT id1, id2, hamming FROM p WHERE hamming <= 7
          |ORDER BY id1, id2""".stripMargin,
 
     // Keep-best replay: the pair chain + CC labels + payload sizes

@@ -536,20 +536,31 @@ object Multimodal {
   val DHashW = 9
   val DHashH = 8
 
-  /** Four 16-bit dHash chunk keys from a [[DHashW]]×[[DHashH]] luma
-    * grid (row-major): bit `b` (= y·8 + x) is set iff
+  /** The WIDE grid height (r11, the §5 occupancy note made real):
+    * 9×16 → 128 bits as EIGHT 16-bit chunks — exact banding up to
+    * hamming 7 (pigeonhole over 8 chunks), and bucket keys drawn from
+    * a space the corpus fills 2× slower per chunk. The scale dial for
+    * 10⁹+-row media corpora where 64-bit buckets get hot.
+    */
+  val DHashWideH = 16
+
+  /** 16-bit dHash chunk keys from a [[DHashW]]×`rows` luma grid
+    * (row-major): bit `b` (= y·8 + x) is set iff
     * `grid[y·9 + x + 1] > grid[y·9 + x]`; chunk c carries bits
-    * 16c..16c+15 (bit j of the chunk = 1 << j). Published as four ints
+    * 16c..16c+15 (bit j of the chunk = 1 << j). Published as ints
     * rather than one long for the same reason as the portable simhash:
     * bit 63 as 1L<<63 breaks DuckDB's checked BIGINT arithmetic, and
-    * the chunks are what the banding buckets on anyway.
+    * the chunks are what the banding buckets on anyway. `rows` must be
+    * even so bits fill whole 16-bit chunks.
     */
-  def dHashChunks(grid: Array[Int]): Array[Int] = {
-    require(grid.length == DHashW * DHashH,
-      s"dHashChunks: grid must be ${DHashW}x$DHashH = ${DHashW * DHashH}, got ${grid.length}")
-    val ks = new Array[Int](4)
+  def dHashChunksN(grid: Array[Int], rows: Int): Array[Int] = {
+    require(rows > 0 && rows % 2 == 0,
+      s"dHashChunksN: rows must be positive and even, got $rows")
+    require(grid.length == DHashW * rows,
+      s"dHashChunksN: grid must be ${DHashW}x$rows = ${DHashW * rows}, got ${grid.length}")
+    val ks = new Array[Int](rows * 8 / 16)
     var b = 0
-    while (b < 64) {
+    while (b < rows * 8) {
       val y = b / 8
       val x = b % 8
       if (grid(y * DHashW + x + 1) > grid(y * DHashW + x))
@@ -558,6 +569,9 @@ object Multimodal {
     }
     ks
   }
+
+  /** The default 64-bit (9×8, four-chunk) dHash. */
+  def dHashChunks(grid: Array[Int]): Array[Int] = dHashChunksN(grid, DHashH)
 
   /** One media record's perceptual signature as its four chunk keys. */
   case class MediaSig(doc_id: Long, k0: Int, k1: Int, k2: Int, k3: Int)
@@ -596,6 +610,33 @@ object Multimodal {
                    maxBucket: Int = 4096): DataFrame =
     graft.operators.Dedup.hammingBandPairs(
       perceptualSig(media, codec).toDF(), maxHamming, maxBucket)
+
+  /** #50g media_near_dup_wide: the 128-bit (9×16, eight-chunk) dHash
+    * variant — exact at hamming ≤ 7, and each chunk key comes from a
+    * bucket space the corpus fills half as fast (the §5 occupancy
+    * dial). Same payload-local signature pass, same banding machinery
+    * at 8 chunks; the wider radius catches crops/recompressions the
+    * 64-bit signature's ≤3 misses, at ~2× the signature and banding
+    * cost. Schema: (doc_id, k0..k7) signature rows of 36 bytes.
+    */
+  def mediaNearDupWide(media: Dataset[MediaRecord],
+                       codec: MediaCodec = StubCodec,
+                       maxHamming: Int = 7,
+                       maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val schema = StructType(StructField("doc_id", LongType, false) +:
+      (0 until 8).map(c => StructField(s"k$c", IntegerType, false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val sig = media.mapPartitions { it =>
+      it.map { r =>
+        val ks = dHashChunksN(codec.lumaGrid(r.payload, r.meta, DHashW, DHashWideH),
+          DHashWideH)
+        Row.fromSeq(r.doc_id +: ks.toSeq)
+      }
+    }(enc)
+    graft.operators.Dedup.hammingBandPairsN(sig, 8, maxHamming, maxBucket)
+  }
 
   /** #50e media_keep_best: per perceptual cluster, keep the
     * HIGHEST-FIDELITY variant — the media analog of the text tier's

