@@ -585,6 +585,23 @@ object LlmQueries {
           col("doc_id") < 1000000L)
         .orderBy(col("doc_id"))),
 
+    // #49n media_gate (r11): the STATELESS streaming media gate driven
+    // through the driver contract — the seen side builds the bounded
+    // signature artifact (driver collect BY CONTRACT, the
+    // benchFuzzyArtifact rule), the NEW records run the pure
+    // projection, and the verdict hash-checks against the SAME SQL
+    // constant as media_dedup_incremental: one oracle, two genuinely
+    // different plans (distributed bipartite join vs literal-artifact
+    // projection) — the range_join shared-constant rule.
+    "media_gate" -> ((s, d) => {
+      val media = graft.ops.Multimodal.asMedia(mediaAug(s, d))
+      val seen = graft.ops.Multimodal.mediaSeenArtifact(
+        media.filter(col("doc_id") < 1000000L))
+      graft.ops.Multimodal.withMediaSeen(
+          media.filter(col("doc_id") >= 1000000L), seen)
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_stats" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d))
         .withColumn("avg_words", round(col("avg_words"), 6))
@@ -846,6 +863,31 @@ object LlmQueries {
 
   private val MediaPairChain: String = mediaPairChainOf(8)
   private val MediaWidePairChain: String = mediaPairChainOf(16)
+
+  /** The incremental media verdict as SQL — shared verbatim by the
+    * `media_dedup_incremental` (distributed bipartite join) and
+    * `media_gate` (stateless artifact projection) rows: one predicate,
+    * two plans.
+    */
+  private val MediaIncrementalSql: String =
+    s"""WITH $MediaPairChain,
+       |cand AS (
+       |  SELECT n.doc_id AS id, s.doc_id AS sid,
+       |    CAST(bit_count(xor(n.k0, s.k0)) + bit_count(xor(n.k1, s.k1)) +
+       |         bit_count(xor(n.k2, s.k2)) + bit_count(xor(n.k3, s.k3)) AS INT) AS h
+       |  FROM mk n JOIN mk s
+       |    ON n.doc_id >= 1000000 AND s.doc_id < 1000000),
+       |m AS (
+       |  SELECT id, min(h) AS best_hamming, count(*) AS n_matches
+       |  FROM cand WHERE h <= 3 GROUP BY id)
+       |SELECT a.doc_id,
+       |  CAST(m.id IS NOT NULL AS INT) AS is_dup,
+       |  CAST(m.id IS NULL AS INT) AS is_new,
+       |  m.best_hamming,
+       |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
+       |FROM (SELECT doc_id FROM aug WHERE doc_id >= 1000000) a
+       |LEFT JOIN m ON m.id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
 
   /** Label-bucketed cosine pairs → recursive-CTE connected components,
     * ending at `labels(id, cluster_id)` — shared by the dedup_clusters
@@ -3010,25 +3052,12 @@ object LlmQueries {
     // ids ≥ 1e6) × SEEN (natural corpus) all-pairs at hamming ≤ 3 —
     // which equals the engine's bucket join exactly (pigeonhole holds
     // across sets); per new doc the best distance and match count.
-    "media_dedup_incremental" ->
-      s"""WITH $MediaPairChain,
-         |cand AS (
-         |  SELECT n.doc_id AS id, s.doc_id AS sid,
-         |    CAST(bit_count(xor(n.k0, s.k0)) + bit_count(xor(n.k1, s.k1)) +
-         |         bit_count(xor(n.k2, s.k2)) + bit_count(xor(n.k3, s.k3)) AS INT) AS h
-         |  FROM mk n JOIN mk s
-         |    ON n.doc_id >= 1000000 AND s.doc_id < 1000000),
-         |m AS (
-         |  SELECT id, min(h) AS best_hamming, count(*) AS n_matches
-         |  FROM cand WHERE h <= 3 GROUP BY id)
-         |SELECT a.doc_id,
-         |  CAST(m.id IS NOT NULL AS INT) AS is_dup,
-         |  CAST(m.id IS NULL AS INT) AS is_new,
-         |  m.best_hamming,
-         |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
-         |FROM (SELECT doc_id FROM aug WHERE doc_id >= 1000000) a
-         |LEFT JOIN m ON m.id = a.doc_id
-         |ORDER BY a.doc_id""".stripMargin,
+    "media_dedup_incremental" -> MediaIncrementalSql,
+
+    // ONE SQL constant, TWO genuinely different physical plans: the
+    // distributed bipartite join above and the stateless
+    // literal-artifact projection gate (the range_join rule).
+    "media_gate" -> MediaIncrementalSql,
 
     // The pair chain + recursive-CTE components (the CcLabelChain
     // shape): cluster = min reachable id, canonical = id == cluster.

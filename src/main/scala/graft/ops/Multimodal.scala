@@ -753,4 +753,61 @@ object Multimodal {
         col("best_hamming"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
   }
+
+  /** Driver budget for the [[withMediaSeen]] signature artifact: each
+    * seen signature is nChunks ints (16–32 bytes), so 4M signatures ≈
+    * 64–128 MB of plan literal — the requireBloomBudget class of
+    * bound. Past it, stay on the distributed [[mediaIncrementalNew]].
+    */
+  val MaxSeenSigs = 4000000
+
+  /** The seen-signature model artifact for [[withMediaSeen]]: one
+    * chunk-key vector per seen record, id-ordered (deterministic
+    * artifact bytes). A bounded driver collect BY CONTRACT — the
+    * benchFuzzyArtifact rule: the seen set is the small curated side
+    * (yesterday's accepted media, a blocklist of known images), never
+    * the corpus; [[MaxSeenSigs]] enforces the budget loudly.
+    */
+  def mediaSeenArtifact(media: Dataset[MediaRecord],
+                        codec: MediaCodec = StubCodec): Array[Array[Int]] = {
+    val sigs = perceptualSig(media, codec).collect()
+      .sortBy(_.doc_id)
+      .map(s => Array(s.k0, s.k1, s.k2, s.k3))
+    require(sigs.length <= MaxSeenSigs,
+      s"mediaSeenArtifact: ${sigs.length} seen signatures exceed the " +
+        s"$MaxSeenSigs driver-literal budget — use mediaIncrementalNew " +
+        "(the distributed bipartite join) for corpus-scale seen sets")
+    sigs
+  }
+
+  /** #49n the STREAMING media gate: does an ARRIVING media record
+    * near-duplicate the seen set — as a STATELESS PROJECTION (no join,
+    * no aggregation, no state), so the identical operator runs
+    * unchanged under `readStream` in append mode and flags duplicate
+    * media as records LAND (the #49g/#49h discipline at perceptual
+    * grain). Candidacy is [[graft.functions.MediaSigLookup]]'s
+    * per-chunk binary search over the driver-sorted artifact + exact
+    * hamming verify on candidates only — one compact expression call
+    * per row, exact for maxHamming ≤ 3 (pigeonhole over the 4 chunks).
+    *
+    * Row-equal BY CONSTRUCTION to [[mediaIncrementalNew]]'s verdict on
+    * the same (seen, new) split — spec-proven, so the batch row's
+    * DuckDB oracle carries transitively (and the `media_gate` driver
+    * row checks it hash-level against the same SQL constant).
+    */
+  def withMediaSeen(media: Dataset[MediaRecord], seen: Array[Array[Int]],
+                    codec: MediaCodec = StubCodec,
+                    maxHamming: Int = 3): DataFrame = {
+    require(seen.length <= MaxSeenSigs,
+      s"withMediaSeen: ${seen.length} seen signatures exceed the $MaxSeenSigs budget")
+    import graft.functions.MediaSigOps.media_sig_lookup
+    perceptualSig(media, codec).toDF()
+      .withColumn("__v", media_sig_lookup(
+        array(col("k0"), col("k1"), col("k2"), col("k3")), seen, maxHamming))
+      .select(col("doc_id"),
+        col("__v.best_hamming").isNotNull.cast("int").as("is_dup"),
+        col("__v.best_hamming").isNull.cast("int").as("is_new"),
+        col("__v.best_hamming").as("best_hamming"),
+        col("__v.n_matches").as("n_matches"))
+  }
 }

@@ -394,6 +394,47 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Multimodal.dHashChunksN(Array.fill(72)(0), 7))
   }
 
+  test("withMediaSeen: stateless gate row-equal to mediaIncrementalNew; runs under readStream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val textA = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val textB = ("entirely different content words with other letters " * 6).trim
+    val docs = Seq(
+      (1L, textA), (2L, textB),                       // seen
+      (11L, textA),                                   // twin of 1
+      (12L, textB.replace("content", "payload")),     // perturbed B
+      (13L, "a" * 130))                               // flat, unrelated
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    val batch = Multimodal.mediaIncrementalNew(media, col("doc_id") < 10L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val seen = Multimodal.mediaSeenArtifact(media.filter(col("doc_id") < 10L))
+    val newSide = media.filter(col("doc_id") >= 10L)
+    val gate = Multimodal.withMediaSeen(newSide, seen)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // row-for-row equality with the oracle-checked batch operator —
+    // the #49g transitive-oracle discipline
+    assert(gate == batch, s"gate $gate\nvs batch $batch")
+    // the identical operator runs under Structured Streaming in append
+    // mode (stateless projection: no join, no aggregation, no state)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = "media_gate_sink"
+    spark.catalog.dropTempView(sink)
+    val input = MemoryStream[Multimodal.MediaRecord]
+    val q = Multimodal.withMediaSeen(input.toDS(), seen)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try { input.addData(newSide.collect().toIndexedSeq); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table(sink).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed $streamed\nvs batch $batch")
+    // artifact budget raises loudly past the stated bound
+    intercept[IllegalArgumentException](
+      Multimodal.withMediaSeen(newSide,
+        Array.fill(Multimodal.MaxSeenSigs + 1)(Array(0, 0, 0, 0))))
+  }
+
   test("mediaKeepBest keeps the largest payload per cluster (tie -> lowest id)") {
     import spark.implicits._
     // Gradient-free (constant-byte) payloads share the all-zero dHash
