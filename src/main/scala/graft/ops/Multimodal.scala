@@ -653,6 +653,13 @@ object Multimodal {
     * Output: (doc_id, cluster_id, cluster_size, n_bytes, keep_id,
     * is_kept) for every clustered member; singletons are absent (they
     * have nothing to resolve), exactly like dedup_clusters.
+    *
+    * Scale note (ReuseProbe r11): the operator reads `media` twice —
+    * the signature pass and the byte-length projection — both
+    * payload-LOCAL (map-side, nothing media-sized shuffles). At 100 TB
+    * a deployment that begrudges the second scan extends the signature
+    * pass to carry n_bytes alongside the chunk keys (one schema field;
+    * the plan shape is otherwise identical).
     */
   def mediaKeepBest(media: Dataset[MediaRecord],
                     codec: MediaCodec = StubCodec,
