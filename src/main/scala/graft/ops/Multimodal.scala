@@ -573,12 +573,17 @@ object Multimodal {
   /** The default 64-bit (9×8, four-chunk) dHash. */
   def dHashChunks(grid: Array[Int]): Array[Int] = dHashChunksN(grid, DHashH)
 
-  /** One media record's perceptual signature as its four chunk keys. */
-  case class MediaSig(doc_id: Long, k0: Int, k1: Int, k2: Int, k3: Int)
+  /** One media record's perceptual signature as its four chunk keys,
+    * plus the payload byte size (carried from the same pass so
+    * size-aware consumers — [[mediaKeepBest]] — never re-read
+    * payloads).
+    */
+  case class MediaSig(doc_id: Long, k0: Int, k1: Int, k2: Int, k3: Int,
+                      n_bytes: Int)
 
   /** Per-record dHash signatures — the same mapPartitions shape as
     * [[extractFeatures]]: payload bytes never shuffle, only the
-    * 20-byte signature rows do.
+    * fixed-width signature rows do.
     */
   def perceptualSig(media: Dataset[MediaRecord],
                     codec: MediaCodec = StubCodec): Dataset[MediaSig] = {
@@ -586,7 +591,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val ks = dHashChunks(codec.lumaGrid(r.payload, r.meta, DHashW, DHashH))
-        MediaSig(r.doc_id, ks(0), ks(1), ks(2), ks(3))
+        MediaSig(r.doc_id, ks(0), ks(1), ks(2), ks(3), r.payload.length)
       }
     }
   }
@@ -654,24 +659,22 @@ object Multimodal {
     * is_kept) for every clustered member; singletons are absent (they
     * have nothing to resolve), exactly like dedup_clusters.
     *
-    * Scale note (ReuseProbe r11): the operator reads `media` twice —
-    * the signature pass and the byte-length projection — both
-    * payload-LOCAL (map-side, nothing media-sized shuffles). At 100 TB
-    * a deployment that begrudges the second scan extends the signature
-    * pass to carry n_bytes alongside the chunk keys (one schema field;
-    * the plan shape is otherwise identical).
+    * Scale shape (r11 ReuseProbe finding, fixed): ONE payload pass —
+    * the signature pass carries n_bytes, and the materialized
+    * signature frame feeds both the banding and the size join (two
+    * consumers — the guarded-postings localCheckpoint rule; the held
+    * rows are fixed-width signatures, never payloads).
     */
   def mediaKeepBest(media: Dataset[MediaRecord],
                     codec: MediaCodec = StubCodec,
                     maxHamming: Int = 3,
                     maxBucket: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.functions.{length => slen}
-    val pairs = mediaNearDup(media, codec, maxHamming, maxBucket)
+    val sig = perceptualSig(media, codec).toDF().localCheckpoint()
+    val pairs = graft.operators.Dedup.hammingBandPairs(sig, maxHamming, maxBucket)
       .select(col("id1"), col("id2"))
     val clusters = graft.operators.Components.dedupClusters(pairs, "id1", "id2")
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
-    val bytes = media.toDF()
-      .select(col("doc_id"), slen(col("payload")).cast("long").as("n_bytes"))
+    val bytes = sig.select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"))
     val scored = clusters.join(bytes, Seq("doc_id"))
     val best = scored.groupBy(col("cluster_id"))
       .agg(max(struct(col("n_bytes"), (-col("doc_id")).as("neg_id"))).as("best"))
