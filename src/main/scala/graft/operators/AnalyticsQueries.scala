@@ -113,16 +113,25 @@ object AnalyticsQueries {
       val sink = "stream_sessionize_sink"
       s.catalog.dropTempView(sink)
       val input = MemoryStream[Sessionize.Event]
-      val q = Sessionize.sessions(input.toDS(), gapMinutes = 30)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // 4 state partitions (the stream_quality harness-cost rule):
+      // shuffle.partitions is only read at stream START for the state
+      // store layout; per-partition store open/commit dominates a tiny
+      // MemoryStream micro-batch, and key-sharded state is
+      // partition-count-invariant in its results.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        input.addData(evs.toIndexedSeq)
-        val flush = evs.map(_.user_id).distinct.map(u => Sessionize.Event(u,
-          new java.sql.Timestamp(maxMs + 100L * 86400000L), 0.0))
-        input.addData(flush.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = Sessionize.sessions(input.toDS(), gapMinutes = 30)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(evs.toIndexedSeq)
+          val flush = evs.map(_.user_id).distinct.map(u => Sessionize.Event(u,
+            new java.sql.Timestamp(maxMs + 100L * 86400000L), 0.0))
+          input.addData(flush.toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("session_start"))
       s.table(sink)
@@ -241,11 +250,16 @@ object AnalyticsQueries {
       val sink = "stream_asof_sink"
       s.catalog.dropTempView(sink)
       val input = MemoryStream[StreamAsOf.Tagged]
-      val q = StreamAsOf.enrich(input.toDS())
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
-      finally q.stop()
+      // 4 state partitions — the stream_quality harness-cost rule.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = StreamAsOf.enrich(input.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink).select(col("user_id"), col("ts"),
           col("value").as("purchase_value"),
           col("asof_ts").as("view_ts"), col("asof_value").as("view_value"))

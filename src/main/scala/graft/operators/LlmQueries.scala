@@ -151,11 +151,16 @@ object LlmQueries {
       val sink = "stream_dedup_docs_sink"
       s.catalog.dropTempView(sink)
       val input = MemoryStream[StreamDedup.Doc]
-      val q = StreamDedup.dedupDocuments(input.toDF())
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
-      finally q.stop()
+      // 4 state partitions — the stream_quality harness-cost rule.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = StreamDedup.dedupDocuments(input.toDF())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink)
         .select(col("content_hash"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("content_hash"))

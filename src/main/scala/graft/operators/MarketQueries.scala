@@ -112,11 +112,18 @@ object MarketQueries {
       val sink = "stream_ind_sma_sink"
       s.catalog.dropTempView(sink)
       val input = MemoryStream[StreamIndicators.Bar]
-      val q = StreamIndicators.smaEma(input.toDS(), p = 5, span = 5)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
-      finally q.stop()
+      // 4 state partitions — the stream_quality harness-cost rule
+      // (shuffle.partitions is read at stream START for the state store
+      // layout; per-key folds are partition-count-invariant).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = StreamIndicators.smaEma(input.toDS(), p = 5, span = 5)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { input.addData(src.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink).select(col("user_id"),
           date_add(lit("1970-01-01").cast("date"),
             (col("ts").cast("long") / lit(86400L)).cast("int")).as("date"),
@@ -162,17 +169,22 @@ object MarketQueries {
       val sink = "stream_bars_sink"
       s.catalog.dropTempView(sink)
       val input = MemoryStream[WindowedAggs.Tick]
-      val q = WindowedAggs.ohlcvBars(input.toDF(), windowDur = "1 day",
-          watermark = "10 minutes")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // 4 state partitions — the stream_quality harness-cost rule.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        input.addData(src.toIndexedSeq)
-        q.processAllAvailable()
-        input.addData(WindowedAggs.Tick(-1L,
-          new java.sql.Timestamp(maxMs + 40L * 86400000L), 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = WindowedAggs.ohlcvBars(input.toDF(), windowDur = "1 day",
+            watermark = "10 minutes")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          input.addData(src.toIndexedSeq)
+          q.processAllAvailable()
+          input.addData(WindowedAggs.Tick(-1L,
+            new java.sql.Timestamp(maxMs + 40L * 86400000L), 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink).filter(col("user_id") >= 0)
         .select(col("user_id"),
           date_add(lit("1970-01-01").cast("date"),
