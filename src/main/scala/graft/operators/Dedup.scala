@@ -725,15 +725,25 @@ object Dedup {
   private def charGramKeys(documents: DataFrame, minLen: Int,
                            hashGrams: Boolean): DataFrame = {
     val width = documents.sparkSession.sessionState.conf.numShufflePartitions
-    val grams = documents
+    val long = documents
       .repartition(width, col("doc_id"))
       .filter(length(col("text")) >= minLen)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (minLen - 1))).as("i"))
-      .select(col("doc_id"), (col("i") - 1).cast("long").as("pos"),
-        col("text").substr(col("i"), lit(minLen)).as("g"))
-    grams.select(col("doc_id"), col("pos"),
-      (if (hashGrams) xxhash64(col("g")) else col("g")).as("k"))
+    if (hashGrams)
+      // r11: one [[graft.functions.WindowHash64]] pass per document —
+      // bit-equal to xxhash64(substr(text, i, minLen)) per position but
+      // O(len × minLen) instead of the O(len²) byte scans the per-window
+      // UTF-8 substr paid (substring has no char index), with zero
+      // per-window allocation. posexplode supplies the 0-based char
+      // position the old `i − 1` projection computed.
+      long.select(col("doc_id"),
+          posexplode(graft.functions.WindowHash64.windowHash64(col("text"), minLen)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("k"))
+    else
+      long.select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (minLen - 1))).as("i"))
+        .select(col("doc_id"), (col("i") - 1).cast("long").as("pos"),
+          col("text").substr(col("i"), lit(minLen)).as("k"))
   }
 
   /** Gaps-and-islands merge of marked window positions `(doc_id, pos)`
