@@ -301,18 +301,17 @@ object Dedup {
     * the whole pipeline stays inside whole-stage codegen. Produces the
     * same shingle sets as [[withHashedShingles]] (spec-checked).
     */
-  def shinglePostings(documents: DataFrame): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    documents
+  def shinglePostings(documents: DataFrame): DataFrame =
+    // r11: TokenKgrams(distinct) — see [[shinglePostingsRaw]]; the
+    // per-doc gram set is distinct by construction and source/lang are
+    // doc-constant, so the old (doc, source, lang, h) distinct is
+    // preserved exactly.
+    Skew.fanOutScan(documents, "doc_id")
       .select(col("doc_id"), col("source"), col("lang"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      .withColumn("w2", lead(col("w"), 1).over(byDoc))
-      .filter(col("w2").isNotNull)
+        explode(graft.functions.TokenKgrams.tokenKgrams(tokens(col("text")), 2,
+          distinct = true)).as("s"))
       .select(col("doc_id"), col("source"), col("lang"),
-        xxhash64(concat_ws(" ", col("w"), col("w2"))).as("h"))
-      .distinct()
-  }
+        xxhash64(col("s")).as("h"))
 
   /** Row-form n-gram postings: one DISTINCT (doc_id, gram-hash) row per
     * word n-gram, same posexplode + lead() plan as [[shinglePostings]]
@@ -324,18 +323,13 @@ object Dedup {
     */
   def ngramPostings(documents: DataFrame, n: Int): DataFrame = {
     require(n >= 2, "n-gram width must be at least 2")
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val base = documents
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w0")))
-    val withLeads = (1 until n).foldLeft(base) { (df, i) =>
-      df.withColumn(s"w$i", lead(col("w0"), i).over(byDoc))
-    }
-    withLeads
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*)).as("g"))
-      .distinct()
+    // r11: TokenKgrams(distinct) — see [[shinglePostingsRaw]]; replaces
+    // the posexplode + (n−1) lead() columns + distinct with one pass.
+    Skew.fanOutScan(documents, "doc_id")
+      .select(col("doc_id"), explode(
+        graft.functions.TokenKgrams.tokenKgrams(tokens(col("text")), n,
+          distinct = true)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("g"))
   }
 
   /** #40d decontaminate: benchmark decontamination — flag every corpus
@@ -1375,16 +1369,19 @@ object Dedup {
     * plan, no xxhash64 collapse). Portable operators hash these with md5,
     * which DuckDB computes identically.
     */
-  def shinglePostingsRaw(documents: DataFrame): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    documents
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      .withColumn("w2", lead(col("w"), 1).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("s"))
-      .distinct()
-  }
+  def shinglePostingsRaw(documents: DataFrame): DataFrame =
+    // r11: one TokenKgrams pass per document replaces the
+    // posexplode → doc-window lead() → concat_ws → distinct() chain —
+    // same shingle strings (concatWs bytes are concat_ws's), per-doc
+    // deduped inside the expression, so BOTH the doc-keyed window
+    // shuffle and the gram-grain distinct shuffle disappear.
+    // fanOutScan: without the window shuffle the shingle+md5 work runs
+    // in the scan stage — a small input read as one split would
+    // single-thread it (no-op at corpus scale).
+    Skew.fanOutScan(documents, "doc_id")
+      .select(col("doc_id"), explode(
+        graft.functions.TokenKgrams.tokenKgrams(tokens(col("text")), 2,
+          distinct = true)).as("s"))
 
   /** Modulus and affine constants for the portable minhash permutation
     * family: perm_i(h) = (a_i·(h mod M) + b_i) mod M over the Mersenne
@@ -1684,13 +1681,20 @@ object Dedup {
     */
   def simhashPairsPortable(documents: DataFrame, maxHamming: Int = 8,
                            maxBucket: Int = 1024): DataFrame = {
-    val exploded = documents
+    val exploded = Skew.fanOutScan(documents, "doc_id")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .select(col("doc_id"), md5(col("w")).as("h"))
+      // r11: parse the 16 signature nibbles into two ints ONCE per token
+      // — the per-bit form re-ran conv(substring(hex)) 64× per row; bit
+      // j of the big-endian halves is (hi >> 31−j) & 1 / (lo >> 63−j) & 1,
+      // the identical value (spec + oracle unchanged).
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("lo"))
     val bitSums = (0 until 64).map { j =>
-      val hv = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
-      sum(shiftright(hv, 3 - j % 4).bitwiseAND(lit(1))).as(s"b_$j")
+      val half = if (j < 32) col("hi") else col("lo")
+      sum(shiftright(half, (if (j < 32) 31 else 63) - j).bitwiseAND(lit(1L))).as(s"b_$j")
     } :+ count(lit(1)).as("n")
     val counts = exploded.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = counts.select(col("doc_id") +:

@@ -28,6 +28,23 @@ object Skew {
     saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Scale-adaptive scan fan-out (r11): repartition a frame up to the
+    * session shuffle width ONLY when its scan produces fewer partitions
+    * — a small input read as one or two splits single-threads every
+    * derivation stage above it (tokenize/shingle/hash pipelines measured
+    * wall ≈ summed task time on 32 idle cores). At corpus scale the
+    * scan already carries ≥ width splits and this is a NO-OP — no
+    * shuffle is added, so it is free insurance, not a local-mode tune.
+    * The explicit width matters: AQE exempts user repartitions from
+    * coalescing, while a byte-based coalesce would immediately re-fuse
+    * a small-but-CPU-heavy frame back to one partition.
+    */
+  def fanOutScan(df: DataFrame, key: String): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= width) df
+    else df.repartition(width, col(key))
+  }
+
   /** Per-key frequency profile — find the hot keys that justify salting
     * (or an AQE skew threshold bump) before paying for either.
     */

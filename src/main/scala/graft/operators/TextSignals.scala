@@ -45,12 +45,6 @@ object TextSignals {
   private def tokens(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), tokensCol(col("text")).as("__t"))
 
-  /** Token k-grams joined by single spaces, built from a MATERIALIZED
-    * token-array reference (fan-out lesson, SURVEY §5).
-    */
-  private def kgram(t: Column, i: Column, k: Int): Column =
-    concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j))): _*)
-
   /** Winnowing packs (hash, position) into one BIGINT so a plain window
     * `min` implements "min hash, rightmost position on ties": the low
     * [[PosBits]] bits carry (2^21−1 − pos), so among equal hashes the
@@ -105,8 +99,10 @@ object TextSignals {
           lit(s"winnowFingerprints: doc "), col("doc_id").cast("string"),
           lit(s" exceeds $PosCap grams — packed (hash,pos) key would overflow"))))
           .otherwise(nG).as("__n"),
-        posexplode(transform(sequence(lit(1), nG),
-          i => kgram(col("__t"), i, k))).as(Seq("__p0", "__g")))
+        // r11: TokenKgrams in positional order — posexplode recovers the
+        // gram position the packed (hash, pos) key needs.
+        posexplode(graft.functions.TokenKgrams.tokenKgrams(col("__t"), k,
+          distinct = false)).as(Seq("__p0", "__g")))
       .select(col("doc_id"), col("__n"), (col("__p0") + 1).as("pos"),
         h32(col("__g")).as("h"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
@@ -172,10 +168,14 @@ object TextSignals {
     */
   def dupNgramFrac(documents: DataFrame, n: Int = 8): DataFrame = {
     val toks = tokens(documents)
-    val nG = size(col("__t")) - (n - 1)
-    val grams = toks.filter(size(col("__t")) >= n)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), nG),
-        i => kgram(col("__t"), i, n))).as("__g"))
+    // r11: TokenKgrams (ordered, non-distinct — multiplicity feeds __m)
+    // replaces the interpreted transform/element_at lambda per gram;
+    // fanOutScan spreads the gram+md5 work when the scan is narrow.
+    val grams = Skew.fanOutScan(toks, "doc_id")
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(
+        graft.functions.TokenKgrams.tokenKgrams(col("__t"), n,
+          distinct = false)).as("__g"))
       .select(col("doc_id"), h32(col("__g")).as("h"))
     // The (doc, gram) fold feeds BOTH the join left side and the
     // gram-grain doc count, so the corpus is scanned and exploded twice.
