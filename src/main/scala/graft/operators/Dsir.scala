@@ -37,20 +37,23 @@ object Dsir {
     * on doc_id (the flag rides the one posting pass instead).
     */
   private def bucketPostings(documents: DataFrame, isTarget: Column): DataFrame = {
-    val toks = documents
+    val toks = Skew.fanOutScan(documents, "doc_id")
       .select(col("doc_id"), isTarget.as("__is_target"),
         Dedup.tokens(col("text")).as("__t"))
       .withColumn("__t", filter(col("__t"), t => t =!= ""))
-    val uni = toks.select(col("doc_id"), col("__is_target"),
-      explode(col("__t")).as("g"))
-    val bi = toks.filter(size(col("__t")) >= 2)
-      .select(col("doc_id"), col("__is_target"), explode(transform(
-        sequence(lit(1), size(col("__t")) - 1),
-        i => concat_ws(" ", element_at(col("__t"), i),
-          element_at(col("__t"), i + 1)))).as("g"))
-    uni.unionAll(bi).select(col("doc_id"), col("__is_target"),
-      (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
-        % lit(Buckets)).as("bucket"))
+    // r11: unigrams and bigrams ride ONE explode — array_concat of the
+    // token array with the native TokenKgrams bigram array (ordered,
+    // non-distinct: multiplicity feeds the bucket counts) halves the
+    // corpus scans the old uni/bi unionAll paid and drops the
+    // interpreted transform/element_at lambda per bigram. Same gram
+    // multiset, so the md5 bucket fold is bit-identical.
+    toks.select(col("doc_id"), col("__is_target"),
+        explode(concat(col("__t"),
+          graft.functions.TokenKgrams.tokenKgrams(col("__t"), 2,
+            distinct = false))).as("g"))
+      .select(col("doc_id"), col("__is_target"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+          % lit(Buckets)).as("bucket"))
   }
 
   /** #47m dsir_weights: per-document importance log-weight
