@@ -1012,10 +1012,6 @@ object Dedup {
     val maxLen = isl.agg(coalesce(max(length(col("itext"))), lit(0))).head.getInt(0)
     require(maxLen < (1 << levels),
       s"maximalSpans: island of $maxLen chars exceeds the 2^$levels-1 cap — raise `levels`")
-    // LCP descent needs only levels covering the longest island; the
-    // fixed-level oracle's extra rounds are no-ops (full windows never
-    // exist there), so skipping them is semantically identical.
-    val levelsEff = math.min(levels, 32 - Integer.numberOfLeadingZeros(math.max(1, maxLen)))
     val pos = isl.select(col("doc_id"), col("island"),
         explode(sequence(lit(0), length(col("itext")) - 1)).as("i"), col("itext"))
       .select(col("doc_id"), col("island"),
@@ -1031,28 +1027,20 @@ object Dedup {
     import spark.implicits._
     val idx = sortedRdd.toDF("idx", "doc_id", "island", "pos", "sfx")
       .localCheckpoint()
-    // Exact LCP by binary descent of full-window substring equality.
-    // Each level is its own projection column: folding the accumulator
-    // into one expression would copy it 4× per level (exponential tree);
-    // as chained named columns Catalyst keeps each level evaluated once
-    // (CollapseProject declines to inline a non-cheap attr used twice+).
-    val adj = idx.select(col("idx").as("ia"), col("sfx").as("sa"))
-      .join(idx.select((col("idx") - 1).as("ia"), col("sfx").as("sb")), Seq("ia"))
-      .withColumn("acc", lit(0L))
-    val walked = (levelsEff - 1 to 0 by -1).foldLeft(adj) { (df, k) =>
-      val wd = 1 << k
-      df.withColumn("acc", col("acc") +
-        when(length(col("sa")) >= col("acc") + wd &&
-          length(col("sb")) >= col("acc") + wd &&
-          col("sa").substr((col("acc") + 1).cast("int"), lit(wd)) ===
-            col("sb").substr((col("acc") + 1).cast("int"), lit(wd)),
-          lit(wd.toLong)).otherwise(lit(0L)))
-    }
+    // Exact LCP as ONE native byte walk per adjacent pair (r11 —
+    // [[graft.functions.CommonPrefixChars]]): value-identical to the
+    // binary descent of full-window substring comparisons it replaces
+    // (the island-length require above still guards the oracle's
+    // fixed-level cap), at O(lcp) bytes instead of O(levels × window)
+    // re-sliced UTF-8 substrings.
     // Checkpoint: `pairs` feeds TWO joins (__ln at ia, __lp at ia+1)
     // whose pre-join projections differ, so without materialization the
-    // self-join + full LCP descent — the operator's most expensive
-    // stage — would execute twice.
-    val pairs = walked.select(col("ia"), col("acc").as("lcp"))
+    // self-join + LCP walk — the operator's most expensive stage —
+    // would execute twice.
+    val pairs = idx.select(col("idx").as("ia"), col("sfx").as("sa"))
+      .join(idx.select((col("idx") - 1).as("ia"), col("sfx").as("sb")), Seq("ia"))
+      .select(col("ia"), graft.functions.CommonPrefixChars
+        .commonPrefixChars(col("sa"), col("sb")).as("lcp"))
       .localCheckpoint()
     val m = idx
       .join(pairs.select(col("ia"), col("lcp").as("__ln")), col("idx") === col("ia"), "left")

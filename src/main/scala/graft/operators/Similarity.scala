@@ -468,6 +468,12 @@ object Similarity {
   /** Corpus with unit-normalized double vector (zero-norm rows dropped —
     * they have no direction to quantize).
     */
+  // r11 note: a fanOutScan + native vec_divide variant was measured and
+  // REVERTED — repartitioning below the ADC crossjoin moved the encode
+  // projection above the join boundary and the optimizer re-evaluated
+  // the 128-literal-dot codes column once per (query, row) pair instead
+  // of once per row (taskTime 2.4 s → 46 s at sf0.1). The single-pass
+  // encode depends on this exact stage shape; leave it alone.
   private def withUnit(embeddings: DataFrame): DataFrame =
     withNorm(embeddings).withColumn("u", transform(col("v"), x => x / col("nrm")))
 
