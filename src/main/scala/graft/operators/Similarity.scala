@@ -592,8 +592,15 @@ object Similarity {
                        nQueries: Int, k: Int, refine: Int): DataFrame = {
     val m = cb.length
     val cn2 = pqCn2(cb)
-    val corpus = e.select(col("vec_id").as("neighbor_id"),
-      pqCodesCol(cb, cn2).as("codes"))
+    // r11: fan the encode out and MATERIALIZE the codes (tiny rows: id +
+    // m codes) before the ADC crossjoin — localCheckpoint makes it
+    // impossible for the optimizer to inline the 128-literal-dot encode
+    // above the join and re-run it per (query, row) pair (the measured
+    // failure mode of a bare repartition here), and the narrow
+    // embedding scan no longer single-threads the encode.
+    val corpus = Skew.fanOutScan(e, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), pqCodesCol(cb, cn2).as("codes"))
+      .localCheckpoint()
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), pqLutCol(cb, cn2).as("lut"))
